@@ -1,0 +1,40 @@
+"""Every corpus query must match its DuckDB oracle (the driver's gate,
+replicated at small sf for speed)."""
+
+from __future__ import annotations
+
+import pytest
+
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+    REGISTRY,
+    _ensure_loaded,
+)
+from us_weather_energy_analysis_pipeline_spark.testing import diff_report
+
+_ensure_loaded()
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_query_matches_oracle(name, spark, duck, sf_dir):
+    q = REGISTRY[name]
+    sdf = q.spark_fn(spark, sf_dir).toPandas()
+    if q.oracle is None:
+        # rows-only contract: must run and return a stable schema
+        assert sdf is not None
+        return
+    odf = duck.execute(q.oracle).fetchdf()
+    msg = diff_report(sdf, odf)
+    assert msg is None, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert len(df.columns) > 0
+
+
+def test_every_query_has_docstring_and_tags():
+    for name, q in REGISTRY.items():
+        assert q.doc.strip(), f"{name} missing docstring"

@@ -1,0 +1,48 @@
+"""Shared Column helpers for the corpus.
+
+Conventions keeping the Spark result and the DuckDB oracle hash-identical:
+
+- date/timestamp group keys are emitted as ISO ``yyyy-MM-dd`` strings
+  (Spark ``date_format`` / DuckDB ``strftime``);
+- floating aggregates are rounded on BOTH sides: sums → 2 decimals,
+  means/ratios → 4, correlation/regression stats → 6;
+- every computed column is aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def iso_day(col: Column | str) -> Column:
+    """Timestamp/date → 'yyyy-MM-dd' string (oracle: strftime(col, '%Y-%m-%d'))."""
+    return F.date_format(col, "yyyy-MM-dd")
+
+
+def dround(col: Column | str, n: int) -> Column:
+    """Round a double exactly like DuckDB's ROUND(x, n).
+
+    Spark's ``round`` converts through the shortest decimal representation
+    (BigDecimal HALF_UP), DuckDB rounds the binary double via
+    ``std::round(x * 10^n) / 10^n`` — they disagree on values that sit on a
+    decimal .5 boundary (e.g. avg() hitting 38.37875). Replicating the
+    binary form bit-for-bit keeps the driver's value hash identical.
+    Nulls propagate; sign(x)*floor(abs..) matches round-half-away-from-zero.
+    """
+    p = float(10**n)
+    c = F.col(col) if isinstance(col, str) else col
+    c = c.cast("double")
+    return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
+
+
+def r2(col: Column) -> Column:
+    return dround(col, 2)
+
+
+def r4(col: Column) -> Column:
+    return dround(col, 4)
+
+
+def r6(col: Column) -> Column:
+    return dround(col, 6)

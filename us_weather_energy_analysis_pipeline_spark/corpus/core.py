@@ -1,0 +1,349 @@
+"""Core relational corpus: scans, filters, projections, joins, aggregations.
+
+Each query re-expresses a reference operator (SURVEY.md §2 ids cited per
+query) over the driver's TPC-H-ish tables. All plans are declarative
+DataFrame chains — Catalyst gets predicate pushdown, column pruning and
+join-strategy choice for free; at 100 TB the dimension joins broadcast and
+the fact-fact join sort-merges on the shuffled key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)                                    AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)                               AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                    AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                               AS avg_price,
+           ROUND(AVG(l_discount), 4)                                    AS avg_disc,
+           COUNT(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "A3", "flagship"),
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship multi-aggregate rollup (reference A3, `app.py:701-704` analog).
+
+    Single scan → partial (map-side) aggregation → 6-group final agg. The
+    filter and the 7-column projection push into the parquet scan.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            r2(F.sum("l_quantity")).alias("sum_qty"),
+            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            r2(F.sum(disc_price)).alias("sum_disc_price"),
+            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r4(F.avg("l_extendedprice")).alias("avg_price"),
+            r4(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "ts_daily_rollup",
+    oracle="""
+    SELECT strftime(l_shipdate, '%Y-%m-%d')       AS ship_day,
+           ROUND(AVG(l_quantity), 4)              AS avg_qty,
+           ROUND(SUM(l_extendedprice), 2)         AS total_price,
+           COUNT(*)                               AS n_rows
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("agg", "A3", "timeseries"),
+)
+def ts_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-cities daily time series (reference A3 `app.py:701-704`):
+    mean measure + summed measure per day."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy(iso_day("l_shipdate").alias("ship_day")).agg(
+        r4(F.avg("l_quantity")).alias("avg_qty"),
+        r2(F.sum("l_extendedprice")).alias("total_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "filter_date_set",
+    oracle="""
+    SELECT o_orderkey, o_custkey, strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+           ROUND(o_totalprice, 2) AS total_price, o_orderpriority
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+      AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+    """,
+    tags=("filter", "F1", "F2"),
+)
+def filter_date_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-range + set-membership filter (reference F1 `app.py:442-446`).
+    Both predicates push down to the parquet scan (PushedFilters)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        )
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            iso_day("o_orderdate").alias("order_day"),
+            r2(F.col("o_totalprice")).alias("total_price"),
+            "o_orderpriority",
+        )
+    )
+
+
+@register(
+    "join_fact_orders",
+    oracle="""
+    SELECT o.o_orderpriority,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+    tags=("join", "J1"),
+)
+def join_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE core inner equi-join (reference J1 `pipeline.py:86`), fact⨝fact.
+
+    At 100 TB this is a shuffle join on l_orderkey/o_orderkey; the status
+    filter reduces the build side before the shuffle (Catalyst pushes it
+    below the join automatically).
+    """
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "join_dims_broadcast",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(c.c_acctbal), 4) AS avg_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "J2", "broadcast"),
+)
+def join_dims_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⨝dim⨝dim with explicit broadcast (reference J2 `app.py:182`).
+
+    nation/region are tiny dims — broadcast them so the plan is a single
+    shuffle-free map-side join chain before the final aggregation.
+    """
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r4(F.avg("c_acctbal")).alias("avg_acctbal"),
+        )
+    )
+
+
+@register(
+    "top_k_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS total_price, o_orderpriority
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 50
+    """,
+    tags=("sort", "limit", "O1", "O2"),
+)
+def top_k_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k by measure with deterministic tie-break (reference O1+O2
+    `app.py:559`). Spark executes this as TakeOrderedAndProject — no full
+    sort materialization at scale."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select(
+            "o_orderkey",
+            r2(F.col("o_totalprice")).alias("total_price"),
+            "o_orderpriority",
+        )
+        .limit(50)
+    )
+
+
+@register(
+    "distinct_event_types",
+    oracle="SELECT DISTINCT event_type FROM events",
+    tags=("distinct", "A11"),
+)
+def distinct_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct values (reference A11 `app.py:431`) — partial-distinct
+    map-side then exchange on the key."""
+    return load(spark, sf_dir, "events").select("event_type").distinct()
+
+
+@register(
+    "union_slices",
+    oracle="""
+    WITH u AS (
+      SELECT event_id, event_type, value FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT event_id, event_type, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM u GROUP BY event_type
+    """,
+    tags=("union", "O4"),
+)
+def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union-all of homogeneous slices (reference O4 `pipeline.py:82-83`)
+    via unionByName — the per-city concat loop collapses into one plan."""
+    e = load(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    clicks = e.filter(F.col("event_type") == "click")
+    buys = e.filter(F.col("event_type") == "purchase")
+    return (
+        clicks.unionByName(buys)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("value")).alias("total_value"))
+    )
+
+
+@register(
+    "dates_except",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+    EXCEPT
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS day FROM lineitem
+    """,
+    tags=("setop", "O5"),
+)
+def dates_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference on date sets (reference O5 `pipeline.py:43,60`).
+    ``subtract`` is EXCEPT DISTINCT, matching the SQL EXCEPT oracle."""
+    o = load(spark, sf_dir, "orders").select(iso_day("o_orderdate").alias("day"))
+    li = load(spark, sf_dir, "lineitem").select(iso_day("l_shipdate").alias("day"))
+    return o.subtract(li)
+
+
+@register(
+    "unit_convert_project",
+    oracle="""
+    SELECT event_id,
+           ROUND(value * 9 / 5 + 32, 4)                            AS value_f,
+           strftime(ts, '%Y-%m-%d')                                AS day,
+           TRY_CAST(props AS DOUBLE)                               AS props_num,
+           TRY_CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT) AS k_val
+    FROM events
+    WHERE event_type = 'view'
+    """,
+    tags=("project", "P1", "P2", "P4"),
+)
+def unit_convert_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar projections: C→F conversion as a native expression (reference
+    P1 `data_processor.py:6-8` — no UDF), timestamp→day truncation (P2),
+    string→numeric with null-on-error via try_cast (P4 `errors='coerce'`),
+    and regex field extraction."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    return e.select(
+        "event_id",
+        r4(F.col("value") * 9 / 5 + 32).alias("value_f"),
+        iso_day("ts").alias("day"),
+        F.expr("try_cast(props as double)").alias("props_num"),
+        F.expr(r"""try_cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint)""").alias("k_val"),
+    )
+
+
+@register(
+    "bin_quantity_case",
+    oracle="""
+    SELECT CASE WHEN l_quantity >= 40 THEN '40+'
+                WHEN l_quantity >= 30 THEN '30-40'
+                WHEN l_quantity >= 20 THEN '20-30'
+                WHEN l_quantity >= 10 THEN '10-20'
+                ELSE NULL END AS qty_bin,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("project", "P10", "binning"),
+)
+def bin_quantity_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-closed binning with out-of-range → null (reference P10
+    `analysis.py:47-54`, pd.cut right=False semantics): values below the
+    lowest edge fall out as a NULL bucket, preserved by the group-by."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    qty_bin = (
+        F.when(q >= 40, "40+")
+        .when(q >= 30, "30-40")
+        .when(q >= 20, "20-30")
+        .when(q >= 10, "10-20")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return li.groupBy(qty_bin.alias("qty_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+    )
+
+
+@register(
+    "scalar_stats",
+    oracle="""
+    SELECT strftime(MIN(ts), '%Y-%m-%d')        AS min_day,
+           strftime(MAX(ts), '%Y-%m-%d')        AS max_day,
+           ROUND(AVG(value), 4)                 AS avg_value,
+           ROUND(MEDIAN(value), 4)              AS median_value,
+           ROUND(MIN(value), 2)                 AS min_value,
+           ROUND(MAX(value), 2)                 AS max_value,
+           COUNT(*)                             AS n
+    FROM events
+    """,
+    tags=("agg", "A10", "median"),
+)
+def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar min/max/mean/exact-median report (reference A10 — date bounds
+    `app.py:414-415`, median split `app.py:623`). Exact percentile (not
+    approx) for oracle parity per SURVEY §7.3."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        iso_day(F.min("ts")).alias("min_day"),
+        iso_day(F.max("ts")).alias("max_day"),
+        r4(F.avg("value")).alias("avg_value"),
+        r4(F.expr("percentile(value, 0.5)")).alias("median_value"),
+        r2(F.min("value")).alias("min_value"),
+        r2(F.max("value")).alias("max_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -1,0 +1,122 @@
+"""Pivot / resample corpus (reference A1, A2, A6).
+
+The reference's EAV→wide pivot (`data_processor.py:48`), hourly→daily
+resample (`data_processor.py:79`) and 2-D heatmap pivot (`analysis.py:59`)
+all become ``groupBy(...).pivot(key, explicit_values)`` — passing the value
+list avoids the extra distinct-collection job and keeps the column set
+stable for the oracle (the DuckDB twin uses FILTER aggregates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+DAY_ORDER = ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
+
+
+@register(
+    "pivot_eav",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'click'), 4)    AS click,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'error'), 4)    AS error,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'purchase'), 4) AS purchase,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'signup'), 4)   AS signup,
+           ROUND(AVG(value) FILTER (WHERE event_type = 'view'), 4)     AS view
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("pivot", "A1"),
+)
+def pivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EAV long→wide pivot with mean resolving duplicate (key, attr) pairs
+    (reference A1 `data_processor.py:48` groupby.mean().unstack())."""
+    e = load(spark, sf_dir, "events")
+    piv = (
+        e.groupBy(iso_day("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.avg("value"))
+    )
+    return piv.select("day", *[r4(F.col(t)).alias(t) for t in EVENT_TYPES])
+
+
+@register(
+    "resample_hourly_daily",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           ROUND(SUM(value), 2) AS daily_total,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "A2", "resample"),
+)
+def resample_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time resample fine→daily grain (reference A2 `data_processor.py:79`
+    resample('D').sum()): plain date-truncated groupBy — partial aggregation
+    makes this one map-side combine + small shuffle at any scale."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("user_id", iso_day("ts").alias("day")).agg(
+        r2(F.sum("value")).alias("daily_total"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "heatmap_pivot",
+    oracle="""
+    WITH binned AS (
+      SELECT CASE WHEN l_quantity >= 40 THEN '40+'
+                  WHEN l_quantity >= 30 THEN '30-40'
+                  WHEN l_quantity >= 20 THEN '20-30'
+                  WHEN l_quantity >= 10 THEN '10-20'
+                  ELSE '<10' END AS qty_bin,
+             dayname(l_shipdate) AS dow,
+             l_extendedprice AS price
+      FROM lineitem
+    )
+    SELECT qty_bin,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Monday'), 0), 4)    AS Monday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Tuesday'), 0), 4)   AS Tuesday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Wednesday'), 0), 4) AS Wednesday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Thursday'), 0), 4)  AS Thursday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Friday'), 0), 4)    AS Friday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Saturday'), 0), 4)  AS Saturday,
+           ROUND(COALESCE(AVG(price) FILTER (WHERE dow = 'Sunday'), 0), 4)    AS Sunday
+    FROM binned
+    GROUP BY qty_bin
+    """,
+    tags=("pivot", "A6", "P10", "P8"),
+)
+def heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D heatmap pivot: measure-bin × day-of-week, mean cell, empty cells
+    filled 0 (reference A6 `analysis.py:59` unstack(fill_value=0),
+    observed=False). Explicit pivot values keep all 7 weekday columns even
+    if a weekday is absent in the slice."""
+    li = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    qty_bin = (
+        F.when(q >= 40, "40+")
+        .when(q >= 30, "30-40")
+        .when(q >= 20, "20-30")
+        .when(q >= 10, "10-20")
+        .otherwise("<10")
+    )
+    piv = (
+        li.select(
+            qty_bin.alias("qty_bin"),
+            F.date_format("l_shipdate", "EEEE").alias("dow"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .groupBy("qty_bin")
+        .pivot("dow", list(DAY_ORDER))
+        .agg(F.avg("price"))
+    )
+    return piv.select(
+        "qty_bin", *[r4(F.coalesce(F.col(d), F.lit(0.0))).alias(d) for d in DAY_ORDER]
+    )

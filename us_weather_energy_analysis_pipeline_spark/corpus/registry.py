@@ -1,0 +1,110 @@
+"""Query-corpus registry: named Spark queries + their DuckDB oracle SQL.
+
+Each entry is the driver contract unit (``/root/repo/__spark_entry__.py``):
+a callable ``(spark, sf_dir) -> DataFrame`` plus (when SQL-expressible) an
+ANSI-SQL twin DuckDB runs on the same parquet tables. Column names are aliased
+identically on both sides; date/timestamp group keys are emitted as ISO strings
+and floating aggregates are rounded on BOTH sides so the driver's
+order-insensitive value hash matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one corpus table. Parquet scan → pushdown + pruning come free.
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects outright; read the raw int64 nanos via the
+    legacy conf and truncate to micros in-plan (integer ``div`` — never a
+    double division, which would lose precision above 2^53). DuckDB performs
+    the same nanos→micros truncation natively, so the two engines agree.
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            from pyspark.sql import functions as F
+
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+@dataclass
+class QueryDef:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+):
+    """Decorator registering a corpus query under ``name``."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QueryDef(
+            name=name, spark_fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: q.spark_fn for name, q in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    _ensure_loaded()
+    return {name: q.oracle for name, q in REGISTRY.items() if q.oracle is not None}
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import all corpus modules (each registers its queries on import)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from us_weather_energy_analysis_pipeline_spark.corpus import (  # noqa: F401
+        core,
+        windows,
+        pivot_q,
+        quality_q,
+        stats_q,
+        spine_q,
+        text_q,
+        dedup_q,
+        similarity_q,
+    )
+
+    _LOADED = True

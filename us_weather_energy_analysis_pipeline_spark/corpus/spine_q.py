@@ -1,0 +1,112 @@
+"""Date-spine corpus: calendar completion and missing-day detection.
+
+The reference completes each city's daily calendar with
+``set_index('date').reindex(all_dates)`` (reference ``data_processor.py:10-22``)
+— a left outer join from a generated date spine (SURVEY.md J4) — and warns on
+missing days via a set difference (J5, ``pipeline.py:42-45``). Both are
+expressed fully in-plan here: the spine is ``sequence()``+``explode`` over
+bounds computed by an aggregate subquery — no driver-side collect, so the
+pattern survives any data range at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+
+def day_spine(df: DataFrame, ts_col: str) -> DataFrame:
+    """Generate the complete daily calendar spanning df's [min, max] of
+    ``ts_col`` — one row per day, column ``day`` (DateType).
+
+    Bounds come from a single-row aggregate; ``sequence`` + ``explode``
+    generates the days inside the plan (the single-row cross join is free).
+    """
+    bounds = df.agg(
+        F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+
+
+@register(
+    "date_spine_completion",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             SUM(value) AS total, COUNT(*) AS n
+      FROM events WHERE event_type IN ('purchase', 'signup') GROUP BY 1, 2
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day, t.event_type,
+           ROUND(d.total, 2) AS total, d.n AS n
+    FROM spine s
+    CROSS JOIN (SELECT event_type FROM types WHERE event_type IN ('purchase','signup')) t
+    LEFT JOIN daily d ON d.day = s.day AND d.event_type = t.event_type
+    """,
+    tags=("join", "spine", "J4"),
+)
+def date_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar completion (reference J4 `data_processor.py:10-22`): generated
+    day spine × key dimension, LEFT JOIN facts — unmatched days surface as
+    null-measure rows exactly like pandas reindex."""
+    e = load(spark, sf_dir, "events")
+    sub = e.filter(F.col("event_type").isin("purchase", "signup"))
+    spine = day_spine(e, "ts")
+    types = sub.select("event_type").distinct()
+    daily = sub.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
+    )
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            iso_day("day").alias("day"),
+            "event_type",
+            r2(F.col("total")).alias("total"),
+            F.col("n"),
+        )
+    )
+
+
+@register(
+    "missing_days_anti",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    present AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
+    FROM spine s LEFT JOIN present p ON s.day = p.day
+    WHERE p.day IS NULL
+    """,
+    tags=("join", "anti", "J5"),
+)
+def missing_days_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-day detection as a left-anti join spine∖facts (reference J5
+    `pipeline.py:42-45` set difference of expected vs observed days)."""
+    e = load(spark, sf_dir, "events")
+    spine = day_spine(e, "ts")
+    present = (
+        e.filter(F.col("event_type") == "error")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    return spine.join(present, "day", "left_anti").select(
+        iso_day("day").alias("missing_day")
+    )

@@ -1,0 +1,152 @@
+"""Statistics corpus: correlation + closed-form OLS with CI (reference A12/A13).
+
+The reference uses scipy.linregress + statsmodels OLS (`analysis.py:6-39`).
+Here the regression is pure aggregates — slope = cov/var, R² = corr², CI of
+the mean prediction from (n, x̄, Sxx, MSE) — so the whole fit is ONE
+distributed aggregation pass and stays SQL-expressible (SURVEY §2.5 A13
+mapping decision: no MLlib, no UDF).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+# Two-sided 97.5% normal quantile. The reference's statsmodels CI uses the
+# t-distribution (alpha=0.05, `analysis.py:33`); at the row counts this
+# engine targets, t_{n-2} ≈ N(0,1). Pinned as a constant so the computation
+# stays a pure aggregate (no scipy dependency).
+T_CRIT = 1.959964
+
+
+@register(
+    "corr_pearson",
+    oracle="""
+    SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(corr(l_discount, l_tax), 6)           AS corr_disc_tax,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+    tags=("stats", "A12"),
+)
+def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation as a native aggregate (reference A12
+    `analysis.py:17-21`)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.agg(
+        r6(F.corr("l_quantity", "l_extendedprice")).alias("corr_qty_price"),
+        r6(F.corr("l_discount", "l_tax")).alias("corr_disc_tax"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ols_closed_form",
+    oracle="""
+    SELECT ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r_squared,
+           ROUND(corr(l_quantity, l_extendedprice), 6)           AS r_value,
+           COUNT(*) AS n
+    FROM lineitem
+    """,
+    tags=("stats", "A13"),
+)
+def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS slope/intercept/R² closed-form from covariance aggregates
+    (reference A13 `analysis.py:17-19` scipy.linregress → cov/var identity).
+    One aggregation pass; the DuckDB oracle uses its native regr_* family —
+    numerically the same estimator."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.agg(
+        F.covar_samp(x, y).alias("sxy"),
+        F.var_samp(x).alias("sxx"),
+        F.avg(x).alias("xbar"),
+        F.avg(y).alias("ybar"),
+        F.corr(x, y).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return agg.select(
+        r6(slope).alias("slope"),
+        r6(F.col("ybar") - slope * F.col("xbar")).alias("intercept"),
+        r6(F.col("r") * F.col("r")).alias("r_squared"),
+        r6(F.col("r")).alias("r_value"),
+        F.col("n"),
+    )
+
+
+@register(
+    "ols_ci_frame",
+    oracle=f"""
+    WITH fit AS (
+      SELECT regr_slope(l_extendedprice, l_quantity)     AS slope,
+             regr_intercept(l_extendedprice, l_quantity) AS intercept,
+             regr_avgx(l_extendedprice, l_quantity)      AS xbar,
+             regr_sxx(l_extendedprice, l_quantity)       AS sxx,
+             COUNT(*)                                    AS n,
+             (regr_syy(l_extendedprice, l_quantity)
+              - POW(regr_sxy(l_extendedprice, l_quantity), 2)
+                / regr_sxx(l_extendedprice, l_quantity))
+             / (COUNT(*) - 2)                            AS mse
+      FROM lineitem
+    ),
+    pts AS (SELECT UNNEST([10.0, 20.0, 30.0, 40.0, 50.0]) AS x0)
+    SELECT pts.x0,
+           ROUND(fit.intercept + fit.slope * pts.x0, 4) AS y_hat,
+           ROUND(fit.intercept + fit.slope * pts.x0
+                 - {T_CRIT} * SQRT(fit.mse * (1.0 / fit.n + POW(pts.x0 - fit.xbar, 2) / fit.sxx)), 4)
+             AS ci_lower,
+           ROUND(fit.intercept + fit.slope * pts.x0
+                 + {T_CRIT} * SQRT(fit.mse * (1.0 / fit.n + POW(pts.x0 - fit.xbar, 2) / fit.sxx)), 4)
+             AS ci_upper
+    FROM pts CROSS JOIN fit
+    """,
+    tags=("stats", "A13", "ci"),
+)
+def ols_ci_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-prediction confidence band (reference A13 `analysis.py:24-37`
+    statsmodels get_prediction summary_frame): ŷ ± t·√(MSE·(1/n + (x₀−x̄)²/Sxx)),
+    computed from ONE aggregation pass joined to a literal evaluation grid."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    nm1 = F.count(F.lit(1)) - 1
+    fit = li.agg(
+        F.covar_samp(x, y).alias("sxy_n"),
+        F.var_samp(x).alias("sxx_n"),
+        F.var_samp(y).alias("syy_n"),
+        F.avg(x).alias("xbar"),
+        F.avg(y).alias("ybar"),
+        F.count(F.lit(1)).alias("n"),
+    ).select(
+        (F.col("sxy_n") / F.col("sxx_n")).alias("slope"),
+        F.col("xbar"),
+        F.col("ybar"),
+        F.col("n"),
+        (F.col("sxx_n") * (F.col("n") - 1)).alias("sxx"),
+        # SSE = Syy - Sxy^2/Sxx, all sample-scaled by (n-1) consistently
+        (
+            (F.col("syy_n") - F.col("sxy_n") * F.col("sxy_n") / F.col("sxx_n"))
+            * (F.col("n") - 1)
+            / (F.col("n") - 2)
+        ).alias("mse"),
+    )
+    pts = spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in [10.0, 20.0, 30.0, 40.0, 50.0]])).alias("x0")
+    )
+    j = pts.crossJoin(F.broadcast(fit))
+    y_hat = (F.col("ybar") - F.col("slope") * F.col("xbar")) + F.col("slope") * F.col("x0")
+    se = F.sqrt(
+        F.col("mse")
+        * (1.0 / F.col("n") + F.pow(F.col("x0") - F.col("xbar"), 2) / F.col("sxx"))
+    )
+    return j.select(
+        F.col("x0"),
+        r4(y_hat).alias("y_hat"),
+        r4(y_hat - T_CRIT * se).alias("ci_lower"),
+        r4(y_hat + T_CRIT * se).alias("ci_upper"),
+    )

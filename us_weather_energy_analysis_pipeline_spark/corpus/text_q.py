@@ -1,0 +1,159 @@
+"""Text-analysis corpus over ``documents`` — training-data-pipeline ops.
+
+Everything stays in native Column expressions (split / regexp / md5 — all
+JVM-side, whole-stage-codegen-friendly); no Python UDFs in the hot path.
+At 100 TB these are embarrassingly parallel scans: no shuffle at all except
+the final aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+# Tiny function-word inventory for the ratio heuristics; fixed and public.
+STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+
+
+@register(
+    "text_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' '))              AS n_tokens_ws,
+           len(regexp_extract_all(text, '[a-z]+'))   AS n_words_alpha,
+           length(text)                              AS n_chars_measured,
+           n_chars                                   AS n_chars_meta
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and regex word tokens
+    (the BPE-ish pre-tokenization pass of a training pipeline)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit("[a-z]+")).alias("n_words_alpha"),
+        F.length("text").alias("n_chars_measured"),
+        F.col("n_chars").alias("n_chars_meta"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(text)))                            AS fp_full,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+                                                             AS fp_bag,
+           length(text)                                      AS n_chars
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: exact content hash plus an order-insensitive
+    bag-of-words hash (sorted distinct tokens) — the cheap first pass of a
+    dedup cascade."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    bag = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_full"),
+        F.md5(bag).alias("fp_bag"),
+        F.length("text").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             length(text) AS n_chars,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
+               AS n_stop,
+             len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens,
+           ROUND(CAST(n_stop AS DOUBLE) / n_tokens, 4)   AS stopword_ratio,
+           ROUND(CAST(n_punct AS DOUBLE) / n_chars, 4)   AS punct_ratio,
+           ROUND(CAST(n_chars AS DOUBLE) / n_tokens, 4)  AS avg_token_len,
+           CASE WHEN n_tokens >= 20
+                 AND CAST(n_stop AS DOUBLE) / n_tokens BETWEEN 0.01 AND 0.6
+                 AND CAST(n_punct AS DOUBLE) / n_chars < 0.1
+                THEN 1 ELSE 0 END AS keep_flag
+    FROM feat
+    """,
+    tags=("text", "quality"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality scoring (length / stopword / punctuation
+    ratios) with a keep/drop flag — the standard pre-training corpus filter,
+    as a pure columnar expression."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_tok = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    n_punct = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
+    n_chars = F.length("text")
+    stop_ratio = n_stop.cast("double") / n_tok
+    punct_ratio = n_punct.cast("double") / n_chars
+    return d.select(
+        "doc_id",
+        "lang",
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        r4(stop_ratio).alias("stopword_ratio"),
+        r4(punct_ratio).alias("punct_ratio"),
+        r4(n_chars.cast("double") / n_tok).alias("avg_token_len"),
+        F.when(
+            (n_tok >= 20) & stop_ratio.between(0.01, 0.6) & (punct_ratio < 0.1), 1
+        )
+        .otherwise(0)
+        .alias("keep_flag"),
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, lang,
+             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(trim(text)), ' '),
+                 t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
+               AS n_en
+      FROM documents
+    )
+    SELECT doc_id, lang AS lang_meta,
+           CASE WHEN CAST(n_en AS DOUBLE) / n_tokens >= 0.08 THEN 'en'
+                ELSE 'other' END AS lang_pred
+    FROM feat
+    """,
+    tags=("text", "langid"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-word-ratio language-ID heuristic (n-gram-style LID): the
+    standard fast LID signal, expressed as an aggregate-free column plan.
+    On the synthetic corpus it demonstrates the machinery (deterministic
+    Spark↔oracle agreement), not real LID accuracy."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_tok = F.size(toks)
+    n_en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_meta"),
+        F.when(n_en.cast("double") / n_tok >= 0.08, "en")
+        .otherwise("other")
+        .alias("lang_pred"),
+    )

@@ -1,0 +1,172 @@
+"""Window-function corpus: last-per-group, keep-first dedup, lag/diff/pct.
+
+The reference's pandas idioms (sort+groupby-last, drop_duplicates keep-first,
+diff, prev-day join) all become Spark window functions over
+``Window.partitionBy(key).orderBy(time)`` — one shuffle per partitioning,
+reused across frame computations (SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+
+def iso_ts(col) -> Column:
+    return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+
+
+@register(
+    "last_per_group",
+    oracle="""
+    SELECT user_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+           event_type AS last_type,
+           ROUND(value, 2) AS last_value
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tags=("window", "A4"),
+)
+def last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key (reference A4 `app.py:599`,
+    sort_values+groupby.last). row_number over a desc-ordered window with a
+    deterministic event_id tie-break; at scale this is one shuffle on
+    user_id, no join."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            iso_ts("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            r2(F.col("value")).alias("last_value"),
+        )
+    )
+
+
+@register(
+    "dedup_keep_first",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day, event_id, event_type
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id, strftime(ts, '%Y-%m-%d')
+        ORDER BY ts ASC, event_id ASC) = 1
+    """,
+    tags=("window", "dedup", "O3"),
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-dedup keeping the first row in a deterministic order (reference
+    O3 `data_processor.py:16` drop_duplicates keep='first'; tie-break made
+    explicit per SURVEY §7.3 — raw-API order becomes (ts, event_id))."""
+    e = load(spark, sf_dir, "events")
+    day = iso_day("ts")
+    w = Window.partitionBy("user_id", day).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", day.alias("day"), "event_id", "event_type")
+    )
+
+
+@register(
+    "lag_diff_pct",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             SUM(value) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(total, 2) AS total,
+           ROUND(total - LAG(total) OVER (PARTITION BY event_type ORDER BY day), 2) AS diff,
+           CASE WHEN LAG(total) OVER (PARTITION BY event_type ORDER BY day) > 0
+                THEN ROUND((total - LAG(total) OVER (PARTITION BY event_type ORDER BY day))
+                           / LAG(total) OVER (PARTITION BY event_type ORDER BY day) * 100, 4)
+                ELSE 0 END AS pct_change
+    FROM daily
+    """,
+    tags=("window", "P14", "P15", "J3"),
+)
+def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prev-period lookup via lag — subsumes the reference's prev-day join
+    (J3 `app.py:605`), first-order differencing (P15 `app.py:714-716`) and
+    guarded percent-change (P14 `app.py:610-613`) in one window pass."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", iso_day("ts").alias("day")).agg(
+        F.sum("value").alias("total")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("total").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        r2(F.col("total")).alias("total"),
+        r2(F.col("total") - prev).alias("diff"),
+        F.when(prev > 0, r4((F.col("total") - prev) / prev * 100))
+        .otherwise(F.lit(0.0))
+        .alias("pct_change"),
+    )
+
+
+@register(
+    "moving_avg_7d",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, SUM(l_extendedprice) AS total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT day, ROUND(total, 2) AS total,
+           ROUND(AVG(total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
+             AS ma7
+    FROM daily
+    """,
+    tags=("window", "frame", "timeseries"),
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-row trailing moving average over the daily series — explicit rows
+    frame (the only frame spec family the reference needs, SURVEY §2.8,
+    extended to a bounded trailing window)."""
+    li = load(spark, sf_dir, "lineitem")
+    daily = li.groupBy(iso_day("l_shipdate").alias("day")).agg(
+        F.sum("l_extendedprice").alias("total")
+    )
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    return daily.select(
+        "day",
+        r2(F.col("total")).alias("total"),
+        r4(F.avg("total").over(w)).alias("ma7"),
+    )
+
+
+@register(
+    "weekday_profile",
+    oracle="""
+    SELECT dayname(l_shipdate) AS day_of_week,
+           CASE WHEN dayofweek(l_shipdate) = 6 THEN 1 ELSE 0 END AS is_saturday,
+           COUNT(*) AS n,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY 1, 2
+    """,
+    tags=("project", "P8", "P9"),
+)
+def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week naming + Saturday predicate (reference P8 `analysis.py:55`,
+    P9 `app.py:739`). Convention trap handled deliberately: pandas dayofweek
+    Monday=0/Saturday=5, Spark dayofweek Sunday=1/Saturday=7, DuckDB
+    dayofweek Sunday=0/Saturday=6 (SURVEY §7.3)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.date_format("l_shipdate", "EEEE").alias("day_of_week"),
+            F.when(F.dayofweek("l_shipdate") == 7, 1).otherwise(0).alias("is_saturday"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("l_quantity")).alias("avg_qty"))
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-minded defaults.
+
+The reference executes eagerly in single-process pandas (reference
+``src/pipeline.py:11-111``); here every plan is lazy and Catalyst-optimized.
+Defaults below are chosen for the 100 TB posture while remaining correct on
+``local[*]``:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- modest ``shuffle.partitions`` for local runs — on a real cluster this is
+  overridden by AQE's coalescing from the initial number;
+- Arrow enabled so any Pandas-UDF escape hatch is batched, never per-row;
+- session timezone pinned UTC so date truncation is deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF: dict[str, str] = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.session.timeZone": "UTC",
+    # At 100 TB the autoBroadcastJoinThreshold default (10m) is kept: dimension
+    # tables (region/nation/city) stay broadcast; fact-fact joins go sort-merge.
+    "spark.sql.shuffle.partitions": "32",
+    "spark.sql.files.maxPartitionBytes": "134217728",
+    "spark.ui.showConsoleProgress": "false",
+}
+
+
+def get_spark(
+    app_name: str = "us-weather-energy-analysis-spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or get) a SparkSession with the engine defaults.
+
+    ``master`` resolution: explicit arg > $SPARK_GRAFT_MASTER >
+    ``local[$SPARK_GRAFT_CPUS]`` > ``local[*]``.
+    """
+    if master is None:
+        master = os.environ.get("SPARK_GRAFT_MASTER")
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
