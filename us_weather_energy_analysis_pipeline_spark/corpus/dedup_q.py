@@ -113,3 +113,132 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
+    """DuckDB twin of operators.dedup.minhash_near_dups — same md5-based
+    signature construction, so digests agree bit-for-bit."""
+    rows = k // bands
+    band_exprs = ", ".join(
+        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - {shingle_k} + 1)) AS g(i)
+      WHERE len(t) >= {shingle_k}
+    ),
+    perseed AS (
+      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS minh
+      FROM shingles, UNNEST(generate_series(0, {k - 1})) AS s(seed)
+      GROUP BY doc_id, seed
+    ),
+    sig AS (
+      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM perseed GROUP BY doc_id
+    ),
+    banded AS (
+      SELECT doc_id, u.band, [{band_exprs}][u.band + 1] AS digest
+      FROM sig, UNNEST(generate_series(0, {bands - 1})) AS u(band)
+    ),
+    cands AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / {k}.0, 4)
+               AS est_jaccard
+      FROM perseed a JOIN perseed b
+        ON a.seed = b.seed AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands, e.est_jaccard
+    FROM cands c JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates (shingle→minhash→band→bucket-join,
+    operators/dedup.py): all bucket-local candidate pairs with their
+    signature-agreement Jaccard estimate. The O(n²) pair space never
+    materializes — the only pair-producing join is on (band, digest)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    out = minhash_near_dups(d, threshold=0.0)
+    return out.select("doc_a", "doc_b", "n_shared_bands", r4(F.col("est_jaccard")).alias("est_jaccard"))
+
+
+def _simhash_sql_core() -> str:
+    """Shared CTE text computing (doc_id, simhash) in DuckDB — identical
+    bit-vote arithmetic to operators.dedup.simhash32."""
+    vote_exprs = ",\n             ".join(
+        f"SUM(2 * ((strpos('0123456789abcdef', substr(h, {p // 4 + 1}, 1)) - 1 >> {p % 4}) & 1) - 1) AS s{p}"
+        for p in range(32)
+    )
+    fp = " + ".join(f"(CASE WHEN s{p} >= 0 THEN {2**p} ELSE 0 END)" for p in range(32))
+    return f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+    ),
+    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    votes AS (
+      SELECT doc_id,
+             {vote_exprs}
+      FROM hashed GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes)
+    """
+
+
+@register(
+    "dedup_simhash",
+    oracle="WITH " + _simhash_sql_core() + """
+    SELECT doc_id, simhash FROM sh
+    """,
+    tags=("dedup", "simhash"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (operators/dedup.py simhash32): token
+    md5 bit votes → sign → fingerprint. One explode + one groupBy."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import simhash32
+
+    return simhash32(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash_pairs",
+    oracle="WITH " + _simhash_sql_core() + """,
+    banded AS (
+      SELECT doc_id, simhash, u.band, (simhash >> (8 * u.band)) & 255 AS chunk
+      FROM sh, UNNEST(generate_series(0, 3)) AS u(band)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+    """,
+    tags=("dedup", "simhash", "pairs"),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-banded bucket join (any equal byte
+    quarter → candidate) then exact Hamming ≤ 6 via bit_count(xor)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)

@@ -1,0 +1,132 @@
+"""Multimodal + sessionization corpus entries.
+
+``multimodal_fake_decode`` is the notable one: the result comes from a
+REAL mapInPandas (Arrow-batched Python decode plumbing), and the DuckDB
+oracle recomputes the same md5-derived values in pure SQL — so the UDF
+path gets a full value-hash correctness check, not just a rows-only pass.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+# value of the i..i+3 (1-based) hex digits of md5(text) as an int, in DuckDB
+_HEX = "0123456789abcdef"
+
+
+def _hex4(start: int) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr(h, {start + i}, 1)) - 1) * {16 ** (3 - i)}"
+        for i in range(4)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _hex2(start: int) -> str:
+    terms = [
+        f"(strpos('{_HEX}', substr(h, {start + i}, 1)) - 1) * {16 ** (1 - i)}"
+        for i in range(2)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "multimodal_blob_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           md5(text)                        AS payload_md5,
+           'application/octet-stream'       AS mime
+    FROM documents
+    """,
+    tags=("multimodal", "binary"),
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque-binary column handling: build the blob table (payload =
+    utf8 bytes) and compute metadata natively on the binary column —
+    no Python touches the bytes."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    return blobs.select(
+        "doc_id",
+        F.col("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        "mime",
+    )
+
+
+@register(
+    "multimodal_fake_decode",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+                      md5(text) AS h FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(64 + {_hex4(1)} % 960 AS INTEGER)  AS width,
+           CAST(64 + {_hex4(5)} % 960 AS INTEGER)  AS height,
+           CAST(1 + {_hex2(9)} % 30 AS INTEGER)    AS n_frames
+    FROM h
+    """,
+    tags=("multimodal", "pandas-udf", "mapInPandas"),
+)
+def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode plumbing with a deterministic fake
+    decoder (md5-derived dimensions) — the oracle recomputes the identical
+    values in SQL, fully checking the Python-UDF path end-to-end."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        fake_decode_meta,
+        to_blob_table,
+    )
+
+    blobs = to_blob_table(load(spark, sf_dir, "documents"))
+    return fake_decode_meta(blobs)
+
+
+@register(
+    "sessionize_gap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    tagged AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                       ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_last_event,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS total_value
+    FROM tagged GROUP BY user_id, session_no
+    """,
+    tags=("streaming", "session_window", "stateful"),
+)
+def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization with the native session_window operator
+    (streaming/jobs.py) — the oracle derives identical sessions with the
+    lag + cumulative-sum construction. Works unchanged on a stream."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r2
+    from us_weather_energy_analysis_pipeline_spark.streaming.jobs import sessionize
+
+    e = load(spark, sf_dir, "events")
+    s = sessionize(e, "ts", ("user_id",), "value", "30 minutes")
+    return s.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        F.date_format("session_last_event", "yyyy-MM-dd HH:mm:ss").alias(
+            "session_last_event"
+        ),
+        "n_events",
+        r2(F.col("total_value")).alias("total_value"),
+    )

@@ -105,6 +105,7 @@ def _ensure_loaded() -> None:
         text_q,
         dedup_q,
         similarity_q,
+        mm_stream_q,
     )
 
     _LOADED = True

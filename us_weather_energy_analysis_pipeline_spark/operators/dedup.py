@@ -1,0 +1,195 @@
+"""Near-duplicate detection operators: MinHash+LSH and SimHash.
+
+Scale design: both families exist to avoid the O(n²) pair space.
+
+- MinHash+LSH: per-doc signature (k mins over shingle hashes) → band
+  digests → ONE shuffle on (band, digest); only bucket-local pairs
+  materialize. Est. Jaccard from signature agreement verifies candidates
+  without touching the original text.
+- SimHash: 32-bit fingerprint per doc from token-hash bit votes → band on
+  byte quarters → bucket-local pairs → exact Hamming distance via
+  bit_count(xor).
+
+Hashing is md5-over-strings on BOTH engines (same digests in Spark and
+DuckDB), so every stage is oracle-checkable — no JVM-private hash
+functions in the contract path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MINHASH_K = 12
+LSH_BANDS = 4  # 4 bands × 3 rows
+SIMHASH_BITS = 32
+
+HEX = "0123456789abcdef"
+
+
+def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — k-word shingles of lowercased text."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
+    idx = F.sequence(F.lit(0), F.size("t") - k)
+    shingles = F.transform(idx, lambda i: F.array_join(F.slice("t", i + 1, k), " "))
+    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """Per-doc MinHash signature: sig[s] = min(md5(s || ':' || shingle)).
+
+    One narrow explode (k seed copies) + one groupBy(doc) — the signature
+    build is a single shuffle on doc_id regardless of corpus size.
+    Returns (doc_id, sig array<string> ordered by seed).
+    """
+    seeds = F.sequence(F.lit(0), F.lit(k - 1))
+    per_seed = shingles.select(
+        "doc_id",
+        F.explode(seeds).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return (
+        per_seed.groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minh"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("s"))
+        .select("doc_id", F.col("s.minh").alias("sig"))
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band digest.
+
+    The ONLY join is on (band, digest) — the O(n²) pair space never forms.
+    Returns (doc_a, doc_b, n_shared_bands).
+    """
+    rows = k // bands
+    band_digest = [
+        F.md5(
+            F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
+        ).alias("digest")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_digest)).alias("band", "digest"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared_bands"))
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    bands: int = LSH_BANDS,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash/LSH near-dup pipeline: candidates via banding, then
+    estimated Jaccard = fraction of agreeing signature positions; keep
+    pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard)."""
+    sig = minhash_signatures(word_shingles(df, text_col), k)
+    cands = lsh_candidate_pairs(sig, bands, k)
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sa.sig", "sb.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / k
+    )
+    return (
+        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared_bands", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def _hex_digit_val(h: Column, pos: int) -> Column:
+    """Value 0-15 of the pos-th (1-based) hex char — instr arithmetic kept
+    identical to the DuckDB oracle's strpos construction."""
+    return F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1
+
+
+def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """32-bit SimHash per doc: per-token md5 → first 8 hex digits → 32 bits;
+    each bit votes ±1 weighted by token occurrence; sign of the vote sum
+    sets the fingerprint bit. Returns (doc_id, simhash bigint).
+
+    One explode + one groupBy(doc_id): the 32 bit-votes are columns of the
+    same aggregation, not 32 passes.
+    """
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
+    per_tok = df.select("doc_id", toks).select(
+        "doc_id", F.md5(F.col("tok")).alias("h")
+    )
+    # bit p lives in hex digit p//4 (1-based pos), bit index p%4
+    votes = [
+        (2 * ((_hex_digit_val(F.col("h"), p // 4 + 1) / (2 ** (p % 4))).cast("int") % 2) - 1).alias(
+            f"v{p}"
+        )
+        for p in range(SIMHASH_BITS)
+    ]
+    voted = per_tok.select("doc_id", *votes)
+    sums = voted.groupBy("doc_id").agg(
+        *[F.sum(f"v{p}").alias(f"s{p}") for p in range(SIMHASH_BITS)]
+    )
+    fingerprint = sum(
+        F.when(F.col(f"s{p}") >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        for p in range(SIMHASH_BITS)
+    )
+    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+
+
+def simhash_near_dups(
+    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes,
+    join bucket-locally on any equal byte, then exact Hamming distance via
+    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
+    sh = simhash32(df, text_col)
+    bytes_ = [
+        (F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))).alias("chunk")
+        for b in range(4)
+    ]
+    banded = sh.select(
+        "doc_id", "simhash", F.posexplode(F.array(*bytes_)).alias("band", "chunk")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

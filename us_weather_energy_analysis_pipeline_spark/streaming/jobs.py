@@ -1,0 +1,116 @@
+"""Structured Streaming jobs (SURVEY §2.8: the reference's "realtime" mode
+is a yesterday-only batch rerun — here it becomes a real incremental
+stream over the raw landing zone).
+
+- ``stream_daily_rollup``: file source → 1-day tumbling window with a
+  watermark for late data — the streaming twin of operators/resample.
+- ``sessionize``: native ``session_window`` (gap-based), usable in both
+  batch and streaming plans.
+- ``stateful_running_total``: applyInPandasWithState — the escape hatch
+  for custom stateful semantics the built-ins can't express.
+
+Tests drive these with ``trigger(availableNow=True)`` against temp dirs —
+the same code runs continuously on a real cluster.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_daily_rollup(
+    spark: SparkSession,
+    input_path: str,
+    schema: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    keys: tuple[str, ...] = ("city",),
+    watermark: str = "1 day",
+) -> DataFrame:
+    """readStream(parquet dir) → watermark → 1-day tumbling window sum
+    (reference A2 as a stream; late rows beyond the watermark are dropped
+    deterministically instead of silently mutating history)."""
+    src = spark.readStream.schema(schema).parquet(input_path)
+    return (
+        src.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, "1 day").alias("w"), *keys)
+        .agg(
+            F.sum(value_col).alias("daily_total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(F.col("w.start").alias("day_start"), *keys, "daily_total", "n_rows")
+    )
+
+
+def run_available_now(sdf: DataFrame, query_name: str, checkpoint: str) -> None:
+    """Drain all available input into an in-memory sink and stop — the
+    batch-like test/backfill trigger; continuous mode is the same plan."""
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete" if sdf.isStreaming else "append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple[str, ...] = ("user_id",),
+    value_col: str = "value",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based sessionization with the NATIVE session_window operator —
+    works identically on batch and streaming inputs; state management,
+    merging and watermark eviction are Spark's problem, not ours."""
+    return (
+        df.groupBy(*key_cols, F.session_window(ts_col, gap).alias("sw"))
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_last_event"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("total_value"),
+        )
+        .select(*key_cols, "session_start", "session_last_event", "n_events", "total_value")
+    )
+
+
+RUNNING_TOTAL_SCHEMA = "user_id bigint, ts timestamp, running_total double"
+_STATE_SCHEMA = "total double"
+
+
+def _running_total_fn(
+    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (total,) = state.get if state.exists else (0.0,)
+    for pdf in pdfs:
+        pdf = pdf.sort_values("ts")
+        csum = pdf["value"].cumsum() + total
+        total = float(csum.iloc[-1]) if len(csum) else total
+        yield pd.DataFrame(
+            {"user_id": pdf["user_id"], "ts": pdf["ts"], "running_total": csum}
+        )
+    state.update((total,))
+
+
+def stateful_running_total(df: DataFrame) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running total that persists across micro-batches. This is the pattern
+    for semantics session_window/window can't express (decayed counters,
+    custom eviction); on batch inputs use a window cumsum instead."""
+    return df.groupBy("user_id").applyInPandasWithState(
+        _running_total_fn,
+        outputStructType=RUNNING_TOTAL_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
