@@ -32,6 +32,11 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark("bench")
 
+    # JVM/codegen warmup so the first measured query isn't charged for it
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):
         t0 = time.time()

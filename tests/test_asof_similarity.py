@@ -1,0 +1,86 @@
+"""As-of join edge semantics + ANN operator sanity."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.operators.asof import asof_join_backward
+
+
+def test_asof_backward_semantics(spark):
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [
+            (1, 10, T(2024, 1, 1, 9, 0)),   # before any right row → null
+            (2, 10, T(2024, 1, 1, 10, 0)),  # exactly equal ts → matches (<=)
+            (3, 10, T(2024, 1, 1, 12, 0)),  # after both → latest wins
+            (4, 20, T(2024, 1, 1, 12, 0)),  # other key, no right rows → null
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, T(2024, 1, 1, 10, 0), 1.0), (10, T(2024, 1, 1, 11, 0), 2.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: r
+        for r in asof_join_backward(left, right, ["user_id"], "ts", ["value"]).collect()
+    }
+    assert len(out) == 4
+    assert out[1]["value_asof"] is None and out[1]["ts_asof"] is None
+    assert out[2]["value_asof"] == 1.0  # ts == right ts → included
+    assert out[3]["value_asof"] == 2.0
+    assert out[3]["ts_asof"] == dt.datetime(2024, 1, 1, 11, 0)
+    assert out[4]["value_asof"] is None
+    # left columns preserved
+    assert set(out[1].asDict()) == {"event_id", "user_id", "ts", "value_asof", "ts_asof"}
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_ann_variants_agree_with_brute_force(emb):
+    """IVF/LSH results must be a subset of the brute-force candidate space
+    and internally consistently ranked."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    bf = brute_force_topk(emb, q, k=100)
+    bf_scores = {
+        (r["qid"], r["vec_id"]): r["cosine"] for r in bf.collect()
+    }
+    for out in (ivf_topk(emb, q, k=3).collect(), lsh_topk(emb, q, k=3).collect()):
+        for r in out:
+            key = (r["qid"], r["vec_id"])
+            if key in bf_scores:  # brute force truncated at 100; scores must agree
+                assert r["cosine"] == pytest.approx(bf_scores[key], abs=1e-6)
+        # ranks are 1..k dense per query
+        by_q = {}
+        for r in out:
+            by_q.setdefault(r["qid"], []).append(r["rnk"])
+        for ranks in by_q.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_lsh_bucket_determinism(emb):
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_code,
+    )
+
+    planes = hyperplanes(6, 64)
+    assert len(planes) == 6 and len(planes[0]) == 64
+    assert planes == hyperplanes(6, 64)
+    codes = emb.select(lsh_bucket_code("embedding", planes).alias("b")).collect()
+    assert all(0 <= r["b"] < 64 for r in codes)

@@ -1,0 +1,132 @@
+"""Source/sink layer tests: JSON landing round-trips with pinned schemas,
+injectable HTTP fetchers (no network), CSV/parquet sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from us_weather_energy_analysis_pipeline_spark.sources.eia import read_eia_landing
+from us_weather_energy_analysis_pipeline_spark.sources.fetch import (
+    fetch_eia_pages,
+    fetch_noaa,
+    fetch_with_retries,
+    land_json,
+)
+from us_weather_energy_analysis_pipeline_spark.sources.noaa import read_noaa_landing
+
+NOAA_PAYLOAD = {
+    "results": [
+        {"date": "2025-07-29T00:00:00", "datatype": "TMAX", "value": 36.1,
+         "station": "GHCND:X", "attributes": ",,W"},
+        {"date": "2025-07-29T00:00:00", "datatype": "TMIN", "value": 25.6},
+    ]
+}
+EIA_PAYLOAD = {
+    "response": {
+        "total": 2,
+        "data": [
+            {"period": "2025-07-29T00", "value": "512.3", "respondent": "NYIS"},
+            {"period": "2025-07-29T01", "value": "490.1"},
+        ],
+    }
+}
+
+
+class FakeResp:
+    def __init__(self, payload, status=200):
+        self._p, self.status_code = payload, status
+
+    def json(self):
+        return self._p
+
+
+def test_noaa_landing_roundtrip(spark, tmp_path):
+    """S4 land → S2 read with pinned schema → exploded EAV rows."""
+    path = str(tmp_path / "weather_nyc.json")
+    land_json(NOAA_PAYLOAD, path)
+    rows = read_noaa_landing(spark, path, city="New York").collect()
+    assert len(rows) == 2
+    assert {r["datatype"] for r in rows} == {"TMAX", "TMIN"}
+    assert all(r["city"] == "New York" for r in rows)
+    assert rows[0]["date_str"].startswith("2025-07-29")
+
+
+def test_eia_landing_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "energy_nyc.json")
+    land_json(EIA_PAYLOAD, path)
+    rows = read_eia_landing(spark, path, city="New York").collect()
+    assert len(rows) == 2
+    assert rows[0]["value_str"] == "512.3"  # stays string until transform
+
+
+def test_fetch_retry_then_success():
+    calls = []
+
+    def flaky(url, params, headers):
+        calls.append(url)
+        if len(calls) < 3:
+            return FakeResp({}, status=500)
+        return FakeResp({"ok": True})
+
+    out = fetch_with_retries("http://x", {}, {}, http_get=flaky, sleep=lambda s: None)
+    assert out == {"ok": True} and len(calls) == 3
+
+
+def test_fetch_exhausted_raises():
+    def dead(url, params, headers):
+        return FakeResp({}, status=503)
+
+    with pytest.raises(RuntimeError, match="after 3 attempts"):
+        fetch_with_retries("http://x", {}, {}, http_get=dead, sleep=lambda s: None)
+
+
+def test_fetch_noaa_params():
+    seen = {}
+
+    def capture(url, params, headers):
+        seen.update(params)
+        return FakeResp(NOAA_PAYLOAD)
+
+    out = fetch_noaa("tok", "GHCND:X", "2025-01-01", "2025-06-30", http_get=capture)
+    assert out == NOAA_PAYLOAD
+    assert seen["datatypeid"] == "TMAX,TMIN" and seen["units"] == "metric"
+    assert seen["limit"] == 1000
+
+
+def test_fetch_eia_pagination():
+    pages_served = []
+
+    def paged(url, params, headers):
+        if params.get("length") == 0:
+            return FakeResp({"response": {"total": 12000}})
+        pages_served.append(params["offset"])
+        return FakeResp(EIA_PAYLOAD)
+
+    pages = fetch_eia_pages("key", "NYIS", "2025-01-01T00", "2025-06-30T23",
+                            page_size=5000, http_get=paged)
+    assert pages_served == [0, 5000, 10000]
+    assert len(pages) == 3
+
+
+def test_write_fact_roundtrip(spark, tmp_path):
+    """S5 sink + S6 explicit-schema read-back, parquet (partitioned) and CSV."""
+    from us_weather_energy_analysis_pipeline_spark.plans.etl import write_fact
+    from us_weather_energy_analysis_pipeline_spark.schemas import FACT_SCHEMA
+    from us_weather_energy_analysis_pipeline_spark.sources.datagen import (
+        generate_weather_energy,
+    )
+
+    fact = generate_weather_energy(spark, "2024-01-01", "2024-01-10")
+    pq = str(tmp_path / "fact_pq")
+    write_fact(fact, pq)
+    back = spark.read.parquet(pq)
+    assert back.count() == fact.count()
+    assert set(back.columns) == set(fact.columns)
+
+    csv = str(tmp_path / "fact_csv")
+    write_fact(fact, csv, fmt="csv")
+    back_csv = spark.read.option("header", True).schema(FACT_SCHEMA).csv(csv)
+    assert back_csv.count() == fact.count()
+    assert dict(back_csv.dtypes)["date"] == "date"

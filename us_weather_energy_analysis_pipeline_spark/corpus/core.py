@@ -347,3 +347,42 @@ def scalar_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         r2(F.max("value")).alias("max_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT COALESCE(r.r_name, 'ALL')  AS region,
+           COALESCE(n.n_name, 'ALL')  AS nation,
+           COUNT(*)                   AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    tags=("agg", "rollup", "grouping-sets"),
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical ROLLUP totals (region → nation → grand total) — the
+    multidimensional-aggregate extension beyond the reference's pivots:
+    one pass produces all grouping levels (partial aggregation still
+    applies; no per-level rescans)."""
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r2(F.sum("c_acctbal")).alias("total_acctbal"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            "n_customers",
+            "total_acctbal",
+        )
+    )

@@ -115,3 +115,107 @@ def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.avg(F.element_at("embedding", 2).cast("double"))).alias("dim1_mean"),
         r6(F.avg(sq_norm)).alias("mean_sq_norm"),
     )
+
+
+def _plane_sql_literal(w: list[float]) -> str:
+    return "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]"
+
+
+def _lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 3, n_q: int = N_QUERIES) -> str:
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(n_planes, dim)
+    code = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql_literal(w)}) >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM coded WHERE vec_id < {n_q}),
+    cand AS (
+      SELECT q.qid, q.bucket, c.vec_id,
+             ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+      FROM q JOIN coded c USING (bucket)
+      WHERE c.vec_id <> q.qid
+    )
+    SELECT qid, bucket, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM cand)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "embed_lsh_bucket_topk",
+    oracle=_lsh_oracle(),
+    tags=("similarity", "ann", "lsh"),
+)
+def embed_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH ANN (operators/similarity.lsh_topk): 6-bit
+    md5-seeded sign codes → bucket equi-join → exact cosine rank within
+    the bucket. The scale path: candidates collapse to bucket-local pairs,
+    one shuffle on the code."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import lsh_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return lsh_topk(emb, q, n_planes=6, dim=64, k=3).select(
+        "qid", "bucket", "vec_id", "cosine", "rnk"
+    )
+
+
+@register(
+    "embed_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    per_dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
+    ),
+    cvec AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    assign AS (
+      SELECT qid, qv, label AS cell FROM (
+        SELECT q.qid, q.qv, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.centroid), 6) DESC,
+                          c.label ASC) AS rn
+        FROM q CROSS JOIN cvec c
+      ) WHERE rn = 1
+    ),
+    scored AS (
+      SELECT a.qid, a.cell, e.vec_id,
+             ROUND(list_cosine_similarity(a.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+      FROM assign a JOIN embeddings e ON e.label = a.cell AND e.vec_id <> a.qid
+    )
+    SELECT qid, cell, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantized ANN (operators/similarity.ivf_topk): per-label
+    centroids → nearest-cell assignment → exact top-3 within the cell.
+    Probes 1/n_cells of the corpus; assignment join is broadcast×broadcast."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, q, k=3).select("qid", "cell", "vec_id", "cosine", "rnk")

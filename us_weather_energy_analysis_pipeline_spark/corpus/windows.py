@@ -170,3 +170,43 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("l_quantity")).alias("avg_qty"))
     )
+
+
+@register(
+    "asof_join_last_view",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
+    SELECT p.event_id, p.user_id,
+           strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+           strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+           ROUND(v.value, 2) AS view_value
+    FROM purchases p ASOF LEFT JOIN views v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    """,
+    tags=("join", "asof", "window"),
+)
+def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (operators/asof.py): each purchase aligned with
+    the user's most recent prior view. Spark lacks ASOF JOIN; the
+    union-and-carry window construction costs ONE shuffle on the key —
+    the oracle uses DuckDB's native ASOF LEFT JOIN to cross-check."""
+    from us_weather_energy_analysis_pipeline_spark.operators.asof import (
+        asof_join_backward,
+    )
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    joined = asof_join_backward(purchases, views, ["user_id"], "ts", ["value"])
+    return joined.select(
+        "event_id",
+        "user_id",
+        iso_ts("ts").alias("purchase_ts"),
+        iso_ts("ts_asof").alias("view_ts"),
+        r2(F.col("value_asof")).alias("view_value"),
+    )

@@ -1,0 +1,66 @@
+"""As-of (backward) join — align each left row with the most recent right
+row at-or-before its timestamp, per key.
+
+Spark has no native ASOF JOIN; the scalable construction is the
+union-and-carry pattern: tag both sides, union, then one window pass per
+key carrying the last right-side values forward (``last(..., ignorenulls)``
+over rows unbounded-preceding..current). Cost: ONE shuffle on the key —
+never a range cross-join, never per-row lookups. Equal timestamps order
+the right row first, so ties match (<= semantics, like DuckDB ASOF).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    right_value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left rows + the latest right values with right.ts <= left.ts per key.
+
+    Right value columns appear as ``{col}{suffix}`` (including the right
+    timestamp as ``{ts_col}{suffix}``); left rows with no prior right row
+    keep NULLs (left-outer asof).
+    """
+    lcols = left.columns
+    tagged_l = left.withColumn("__side", F.lit(1))
+    for c in right_value_cols:
+        tagged_l = tagged_l.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    tagged_l = tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts_col]))
+
+    tagged_r = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.col(ts_col).alias("__r_ts"),
+    )
+    for c in lcols:
+        if c not in [*on, ts_col]:
+            tagged_r = tagged_r.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = tagged_l.unionByName(tagged_r)
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in right_value_cols
+        ],
+        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
