@@ -1,0 +1,95 @@
+"""Property-based tests (hypothesis) for the cross-engine invariants the
+whole correctness method rests on."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
+from us_weather_energy_analysis_pipeline_spark.operators.asof import asof_join_backward
+from us_weather_energy_analysis_pipeline_spark.operators.resample import (
+    resample_daily_sum,
+)
+
+finite_doubles = st.floats(
+    min_value=-1e9, max_value=1e9, allow_nan=False, allow_infinity=False
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=40), st.integers(0, 6))
+def test_dround_matches_duckdb_round(spark, xs, n):
+    """corpus/_util.dround must equal DuckDB ROUND(x, n) bit-for-bit —
+    the invariant every oracle comparison relies on."""
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    got = [r["y"] for r in sdf.select(dround("x", n).alias("y")).collect()]
+    con = duckdb.connect()
+    want = [
+        con.execute(f"SELECT ROUND(CAST(? AS DOUBLE), {n})", [x]).fetchone()[0]
+        for x in xs
+    ]
+    assert got == pytest.approx(want, nan_ok=True, abs=0.0)
+
+
+ts_strategy = st.datetimes(
+    min_value=dt.datetime(2024, 1, 1), max_value=dt.datetime(2024, 1, 5)
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(ts_strategy, min_size=1, max_size=15),
+    st.lists(st.tuples(ts_strategy, finite_doubles), min_size=0, max_size=15),
+)
+def test_asof_matches_bruteforce(spark, left_ts, right_rows):
+    left = spark.createDataFrame(
+        [(i, 1, t) for i, t in enumerate(left_ts)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t, v) for t, v in right_rows] or [(2, dt.datetime(2024, 1, 1), 0.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    out = {
+        r["event_id"]: (r["ts_asof"], r["value_asof"])
+        for r in asof_join_backward(left, right, ["user_id"], "ts", ["value"]).collect()
+    }
+    for i, t in enumerate(left_ts):
+        cands = [(rt, rv) for (rt, rv) in right_rows if rt <= t]
+        if not cands:
+            assert out[i] == (None, None)
+        else:
+            best = max(cands, key=lambda p: p[0])
+            assert out[i][0] == best[0]
+            # equal-ts duplicates: any of the tied values is acceptable
+            tied = {rv for (rt, rv) in cands if rt == best[0]}
+            assert out[i][1] in tied
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(ts_strategy, st.one_of(st.none(), finite_doubles)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_resample_matches_pandas(spark, rows):
+    """resample_daily_sum must replicate pandas set_index().resample('D')
+    .sum() exactly (SURVEY §7.3 A2): observed-range days fill 0.0."""
+    df = spark.createDataFrame(
+        [("X", t, v) for t, v in rows], "city string, ts timestamp, value double"
+    )
+    got = {
+        r["date"]: r["daily"]
+        for r in resample_daily_sum(df, "ts", "value", "daily", keys=("city",)).collect()
+    }
+    pdf = pd.DataFrame(rows, columns=["ts", "value"]).set_index("ts")
+    want = pdf.resample("D")["value"].sum()
+    assert len(got) == len(want)
+    for day, v in want.items():
+        assert got[day.date()] == pytest.approx(v)

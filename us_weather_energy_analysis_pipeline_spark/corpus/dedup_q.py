@@ -184,17 +184,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_sql_core() -> str:
     """Shared CTE text computing (doc_id, simhash) in DuckDB — identical
-    bit-vote arithmetic to operators.dedup.simhash32."""
+    bit-vote arithmetic to operators.dedup.simhash32: the first 8 hex
+    digits of md5(token) parsed once into a 32-bit value ``hv``, votes are
+    shifts of hv."""
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
     vote_exprs = ",\n             ".join(
-        f"SUM(2 * ((strpos('0123456789abcdef', substr(h, {p // 4 + 1}, 1)) - 1 >> {p % 4}) & 1) - 1) AS s{p}"
-        for p in range(32)
+        f"SUM(2 * ((hv >> {p}) & 1) - 1) AS s{p}" for p in range(32)
     )
     fp = " + ".join(f"(CASE WHEN s{p} >= 0 THEN {2**p} ELSE 0 END)" for p in range(32))
     return f"""
     toks AS (
       SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
     ),
-    hashed AS (SELECT doc_id, md5(tok) AS h FROM toks),
+    hashed AS (SELECT doc_id, CAST({hv} AS BIGINT) AS hv
+               FROM (SELECT doc_id, md5(tok) AS h FROM toks)),
     votes AS (
       SELECT doc_id,
              {vote_exprs}

@@ -124,29 +124,24 @@ def minhash_near_dups(
     )
 
 
-def _hex_digit_val(h: Column, pos: int) -> Column:
-    """Value 0-15 of the pos-th (1-based) hex char — instr arithmetic kept
-    identical to the DuckDB oracle's strpos construction."""
-    return F.instr(F.lit(HEX), F.substring(h, pos, 1)) - 1
-
-
 def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc: per-token md5 → first 8 hex digits → 32 bits;
-    each bit votes ±1 weighted by token occurrence; sign of the vote sum
-    sets the fingerprint bit. Returns (doc_id, simhash bigint).
+    """32-bit SimHash per doc: per-token md5 → first 8 hex digits parsed
+    ONCE into a 32-bit int; each bit votes ±1 weighted by token occurrence;
+    sign of the vote sum sets the fingerprint bit.
+    Returns (doc_id, simhash bigint).
 
-    One explode + one groupBy(doc_id): the 32 bit-votes are columns of the
-    same aggregation, not 32 passes.
+    One explode + one groupBy(doc_id): the 32 bit-votes are cheap shifts
+    of one parsed value, all columns of the same aggregation.
     """
     toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
     per_tok = df.select("doc_id", toks).select(
-        "doc_id", F.md5(F.col("tok")).alias("h")
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
     )
-    # bit p lives in hex digit p//4 (1-based pos), bit index p%4
     votes = [
-        (2 * ((_hex_digit_val(F.col("h"), p // 4 + 1) / (2 ** (p % 4))).cast("int") % 2) - 1).alias(
-            f"v{p}"
-        )
+        (2 * F.shiftright(F.col("hv"), p).bitwiseAND(F.lit(1)) - 1).alias(f"v{p}")
         for p in range(SIMHASH_BITS)
     ]
     voted = per_tok.select("doc_id", *votes)
