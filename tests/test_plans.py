@@ -1,0 +1,86 @@
+"""Physical-plan regression tests — the scale posture, asserted.
+
+These guard the properties that make the corpus viable at 100 TB:
+predicate pushdown reaching the parquet scans, column pruning, broadcast
+dimension joins, partial (map-side) aggregation. A refactor that silently
+loses one of these still passes the value oracles — only the plan shows it.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+    REGISTRY,
+    _ensure_loaded,
+)
+
+_ensure_loaded()
+
+
+def _formatted(spark, name, sf_dir):
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _formatted(spark, "filter_date_set", sf_dir)
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "In(o_orderpriority" in plan
+
+
+def test_column_pruning_q1(spark, sf_dir):
+    plan = _formatted(spark, "tpch_q1_pricing_summary", sf_dir)
+    scan_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in scan_schema  # unused columns pruned
+    assert "l_quantity" in scan_schema
+    assert "LessThanOrEqual(l_shipdate" in plan
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = _formatted(spark, "join_dims_broadcast", sf_dir)
+    # formatted explain mentions each node in tree + detail sections
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_partial_aggregation_before_exchange(spark, sf_dir):
+    plan = _formatted(spark, "ts_daily_rollup", sf_dir)
+    # partial agg node appears below the exchange: two HashAggregates
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _formatted(spark, "top_k_orders", sf_dir)
+    assert "TakeOrderedAndProject" in plan  # no full global sort
+
+
+def test_q6_no_shuffle(spark, sf_dir):
+    plan = _formatted(spark, "tpch_q6_forecast_revenue", sf_dir)
+    # single-row aggregate: one exchange max (final single-partition agg)
+    assert "PushedFilters" in plan
+    pushed = [l for l in plan.splitlines() if "PushedFilters" in l][0]
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
+
+
+def test_upsert_parquet_roundtrip(spark, tmp_path):
+    from us_weather_energy_analysis_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "id long, k string, v double"
+    )
+    assert upsert_parquet(spark, path, base, ["id"]) == 3
+    update = spark.createDataFrame(
+        [(2, "b", 20.0), (4, "d", 4.0)], "id long, k string, v double"
+    )
+    assert upsert_parquet(spark, path, update, ["id"]) == 4
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
+    # idempotent re-apply
+    assert upsert_parquet(spark, path, update, ["id"]) == 4

@@ -539,3 +539,140 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type", r2(F.col("sum_value")).alias("sum_value"), "n_rows"
     )
+
+
+@register(
+    "sample_hash_mod",
+    oracle="""
+    WITH hashed AS (
+      SELECT o_orderpriority, o_totalprice,
+             ((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 4096
+            + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 256
+            + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 16
+            + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1)) % 100 AS bucket
+      FROM (SELECT *, md5(CAST(o_orderkey AS VARCHAR)) AS h FROM orders)
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_revenue
+    FROM hashed WHERE bucket < 10
+    GROUP BY o_orderpriority
+    """,
+    tags=("sample", "deterministic"),
+)
+def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% systematic sample via key-hash bucketing — the
+    reproducible sampling pattern for 100 TB pipelines (same rows selected
+    on every engine and every run, unlike rand()-based sampling)."""
+    o = load(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    return (
+        o.filter(bucket < 10)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            r2(F.sum("o_totalprice")).alias("sampled_revenue"),
+        )
+    )
+
+
+@register(
+    "quantiles_exact",
+    oracle="""
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.10), 4) AS p10,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    """,
+    tags=("agg", "quantiles", "A10"),
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-quantile profile in one pass (linear interpolation —
+    same estimator in Spark percentile and DuckDB quantile_cont). At
+    100 TB swap for approx_percentile with a documented error bound; exact
+    is kept here for oracle parity (SURVEY §7.3 A10)."""
+    li = load(spark, sf_dir, "lineitem")
+    qs = [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
+    names = ["p10", "p25", "p50", "p75", "p90", "p99"]
+    return li.agg(
+        *[
+            r4(F.expr(f"percentile(l_extendedprice, {q})")).alias(n)
+            for q, n in zip(qs, names)
+        ]
+    )
+
+
+@register(
+    "map_view_decorated",
+    oracle="""
+    WITH latest AS (
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice, o.o_orderdate,
+             LAG(o.o_totalprice) OVER (PARTITION BY c.c_custkey
+                                       ORDER BY o.o_orderdate, o.o_orderkey) AS prev_price,
+             ROW_NUMBER() OVER (PARTITION BY c.c_custkey
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+      WHERE c.c_custkey < 100
+    ),
+    l2 AS (SELECT * FROM latest WHERE rn = 1),
+    stats AS (
+      SELECT MEDIAN(o_totalprice) AS med, MIN(o_totalprice) AS lo,
+             MAX(o_totalprice) AS hi
+      FROM l2
+    )
+    SELECT l2.c_custkey,
+           printf('%.1f', ROUND(l2.o_totalprice, 1)) AS price_label,
+           CASE WHEN l2.prev_price > 0
+                THEN ROUND((l2.o_totalprice - l2.prev_price) / l2.prev_price * 100, 4)
+                ELSE 0 END AS pct_change,
+           CASE WHEN l2.o_totalprice > s.med THEN 'red' ELSE 'green' END AS color,
+           ROUND(5 + (l2.o_totalprice - s.lo) / (s.hi - s.lo) * 25, 2) AS radius
+    FROM l2 CROSS JOIN stats s
+    """,
+    tags=("P12", "P13", "P14", "A4", "map-view"),
+)
+def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full map-view decoration (A4 latest-per-key + J3→lag
+    prev value + P14 guarded pct-change + P12 number formatting + P13
+    median color split and min-max radius scaling) over the TPC-H analog.
+    Formatting happens AFTER DuckDB-exact rounding so printf('%.1f') emits
+    identical strings on both engines."""
+    from pyspark.sql import Window
+
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
+
+    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    o = load(spark, sf_dir, "orders")
+    j = c.join(o, c.c_custkey == o.o_custkey).select(
+        "c_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+    w_ord = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_last = Window.partitionBy("c_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    l2 = (
+        j.withColumn("prev_price", F.lag("o_totalprice").over(w_ord))
+        .withColumn("rn", F.row_number().over(w_last))
+        .filter(F.col("rn") == 1)
+    )
+    w_all = Window.partitionBy()
+    med = F.expr("percentile(o_totalprice, 0.5)").over(w_all)
+    lo = F.min("o_totalprice").over(w_all)
+    hi = F.max("o_totalprice").over(w_all)
+    prev = F.col("prev_price")
+    return l2.select(
+        "c_custkey",
+        F.format_string("%.1f", dround(F.col("o_totalprice"), 1)).alias("price_label"),
+        F.when(prev > 0, r4((F.col("o_totalprice") - prev) / prev * 100))
+        .otherwise(F.lit(0.0))
+        .alias("pct_change"),
+        F.when(F.col("o_totalprice") > med, "red").otherwise("green").alias("color"),
+        r2(5 + (F.col("o_totalprice") - lo) / (hi - lo) * 25).alias("radius"),
+    )

@@ -106,6 +106,7 @@ def _ensure_loaded() -> None:
         dedup_q,
         similarity_q,
         mm_stream_q,
+        sql_q,
     )
 
     _LOADED = True

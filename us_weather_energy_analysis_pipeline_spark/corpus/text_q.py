@@ -157,3 +157,66 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
         .alias("lang_pred"),
     )
+
+
+@register(
+    "text_tfidf_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    dl AS (SELECT doc_id, SUM(cnt) AS doclen FROM tf GROUP BY 1),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS docfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             ROUND((CAST(tf.cnt AS DOUBLE) / dl.doclen)
+                   * ln(CAST(n.n_docs AS DOUBLE) / df.docfreq), 6) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= 3
+    """,
+    tags=("text", "tfidf", "ranking"),
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF scoring with top-3 terms per document — the classic
+    keyword-extraction pass: term counts, doc lengths and doc frequencies
+    are three aggregations sharing one exploded token stream; scores rank
+    per doc on the rounded value (deterministic tie-break on token)."""
+    from pyspark.sql import Window
+
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doclen"))
+    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("docfreq"))
+    n_docs = d.count()  # scalar; at scale use a broadcast single-row agg
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(dfreq, "tok")
+        .select(
+            "doc_id",
+            "tok",
+            r6(
+                (F.col("cnt").cast("double") / F.col("doclen"))
+                * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "tok", "tfidf", "rnk")
+    )
