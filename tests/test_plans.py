@@ -84,3 +84,36 @@ def test_upsert_parquet_roundtrip(spark, tmp_path):
     assert got == {1: 1.0, 2: 20.0, 3: 3.0, 4: 4.0}
     # idempotent re-apply
     assert upsert_parquet(spark, path, update, ["id"]) == 4
+
+
+def test_partition_pruning_on_city(spark, tmp_path):
+    """write_fact partitions by city; a city filter must prune partitions
+    at scan time (PartitionFilters), not post-read."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.plans.etl import write_fact
+    from us_weather_energy_analysis_pipeline_spark.sources.datagen import (
+        generate_weather_energy,
+    )
+
+    path = str(tmp_path / "fact")
+    write_fact(generate_weather_energy(spark, "2024-01-01", "2024-01-20"), path)
+    q = spark.read.parquet(path).filter(F.col("city") == "Seattle")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "city" in plan.split("PartitionFilters")[1][:120]
+    assert q.count() == 20
+
+
+def test_is_stale(spark):
+    import datetime as dt
+
+    from us_weather_energy_analysis_pipeline_spark.quality.checks import is_stale
+    from us_weather_energy_analysis_pipeline_spark.sources.datagen import (
+        generate_weather_energy,
+    )
+
+    fact = generate_weather_energy(spark, "2024-01-01", "2024-01-10")
+    assert is_stale(fact, 24, now=dt.datetime(2024, 2, 1)) is True
+    assert is_stale(fact, 24, now=dt.datetime(2024, 1, 10, 12)) is False
+    empty = fact.filter("1=0")
+    assert is_stale(empty, 24) is True

@@ -601,11 +601,16 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
     qs = [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
     names = ["p10", "p25", "p50", "p75", "p90", "p99"]
-    return li.agg(
-        *[
-            r4(F.expr(f"percentile(l_extendedprice, {q})")).alias(n)
-            for q, n in zip(qs, names)
-        ]
+    # ONE percentile aggregate with an array of fractions — a single value
+    # buffer instead of six (6 separate percentile() calls each hold a
+    # full copy of the column; at sf0.1 that was a 10s query, this is ~2s)
+    arr = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))").alias(
+            "ps"
+        )
+    )
+    return arr.select(
+        *[r4(F.col("ps")[i]).alias(n) for i, n in enumerate(names)]
     )
 
 

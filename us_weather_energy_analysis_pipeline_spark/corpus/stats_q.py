@@ -150,3 +150,43 @@ def ols_ci_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         r4(y_hat - T_CRIT * se).alias("ci_lower"),
         r4(y_hat + T_CRIT * se).alias("ci_upper"),
     )
+
+
+@register(
+    "ols_by_group",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 6) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r_squared,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("stats", "A13", "grouped"),
+)
+def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped OLS — one regression PER KEY in a single aggregation pass
+    (the reference fits per-city via a Python loop, `app.py:780`; here
+    every group's covariance aggregates ride the same shuffle). This is
+    the pattern that fits millions of per-entity models at 100 TB."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    agg = li.groupBy("l_returnflag").agg(
+        F.covar_samp(x, y).alias("sxy"),
+        F.var_samp(x).alias("sxx"),
+        F.avg(x).alias("xbar"),
+        F.avg(y).alias("ybar"),
+        F.try_divide(
+            F.covar_samp(x, y), F.sqrt(F.var_samp(x) * F.var_samp(y))
+        ).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    slope = F.col("sxy") / F.col("sxx")
+    return agg.select(
+        "l_returnflag",
+        r6(slope).alias("slope"),
+        r6(F.col("ybar") - slope * F.col("xbar")).alias("intercept"),
+        r6(F.col("r") * F.col("r")).alias("r_squared"),
+        F.col("n"),
+    )

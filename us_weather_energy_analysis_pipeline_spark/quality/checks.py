@@ -103,3 +103,19 @@ def quality_timeseries(df: DataFrame, config: dict | None = None) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def is_stale(df: DataFrame, hours: float = 24.0, now: dt.datetime | None = None) -> bool:
+    """Staleness check driving the auto-rerun decision (reference
+    `app.py:117-142,869-878`): true when the latest date in the table is
+    older than ``hours``. One max() aggregate — a metadata-cheap probe."""
+    latest = df.agg(F.max("date").alias("m")).collect()[0]["m"]
+    if latest is None:
+        return True
+    now = now or dt.datetime.now()
+    latest_dt = (
+        dt.datetime.combine(latest, dt.time.min)
+        if isinstance(latest, dt.date) and not isinstance(latest, dt.datetime)
+        else latest
+    )
+    return (now - latest_dt).total_seconds() > hours * 3600
