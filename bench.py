@@ -32,10 +32,14 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark("bench")
 
-    # JVM/codegen warmup so the first measured query isn't charged for it
+    # JVM/codegen warmup + Python-worker prewarm (Arrow workers cost a few
+    # seconds to spawn once per session; on a long-lived cluster they're warm)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
         "noop"
     ).mode("overwrite").save()
+    spark.range(100).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name, q in sorted(REGISTRY.items()):

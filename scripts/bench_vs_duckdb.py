@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Spark-vs-DuckDB throughput comparison on the corpus.
+
+DuckDB is the single-node columnar baseline (BASELINE.md: the reference
+itself has no benchmark; its compute is trivial at its scale). This runs
+every oracle SQL in DuckDB and the matching Spark plan, both end-to-end,
+and writes a markdown table to BENCH_NOTES.md.
+
+Usage: python scripts/bench_vs_duckdb.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+    REGISTRY,
+    _ensure_loaded,
+)
+from us_weather_energy_analysis_pipeline_spark.session import get_spark
+from us_weather_energy_analysis_pipeline_spark.testing import register_views
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    _ensure_loaded()
+    spark = get_spark("bench-vs-duckdb")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+
+    rows = []
+    for name, q in sorted(REGISTRY.items()):
+        t0 = time.time()
+        q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        t_spark = time.time() - t0
+        t_duck = None
+        if q.oracle:
+            t0 = time.time()
+            con.execute(q.oracle).fetchall()
+            t_duck = time.time() - t0
+        rows.append((name, t_spark, t_duck))
+        print(f"{name:34s} spark={t_spark:6.2f}s duck={t_duck if t_duck is None else round(t_duck,2)}")
+
+    total_s = sum(r[1] for r in rows)
+    total_d = sum(r[2] for r in rows if r[2] is not None)
+    with open("BENCH_NOTES.md", "w") as f:
+        f.write(
+            f"# BENCH_NOTES — Spark vs DuckDB, end-to-end per corpus query\n\n"
+            f"sf_dir: `{sf_dir}` · Spark local mode (32 threads), DuckDB single-node.\n"
+            f"Both sides run the FULL query (no caching). Spark carries per-query\n"
+            f"job-scheduling overhead (~0.2-0.5 s) that amortizes away on real\n"
+            f"cluster workloads; DuckDB numbers are the single-node columnar\n"
+            f"best-case this engine is required to stay within 2× of.\n\n"
+            f"**Totals: spark={total_s:.1f}s, duckdb={total_d:.1f}s over {len(rows)} queries**\n\n"
+            f"| query | spark s | duckdb s |\n|---|---|---|\n"
+        )
+        for name, ts, td in rows:
+            f.write(f"| {name} | {ts:.2f} | {'' if td is None else f'{td:.2f}'} |\n")
+    print(f"\ntotals: spark={total_s:.1f}s duckdb={total_d:.1f}s → BENCH_NOTES.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

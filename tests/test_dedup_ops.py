@@ -59,3 +59,23 @@ def test_simhash_identical_and_distance(docs):
     assert pairs.get((1, 2)) == 0
     if (1, 3) in pairs:
         assert pairs[(1, 3)] <= 10  # one-word change moves few bits
+
+
+def test_connected_components_chain_and_clusters(spark):
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+        dedup_clusters,
+    )
+
+    # two components: chain 1-2-3-4 (diameter 3) and pair 10-11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "src long, dst long"
+    )
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+    clusters = dedup_clusters(
+        edges.withColumnRenamed("src", "doc_a").withColumnRenamed("dst", "doc_b")
+    ).collect()
+    canon = {r["doc_id"]: r["is_canonical"] for r in clusters}
+    assert canon == {1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 11: 0}

@@ -248,3 +248,60 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return simhash_near_dups(load(spark, sf_dir, "documents"), max_hamming=6)
+
+
+@register(
+    "dedup_cluster_assign",
+    oracle=f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+    ),
+    shingles AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(t[i:i+{SHINGLE_K}-1], ' ') AS shingle
+      FROM toks, UNNEST(generate_series(1, len(t) - {SHINGLE_K} + 1)) AS g(i)
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT p.doc_a, p.doc_b
+      FROM cand p
+      JOIN sizes sa ON p.doc_a = sa.doc_id
+      JOIN sizes sb ON p.doc_b = sb.doc_id
+      WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id,
+           MIN(comp) AS cluster_id,
+           CASE WHEN node = MIN(comp) THEN 1 ELSE 0 END AS is_canonical
+    FROM reach GROUP BY node
+    """,
+    tags=("dedup", "clustering", "connected-components", "iterative"),
+)
+def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → dedup clusters via iterative min-label connected
+    components (operators/components.py) — the step that turns pairwise
+    similarity into keep/drop decisions. The oracle computes the same
+    components with a recursive CTE; the Spark side is the distributed
+    fixpoint loop (join + min-aggregate per round, lineage cut by
+    localCheckpoint)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        dedup_clusters,
+    )
+
+    pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    return dedup_clusters(pairs)
