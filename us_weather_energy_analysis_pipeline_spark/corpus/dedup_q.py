@@ -233,7 +233,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh, UNNEST(generate_series(0, 3)) AS u(band)
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash, b.simhash)) AS hamming
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
     FROM banded a JOIN banded b
       ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 6

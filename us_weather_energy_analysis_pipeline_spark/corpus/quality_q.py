@@ -43,9 +43,9 @@ def _flags(e: DataFrame) -> DataFrame:
     "quality_report",
     oracle=f"""
     SELECT COUNT(*)                                       AS total_rows,
-           SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END)     AS missing_count,
-           SUM(CASE WHEN value > {OUTLIER_MAX} THEN 1 ELSE 0 END) AS outlier_count,
-           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)     AS negative_count,
+           CAST(SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT)     AS missing_count,
+           CAST(SUM(CASE WHEN value > {OUTLIER_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)     AS negative_count,
            strftime(MAX(ts), '%Y-%m-%d')                  AS latest_day,
            datediff('day', CAST(MAX(ts) AS DATE), DATE '{ANCHOR_DAY}') AS days_since_latest
     FROM events
@@ -72,9 +72,9 @@ def quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_daily",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d') AS day,
-           SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END)             AS missing_count,
-           SUM(CASE WHEN value > {OUTLIER_MAX} THEN 1 ELSE 0 END) AS outlier_count,
-           SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END)             AS negative_count,
+           CAST(SUM(CASE WHEN value < 1 THEN 1 ELSE 0 END) AS BIGINT)             AS missing_count,
+           CAST(SUM(CASE WHEN value > {OUTLIER_MAX} THEN 1 ELSE 0 END) AS BIGINT) AS outlier_count,
+           CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT)             AS negative_count,
            COUNT(*)                                               AS n_rows
     FROM events
     GROUP BY 1

@@ -36,9 +36,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split("text", " ")).alias("n_tokens_ws"),
-        F.regexp_count("text", F.lit("[a-z]+")).alias("n_words_alpha"),
-        F.length("text").alias("n_chars_measured"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens_ws"),
+        F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words_alpha"),
+        F.length("text").cast("long").alias("n_chars_measured"),
         F.col("n_chars").alias("n_chars_meta"),
     )
 
@@ -66,7 +66,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(norm).alias("fp_full"),
         F.md5(bag).alias("fp_bag"),
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("long").alias("n_chars"),
     )
 
 
@@ -104,14 +104,14 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tok = F.size(toks)
     n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
     n_punct = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
-    n_chars = F.length("text")
+    n_chars = F.length("text").cast("long")
     stop_ratio = n_stop.cast("double") / n_tok
     punct_ratio = n_punct.cast("double") / n_chars
     return d.select(
         "doc_id",
         "lang",
         n_chars.alias("n_chars"),
-        n_tok.alias("n_tokens"),
+        n_tok.cast("long").alias("n_tokens"),
         r4(stop_ratio).alias("stopword_ratio"),
         r4(punct_ratio).alias("punct_ratio"),
         r4(n_chars.cast("double") / n_tok).alias("avg_token_len"),

@@ -172,7 +172,7 @@ def simhash_near_dups(
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    )
+    ).cast("long")
     return (
         a.join(
             b,

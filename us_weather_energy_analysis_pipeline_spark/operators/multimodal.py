@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-DECODE_META_SCHEMA = "doc_id bigint, n_bytes int, width int, height int, n_frames int"
+DECODE_META_SCHEMA = "doc_id bigint, n_bytes bigint, width int, height int, n_frames int"
 
 
 def to_blob_table(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -35,7 +35,7 @@ def to_blob_table(df: DataFrame, text_col: str = "text") -> DataFrame:
         "doc_id",
         payload.alias("payload"),
         F.lit("application/octet-stream").alias("mime"),
-        F.length(payload).alias("n_bytes"),
+        F.length(payload).cast("long").alias("n_bytes"),
     )
 
 
