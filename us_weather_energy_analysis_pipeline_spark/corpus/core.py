@@ -681,3 +681,92 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("o_totalprice") > med, "red").otherwise("green").alias("color"),
         r2(5 + (F.col("o_totalprice") - lo) / (hi - lo) * 25).alias("radius"),
     )
+
+
+@register(
+    "ntile_deciles",
+    oracle="""
+    SELECT decile,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    GROUP BY decile
+    """,
+    tags=("window", "ntile", "distribution"),
+)
+def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile assignment via ntile over a deterministic total order —
+    the distribution-profiling companion to quantiles_exact (both engines
+    share ntile's equal-height bucket rule)."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.min("o_totalprice")).alias("lo"),
+            r2(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+@register(
+    "cube_priority_status",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL')   AS status,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """,
+    tags=("agg", "cube", "grouping-sets"),
+)
+def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions — all four grouping levels in one pass
+    (completes the grouping-sets family next to rollup_revenue)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+@register(
+    "regexp_normalize",
+    oracle="""
+    SELECT doc_id,
+           regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', '', 'g')      AS text_clean,
+           regexp_replace(lower(trim(text)), ' +', ' ', 'g')              AS text_onespace,
+           md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', '', 'g')) AS clean_fp
+    FROM documents
+    """,
+    tags=("text", "regexp", "normalize"),
+)
+def regexp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex text normalization (strip non-alphanumerics, collapse
+    whitespace) + normalized fingerprint — the canonicalization step ahead
+    of exact dedup; pure codegen regexp_replace."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    clean = F.regexp_replace(norm, "[^a-z0-9 ]+", "")
+    return d.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        F.regexp_replace(norm, " +", " ").alias("text_onespace"),
+        F.md5(clean).alias("clean_fp"),
+    )

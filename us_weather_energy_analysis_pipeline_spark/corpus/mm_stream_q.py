@@ -130,3 +130,34 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         r2(F.col("total_value")).alias("total_value"),
     )
+
+
+@register(
+    "tumbling_window_rollup",
+    oracle="""
+    SELECT strftime(time_bucket(INTERVAL 1 DAY, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           ROUND(SUM(value), 2) AS total,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "A2"),
+)
+def tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-day tumbling window aggregation via F.window — the EXACT operator
+    streaming/jobs.stream_daily_rollup runs under readStream (batch and
+    stream share the plan; the oracle uses DuckDB time_bucket)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r2
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(r2(F.sum("value")).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "total",
+            "n",
+        )
+    )
