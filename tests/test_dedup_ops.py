@@ -79,3 +79,21 @@ def test_connected_components_chain_and_clusters(spark):
     ).collect()
     canon = {r["doc_id"]: r["is_canonical"] for r in clusters}
     assert canon == {1: 1, 2: 0, 3: 0, 4: 0, 10: 1, 11: 0}
+
+
+def test_connected_components_distributed_path(spark):
+    """Force the distributed propagation path (threshold=0) and check it
+    matches the union-find path on the same graph."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (5, 6), (6, 7)], "src long, dst long"
+    )
+    fast = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    dist = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_threshold=0).collect()
+    }
+    assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 6: 5, 7: 5}

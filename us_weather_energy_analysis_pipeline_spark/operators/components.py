@@ -23,12 +23,34 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 10,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node in the edge list; component =
-    smallest node id reachable. Converges in ≤ diameter iterations
-    (bounded by ``max_iter``; raises if not converged — at scale, raise
-    the bound or move to star-contraction rather than silently stopping).
+    smallest node id reachable.
+
+    Adaptive execution: LSH/Jaccard candidate graphs are usually TINY
+    relative to the corpus (that is the whole point of blocking), so when
+    the edge list is under ``driver_threshold`` rows it is collected and
+    solved with union-find on the driver — O(E α(E)) and zero extra Spark
+    rounds. Above the threshold, distributed min-label propagation runs:
+    ≤ diameter iterations of join + min-aggregate (bounded by
+    ``max_iter``; raises if not converged — at that scale, raise the
+    bound or move to star-contraction rather than silently stopping).
     """
+    # cache: the size probe and the subsequent consumption (collect or
+    # symmetric expansion) must not re-execute the upstream candidate-pair
+    # query — it is usually the expensive part
+    edges = edges.select(src, dst).persist()
+    try:
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            return _driver_union_find(edges, src, dst)
+        return _propagate(edges, src, dst, max_iter)
+    finally:
+        edges.unpersist()
+
+
+def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -67,6 +89,34 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+
+
+def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
+    """Small-graph path: collect edges, path-compressed union-find, ship
+    the labeling back as a DataFrame. Component id = smallest member."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    pairs = edges.select(src, dst).collect()
+    for r in pairs:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            # union by smaller id so the root IS the component id
+            lo, hi = (a, b) if a < b else (b, a)
+            parent[hi] = lo
+    nodes = set()
+    for r in pairs:
+        nodes.add(r[0])
+        nodes.add(r[1])
+    rows = [(n, find(n)) for n in sorted(nodes)]
+    return edges.sparkSession.createDataFrame(rows, "node long, comp long")
 
 
 def dedup_clusters(
