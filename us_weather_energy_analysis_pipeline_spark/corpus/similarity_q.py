@@ -4,8 +4,9 @@ Brute-force cosine top-k is the exact baseline: broadcast the (small) query
 set, one scan of the corpus, per-query top-k via window rank on the ROUNDED
 score so ranking is deterministic across engines. The dot product is a
 native higher-order function (``zip_with`` + ``aggregate``) — JVM-side, no
-Python. The LSH-bucketed variant (scale path) lives in
-``operators/similarity.py`` and enters the corpus in a later wave.
+Python. The sub-linear scale paths (IVF cells, hyperplane-LSH buckets)
+live in ``operators/similarity.py`` and appear below as
+``embed_ivf_topk`` / ``embed_lsh_bucket_topk``.
 """
 
 from __future__ import annotations
