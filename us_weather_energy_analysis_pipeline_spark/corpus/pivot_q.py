@@ -120,3 +120,25 @@ def heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return piv.select(
         "qty_bin", *[r4(F.coalesce(F.col(d), F.lit(0.0))).alias(d) for d in DAY_ORDER]
     )
+
+
+@register(
+    "hourly_profile",
+    oracle="""
+    SELECT CAST(hour(ts) AS INTEGER) AS hour_of_day,
+           event_type,
+           ROUND(AVG(value), 4) AS avg_value,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "timeseries", "seasonality"),
+)
+def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile — the daily-cycle analytics behind
+    the reference's U-shaped demand model (`debug_helper.py:301`), as a
+    24×type aggregate."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.hour("ts").alias("hour_of_day"), "event_type"
+    ).agg(r4(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))

@@ -110,3 +110,12 @@ def _ensure_loaded() -> None:
     )
 
     _LOADED = True
+
+
+def register_corpus_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every corpus table as a temp view so users can run
+    arbitrary ``spark.sql`` over the same data the DataFrame API sees
+    (the SQL front-end the reference never had)."""
+    _ensure_loaded()
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -89,7 +89,8 @@ def date_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
     ),
     present AS (
-      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events WHERE event_type = 'error'
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+      WHERE user_id = 3 AND event_type = 'purchase'
     )
     SELECT strftime(s.day, '%Y-%m-%d') AS missing_day
     FROM spine s LEFT JOIN present p ON s.day = p.day
@@ -99,11 +100,13 @@ def date_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def missing_days_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Missing-day detection as a left-anti join spine∖facts (reference J5
-    `pipeline.py:42-45` set difference of expected vs observed days)."""
+    `pipeline.py:42-45` set difference of expected vs observed days).
+    The per-user slice guarantees a nonempty result at every sf — a 0-row
+    pass would be a vacuous check."""
     e = load(spark, sf_dir, "events")
     spine = day_spine(e, "ts")
     present = (
-        e.filter(F.col("event_type") == "error")
+        e.filter((F.col("user_id") == 3) & (F.col("event_type") == "purchase"))
         .select(F.to_date("ts").alias("day"))
         .distinct()
     )
