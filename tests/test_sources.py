@@ -130,3 +130,25 @@ def test_write_fact_roundtrip(spark, tmp_path):
     back_csv = spark.read.option("header", True).schema(FACT_SCHEMA).csv(csv)
     assert back_csv.count() == fact.count()
     assert dict(back_csv.dtypes)["date"] == "date"
+
+
+def test_fetch_partitioned_shape():
+    """Executor-side fetch generator: one partition of request specs →
+    payload JSON strings (the mapInPandas wiring for fetching hundreds of
+    stations in parallel)."""
+    import json
+    from collections import namedtuple
+
+    from us_weather_energy_analysis_pipeline_spark.sources.fetch import (
+        fetch_partitioned,
+    )
+
+    Spec = namedtuple("Spec", ["url", "params"])
+    specs = [Spec("http://a", json.dumps({"q": 1})), Spec("http://b", json.dumps({}))]
+
+    def fake(url, params, headers):
+        return FakeResp({"url": url, "params": params})
+
+    out = [json.loads(s) for s in fetch_partitioned(iter(specs), http_get=fake)]
+    assert [o["url"] for o in out] == ["http://a", "http://b"]
+    assert out[0]["params"] == {"q": 1}

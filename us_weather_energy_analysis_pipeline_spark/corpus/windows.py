@@ -210,3 +210,96 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         iso_ts("ts_asof").alias("view_ts"),
         r2(F.col("value_asof")).alias("view_value"),
     )
+
+
+EWMA_ALPHA = 0.2
+
+
+@register(
+    "ewma_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, SUM(value) AS total
+      FROM events GROUP BY 1
+    ),
+    seq AS (
+      SELECT day, total,
+             ROW_NUMBER() OVER (ORDER BY day) - 1 AS t
+      FROM daily
+    ),
+    acc AS (
+      SELECT day, total, t,
+             SUM(total / POW(1 - {EWMA_ALPHA}, t)) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS s,
+             POW(1 - {EWMA_ALPHA}, t) AS decay,
+             SUM((1.0) / POW(1 - {EWMA_ALPHA}, t)) OVER (ORDER BY day
+                 ROWS UNBOUNDED PRECEDING) AS w
+      FROM seq
+    )
+    SELECT day, ROUND(total, 2) AS total,
+           ROUND(decay * s / (decay * w), 4) AS ewma
+    FROM acc
+    """,
+    tags=("window", "ewma", "timeseries"),
+)
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average over the daily series WITHOUT
+    recursion: ewma_t = Σᵢ≤t (1-α)^(t-i)·xᵢ / Σᵢ≤t (1-α)^(t-i), computed as
+    cumulative sums of xᵢ/(1-α)^i rescaled by (1-α)^t — one ordered window
+    pass, no iterative state. (Stable while (1-α)^-t fits a double —
+    fine for month-scale series; chunk by epoch beyond that.)"""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(iso_day("ts").alias("day")).agg(F.sum("value").alias("total"))
+    w_ord = Window.orderBy("day")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = F.row_number().over(w_ord) - 1
+    decay = F.pow(F.lit(1 - EWMA_ALPHA), t)
+    seq = daily.select("day", "total", decay.alias("decay"))
+    s = F.sum(F.col("total") / F.col("decay")).over(w_cum)
+    wsum = F.sum(F.lit(1.0) / F.col("decay")).over(w_cum)
+    return seq.select(
+        "day",
+        r2(F.col("total")).alias("total"),
+        r4(F.col("decay") * s / (F.col("decay") * wsum)).alias("ewma"),
+    )
+
+
+@register(
+    "revenue_share",
+    oracle="""
+    WITH rev AS (
+      SELECT n.n_name AS nation, SUM(o.o_totalprice) AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    )
+    SELECT nation,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(revenue / SUM(revenue) OVER () * 100, 4) AS pct_of_total,
+           CAST(RANK() OVER (ORDER BY revenue DESC, nation) AS INTEGER) AS rnk
+    FROM rev
+    """,
+    tags=("window", "ratio-to-report", "rank"),
+)
+def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report with ranking: each nation's share of global revenue
+    via an unpartitioned window sum over the (small) aggregate — the
+    window runs on 25 rows, never on the fact table."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w_all = Window.partitionBy()
+    w_rank = Window.orderBy(F.col("revenue").desc(), F.col("nation"))
+    return rev.select(
+        "nation",
+        r2(F.col("revenue")).alias("revenue"),
+        r4(F.col("revenue") / F.sum("revenue").over(w_all) * 100).alias("pct_of_total"),
+        F.rank().over(w_rank).alias("rnk"),
+    )
