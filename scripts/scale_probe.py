@@ -1,0 +1,96 @@
+#!/usr/bin/env python
+"""Scale probe: run representative plans on 1×/4×/16× the sf0.1 fact data
+(synthesized by unioning the lineitem scan with shifted keys — no writes)
+and record wall-clock scaling into SCALE_PROBE.md.
+
+The point is the CURVE, not the absolute numbers: a plan whose cost grows
+superlinearly here will not survive the 100 TB target. Shuffle-bound
+plans should scale ~linearly (partial aggregation, bucket-local joins);
+anything quadratic shows immediately.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.session import get_spark
+
+
+def scaled_lineitem(spark, sf_dir: str, factor: int) -> DataFrame:
+    """factor copies of lineitem with disjoint order keys — same value
+    distributions, genuinely larger key space (not just duplicated keys)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    max_key = 6_000_000
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_key))
+        for i in range(factor)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q1(df: DataFrame) -> DataFrame:
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum(disc), F.avg("l_discount"), F.count(F.lit(1))
+    )
+
+
+def window_lag(df: DataFrame) -> DataFrame:
+    daily = df.groupBy(
+        "l_returnflag", F.to_date("l_shipdate").alias("d")
+    ).agg(F.sum("l_extendedprice").alias("t"))
+    w = Window.partitionBy("l_returnflag").orderBy("d")
+    return daily.select("l_returnflag", "d", (F.col("t") - F.lag("t").over(w)).alias("diff"))
+
+
+def self_join_agg(df: DataFrame) -> DataFrame:
+    a = df.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("q"))
+    b = df.groupBy("l_orderkey").agg(F.sum("l_extendedprice").alias("p"))
+    return a.join(b, "l_orderkey").agg(F.corr("q", "p"))
+
+
+PROBES = {"q1_agg": q1, "window_lag": window_lag, "selfjoin_corr": self_join_agg}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-probe")
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    results: dict[str, dict[int, float]] = {n: {} for n in PROBES}
+    for factor in (1, 4, 16):
+        df = scaled_lineitem(spark, sf_dir, factor)
+        for name, fn in PROBES.items():
+            t0 = time.time()
+            fn(df).write.format("noop").mode("overwrite").save()
+            results[name][factor] = round(time.time() - t0, 2)
+            print(f"{name} x{factor}: {results[name][factor]}s")
+
+    with open("SCALE_PROBE.md", "w") as f:
+        f.write(
+            "# SCALE_PROBE — wall-clock vs data volume (sf0.1 lineitem ×1/×4/×16)\n\n"
+            "Synthesized by unioning the scan with disjoint key ranges (~600k/2.4M/9.6M\n"
+            "rows). The check is the growth CURVE: shuffle-bound plans must scale\n"
+            "≲linearly with volume.\n\n| probe | ×1 | ×4 | ×16 | ×16/×1 |\n|---|---|---|---|---|\n"
+        )
+        for name, r in results.items():
+            ratio = round(r[16] / r[1], 1) if r[1] else float("nan")
+            f.write(f"| {name} | {r[1]} | {r[4]} | {r[16]} | {ratio}× |\n")
+    print("wrote SCALE_PROBE.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

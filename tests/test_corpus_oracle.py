@@ -38,3 +38,17 @@ def test_entry_smoke(spark):
 def test_every_query_has_docstring_and_tags():
     for name, q in REGISTRY.items():
         assert q.doc.strip(), f"{name} missing docstring"
+
+
+def test_register_corpus_views_sql_surface(spark, sf_dir):
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        register_corpus_views,
+    )
+
+    register_corpus_views(spark, sf_dir)
+    n = spark.sql("SELECT COUNT(*) AS n FROM lineitem").collect()[0]["n"]
+    assert n > 0
+    joined = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    ).collect()[0]["n"]
+    assert joined > 0

@@ -93,3 +93,25 @@ def test_resample_matches_pandas(spark, rows):
     assert len(got) == len(want)
     for day, v in want.items():
         assert got[day.date()] == pytest.approx(v)
+
+
+def test_ewma_matches_pandas(spark):
+    """The recursion-free EWMA construction must equal pandas
+    ewm(alpha, adjust=True).mean() exactly (same weighted-sum formula)."""
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    xs = [10.0, 12.0, 9.0, 20.0, 15.0, 14.0, 30.0, 2.0]
+    alpha = 0.2
+    sdf = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "t long, x double")
+    w_ord = Window.orderBy("t")
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decay = F.pow(F.lit(1 - alpha), F.row_number().over(w_ord) - 1)
+    seq = sdf.select("t", "x", decay.alias("d"))
+    ewma = (F.col("d") * F.sum(F.col("x") / F.col("d")).over(w_cum)) / (
+        F.col("d") * F.sum(F.lit(1.0) / F.col("d")).over(w_cum)
+    )
+    got = [r["e"] for r in seq.select(ewma.alias("e")).orderBy("t").collect()]
+    want = pd.Series(xs).ewm(alpha=alpha, adjust=True).mean().tolist()
+    assert got == pytest.approx(want, rel=1e-12)
