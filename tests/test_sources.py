@@ -152,3 +152,27 @@ def test_fetch_partitioned_shape():
     out = [json.loads(s) for s in fetch_partitioned(iter(specs), http_get=fake)]
     assert [o["url"] for o in out] == ["http://a", "http://b"]
     assert out[0]["params"] == {"q": 1}
+
+
+def test_malformed_landing_payloads(spark, tmp_path):
+    """Landing resilience: payloads missing keys / wrong shapes produce
+    empty frames (schema-on-read with explode_outer), never crashes."""
+    cases = {
+        "empty.json": {},
+        "no_results.json": {"unexpected": 1},
+        "null_results.json": {"results": None},
+        "eia_empty.json": {"response": {}},
+    }
+    for fname, payload in cases.items():
+        path = str(tmp_path / fname)
+        land_json(payload, path)
+        if fname.startswith("eia"):
+            rows = read_eia_landing(spark, path).collect()
+        else:
+            rows = read_noaa_landing(spark, path).collect()
+        # explode_outer on a missing array gives either zero rows or one
+        # all-null row — both harmless to every downstream aggregate
+        assert all(
+            r["period_str" if fname.startswith("eia") else "date_str"] is None
+            for r in rows
+        )

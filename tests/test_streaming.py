@@ -126,3 +126,55 @@ def test_multimodal_fake_decode_plumbing(spark):
     assert meta[1]["height"] == 64 + int(h[4:8], 16) % 960
     with pytest.raises(NotImplementedError):
         decode_image(blobs)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics: a row arriving AFTER the watermark passed its
+    window is dropped deterministically (append mode) instead of mutating
+    emitted history.
+
+    NB Trigger.AvailableNow plans all pending batches with the watermark
+    as of query START, so the late filter only engages across RUNS — this
+    drains twice over one checkpoint (restart restores the watermark from
+    the offset log), which is exactly the incremental-batch deployment
+    shape."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "ckpt_late")
+    out = str(tmp_path / "late_out")
+    schema = "ts timestamp, city string, value double"
+    out_schema = "day_start timestamp, city string, daily_total double, n_rows bigint"
+    d = dt.datetime
+
+    def drain():
+        sdf = stream_daily_rollup(spark, src, schema, "ts", "value", ("city",))
+        q = (
+            sdf.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["day_start"].date(): r["daily_total"]
+            for r in spark.read.schema(out_schema).parquet(out).collect()
+        }
+
+    # run 1: days 1 and 3 → watermark checkpointed at Jan 2 10:00
+    spark.createDataFrame(
+        [(d(2024, 1, 1, 10), "A", 1.0), (d(2024, 1, 3, 10), "A", 3.0)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+    drain()
+
+    # run 2: one on-time row (day 4) + one LATE row for day 1 — the
+    # restored watermark (Jan 2 10:00) must drop the late row
+    spark.createDataFrame(
+        [(d(2024, 1, 4, 10), "A", 4.0), (d(2024, 1, 1, 23), "A", 100.0)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+    got2 = drain()
+
+    # day-1's window closed in run 2 with ONLY the on-time value
+    assert got2.get(dt.date(2024, 1, 1)) == 1.0
+    assert 100.0 not in got2.values()
+    assert 101.0 not in got2.values()
