@@ -117,3 +117,28 @@ def test_is_stale(spark):
     assert is_stale(fact, 24, now=dt.datetime(2024, 1, 10, 12)) is False
     empty = fact.filter("1=0")
     assert is_stale(empty, 24) is True
+
+
+def test_compact_parquet(spark, tmp_path):
+    import glob
+
+    from us_weather_energy_analysis_pipeline_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "frag")
+    base = spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "id long, v double"
+    )
+    # fragment: 10 appends of 1 file each
+    for i in range(10):
+        base.filter(f"id >= {i*10} and id < {(i+1)*10}").repartition(1).write.mode(
+            "append"
+        ).parquet(path)
+    n_before = len(glob.glob(f"{path}/*.parquet"))
+    assert n_before >= 10
+    n = compact_parquet(spark, path, target_files=1, sort_within_by=("id",))
+    assert n == 100
+    assert len(glob.glob(f"{path}/*.parquet")) == 1
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(100))

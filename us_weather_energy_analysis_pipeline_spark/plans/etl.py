@@ -137,10 +137,16 @@ def write_fact(
     partition_by: tuple[str, ...] = ("city",),
 ) -> None:
     """Gold sink (reference S5 `pipeline.py:96-98`): Parquet partitioned by
-    city as primary (partition pruning for the dashboard's city filters);
-    CSV-with-header kept for reference compatibility."""
-    w = df.write.mode("overwrite")
+    city as primary (partition pruning for the dashboard's city filters),
+    rows sorted by date within each partition so parquet min/max stats
+    prune row groups on date-range filters; CSV-with-header kept for
+    reference compatibility."""
     if fmt == "csv":
-        w.option("header", True).csv(path)
+        df.write.mode("overwrite").option("header", True).csv(path)
     else:
-        w.partitionBy(*partition_by).parquet(path)
+        (
+            df.sortWithinPartitions("date")
+            .write.mode("overwrite")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
