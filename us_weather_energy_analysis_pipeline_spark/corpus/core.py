@@ -770,3 +770,28 @@ def regexp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(norm, " +", " ").alias("text_onespace"),
         F.md5(clean).alias("clean_fp"),
     )
+
+
+@register(
+    "count_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id)                 AS n_users,
+           COUNT(DISTINCT CAST(ts AS DATE))        AS n_days,
+           COUNT(*)                                AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("agg", "distinct-agg"),
+)
+def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-distinct aggregation (exact): Catalyst expands multiple
+    DISTINCTs into an Expand + two-phase aggregate — one logical pass.
+    At 100 TB swap to approx_count_distinct (HLL) where ±2% is acceptable;
+    exact kept here for oracle parity."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(F.to_date("ts")).alias("n_days"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
