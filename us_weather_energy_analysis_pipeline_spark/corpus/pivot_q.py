@@ -142,3 +142,73 @@ def hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy(
         F.hour("ts").alias("hour_of_day"), "event_type"
     ).agg(r4(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    WITH long AS (
+      SELECT l_returnflag, 'quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'discount', l_discount FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n,
+           ROUND(SUM(val), 2) AS total,
+           ROUND(AVG(val), 4) AS mean
+    FROM long GROUP BY 1, 2
+    """,
+    tags=("unpivot", "melt", "A1-inverse"),
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot (the inverse of the A1 EAV pivot) via the native
+    DataFrame.unpivot — one pass emits all measure rows (no self-union
+    rescans), then a long-form aggregate."""
+    li = load(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure",
+        valueColumnName="val",
+    ).withColumn(
+        "measure", F.regexp_replace("measure", "^l_", "")
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        r2(F.sum("val")).alias("total"),
+        r4(F.avg("val")).alias("mean"),
+    )
+
+
+@register(
+    "user_journey_path",
+    oracle="""
+    SELECT user_id, strftime(ts, '%Y-%m-%d') AS day,
+           string_agg(event_type, '->' ORDER BY ts, event_id) AS path,
+           COUNT(*) AS n_steps
+    FROM events
+    WHERE user_id < 10
+    GROUP BY 1, 2
+    """,
+    tags=("agg", "path", "collect-ordered"),
+)
+def user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered event-path aggregation (product-analytics journey strings):
+    collect_list gives NO ordering guarantee in a distributed agg, so the
+    deterministic construction is collect structs → array_sort → project —
+    matching DuckDB's string_agg(... ORDER BY)."""
+    e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
+    steps = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        e.groupBy("user_id", iso_day("ts").alias("day"))
+        .agg(
+            F.array_join(
+                F.transform(steps, lambda s: s["event_type"]), "->"
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_steps"),
+        )
+    )
