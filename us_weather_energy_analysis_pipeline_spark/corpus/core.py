@@ -708,7 +708,7 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = Window.orderBy("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("decile", F.ntile(10).over(w))
+        o.withColumn("decile", F.ntile(10).over(w).cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),
