@@ -795,3 +795,61 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.to_date("ts")).alias("n_days"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "semi_join_customers",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_active
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01'
+    )
+    GROUP BY n.n_name
+    """,
+    tags=("join", "semi"),
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with recent orders, counted per
+    nation. Semi joins never duplicate or widen the probe side — the
+    build side reduces to its join key before shuffling."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
+    )
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    active = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return (
+        active.join(n, active.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@register(
+    "monthly_rollup",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue,
+           ROUND(AVG(o_totalprice), 4) AS avg_order
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("agg", "calendar", "timeseries"),
+)
+def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup (day→month grain): date_trunc both
+    engines; the month key doubles as a natural partition key for
+    long-horizon fact tables."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        r2(F.sum("o_totalprice")).alias("revenue"),
+        r4(F.avg("o_totalprice")).alias("avg_order"),
+    )

@@ -305,3 +305,40 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = dedup_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     return dedup_clusters(pairs)
+
+
+@register(
+    "dedup_edit_distance",
+    oracle="""
+    WITH docs AS (
+      SELECT doc_id, substr(lower(trim(text)), 1, 80) AS head
+      FROM documents WHERE doc_id < 30
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
+    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    WHERE levenshtein(a.head, b.head) <= 40
+    """,
+    tags=("dedup", "edit-distance", "levenshtein"),
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup detection on document heads (bounded slice —
+    Levenshtein is O(len²) per pair, so at scale it is the VERIFY step on
+    LSH candidates, never a full pairwise pass; the bounded head is the
+    standard trick to cap the cost)."""
+    d = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 30)
+        .select("doc_id", F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("head"))
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long")
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 40)
+    )
