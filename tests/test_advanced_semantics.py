@@ -1,0 +1,93 @@
+"""Unit semantics for the advanced corpus operators (inline fixtures):
+gaps-and-islands streak detection, LOCF forward fill, two-pass z-score
+moments, and full-outer reconciliation edges. The oracle gate
+(test_corpus_oracle.py) covers the same queries end-to-end; these pin the
+operator semantics on hand-checkable data."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def test_streak_islands_inline(spark):
+    """Days {1,2,3, 6, 8,9} → streaks [1-3]=3, [6]=1, [8-9]=2."""
+    rows = [("u1", dt.date(2024, 1, d)) for d in (1, 2, 3, 6, 8, 9)]
+    df = spark.createDataFrame(rows, "user_id string, day date")
+    w = Window.partitionBy("user_id").orderBy("day")
+    streaks = (
+        df.withColumn("anchor", F.date_sub("day", F.row_number().over(w)))
+        .groupBy("user_id", "anchor")
+        .agg(
+            F.min("day").alias("s"),
+            F.max("day").alias("e"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    got = {(r["s"].day, r["e"].day, r["n"]) for r in streaks.collect()}
+    assert got == {(1, 3, 3), (6, 6, 1), (8, 9, 2)}
+
+
+def test_locf_forward_fill_inline(spark):
+    """Nulls take the last prior non-null; leading nulls stay null."""
+    rows = [(1, None), (2, 10.0), (3, None), (4, None), (5, 20.0), (6, None)]
+    df = spark.createDataFrame(rows, "t int, v double")
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled = df.select("t", F.last("v", ignorenulls=True).over(w).alias("f"))
+    got = {r["t"]: r["f"] for r in filled.collect()}
+    assert got == {1: None, 2: 10.0, 3: 10.0, 4: 10.0, 5: 20.0, 6: 20.0}
+
+
+def test_zscore_two_pass_matches_direct(spark):
+    """Broadcast moment formula (n, Σx, Σx²) equals stddev_samp z-score."""
+    import math
+
+    vals = [1.0, 2.0, 2.0, 3.0, 10.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    st = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("ss"),
+    ).collect()[0]
+    n, s, ss = st["n"], st["s"], st["ss"]
+    mean = s / n
+    std = math.sqrt((ss - s * s / n) / (n - 1))
+    import statistics
+
+    assert abs(mean - statistics.mean(vals)) < 1e-12
+    assert abs(std - statistics.stdev(vals)) < 1e-12
+    assert abs((10.0 - mean) / std - (10.0 - 3.6) / statistics.stdev(vals)) < 1e-12
+
+
+def test_full_outer_keeps_both_unmatched(spark):
+    a = spark.createDataFrame([(1, 10), (2, 20)], "k int, a int")
+    b = spark.createDataFrame([(2, 200), (3, 300)], "k int, b int")
+    out = (
+        a.join(b, a.k == b.k, "full_outer")
+        .select(
+            F.coalesce(a.k, b.k).alias("k"),
+            F.coalesce("a", F.lit(0)).alias("a"),
+            F.coalesce("b", F.lit(0)).alias("b"),
+        )
+    )
+    got = {(r["k"], r["a"], r["b"]) for r in out.collect()}
+    assert got == {(1, 10, 0), (2, 20, 200), (3, 0, 300)}
+
+
+def test_banded_range_join_assigns_every_row_once(spark):
+    """Bands partition the domain → every fact matches exactly one band."""
+    facts = spark.createDataFrame([(float(v),) for v in (5, 15, 25, 35)], "x double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 20.0), ("hi", 20.0, 40.0)], "band string, lo double, hi double"
+    )
+    joined = facts.join(
+        F.broadcast(bands), (facts.x >= bands.lo) & (facts.x < bands.hi)
+    )
+    assert joined.count() == 4
+    got = dict(
+        joined.groupBy("band").agg(F.count(F.lit(1)).alias("n")).collect()
+    )  # rows -> (band, n)
+    got = {r: n for r, n in got.items()}
+    assert got == {"lo": 2, "hi": 2}

@@ -1,0 +1,603 @@
+"""Advanced analytics corpus: gaps-and-islands, top-k per group, LOCF
+gap-fill, distribution ranks, correlated-subquery rewrites, full-outer
+reconciliation, two-pass z-scores, histograms, banded theta joins,
+explicit GROUPING SETS, filtered aggregates and embedding near-dup pairs.
+
+These extend the reference's analytic surface (SURVEY.md §2.5/§2.8 —
+e.g. the prev-day lag idiom `app.py:605`, mean-impute `data_processor.py:59`)
+with the query shapes a production warehouse runs daily. Every query keeps
+the work shuffle-minimal: window passes share one partitioning, group
+statistics are broadcast back instead of windowed over the fact table, and
+tiny band/dimension tables are broadcast for non-equi joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.corpus.spine_q import day_spine
+
+
+# ---------------------------------------------------------------------------
+# Gaps & islands: consecutive-day activity streaks per user
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streak_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS rn
+      FROM days
+    )
+    SELECT user_id,
+           strftime(MIN(day), '%Y-%m-%d') AS streak_start,
+           strftime(MAX(day), '%Y-%m-%d') AS streak_end,
+           COUNT(*) AS streak_days
+    FROM seq
+    GROUP BY user_id, day - CAST(rn AS INTEGER)
+    """,
+    tags=("window", "gaps-islands", "timeseries"),
+)
+def streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks (gaps-and-islands): anchor =
+    day - row_number() is constant within a run of consecutive days, so a
+    single ordered window pass + one groupBy finds every streak. Scales as
+    one shuffle on user_id; no self-join, no iteration."""
+    e = load(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    anchored = days.withColumn("anchor", F.date_sub(F.col("day"), F.row_number().over(w)))
+    return anchored.groupBy("user_id", "anchor").agg(
+        F.date_format(F.min("day"), "yyyy-MM-dd").alias("streak_start"),
+        F.date_format(F.max("day"), "yyyy-MM-dd").alias("streak_end"),
+        F.count(F.lit(1)).alias("streak_days"),
+    ).select("user_id", "streak_start", "streak_end", "streak_days")
+
+
+# ---------------------------------------------------------------------------
+# Top-k per group (bounded rank, not global limit)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_per_group",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                ORDER BY o.o_totalprice DESC, o.o_orderkey) AS INTEGER) AS rnk,
+           o.o_orderkey,
+           ROUND(o.o_totalprice, 2) AS totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    QUALIFY rnk <= 3
+    """,
+    tags=("window", "topk", "join"),
+)
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per market segment — per-group bounded rank (the
+    reference only has a global limit, O2 `app.py:559`). row_number with a
+    deterministic orderkey tie-break; AQE plans the customer side broadcast
+    so the only shuffle is the rank partitioning."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            "rnk",
+            "o_orderkey",
+            r2(F.col("o_totalprice")).alias("totalprice"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LOCF gap-fill: date spine + last-observation-carried-forward
+# ---------------------------------------------------------------------------
+
+LOCF_CUTOFF = 250.0  # sparse series: ~12 of 30 event days have a purchase > 250
+
+
+@register(
+    "locf_gap_fill",
+    oracle=f"""
+    WITH bounds AS (
+      SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi FROM events
+    ),
+    spine AS (
+      SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day FROM bounds
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, MAX(value) AS vmax
+      FROM events WHERE event_type = 'purchase' AND value > {LOCF_CUTOFF}
+      GROUP BY 1
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           ROUND(d.vmax, 2) AS vmax,
+           ROUND(LAST_VALUE(d.vmax IGNORE NULLS) OVER (
+                 ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 2) AS vfill
+    FROM spine s LEFT JOIN daily d USING (day)
+    """,
+    tags=("window", "locf", "spine", "timeseries", "N1"),
+)
+def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over a completed calendar (LOCF): spine left-join leaves
+    nulls on observation-free days; ``last(..., ignorenulls=True)`` over an
+    ordered running frame carries the previous observation forward — the
+    standard imputation step the reference approximates with group-mean
+    fill (N1 `data_processor.py:59-60`). One window pass, no iteration;
+    partition by series key when filling many series at once."""
+    e = load(spark, sf_dir, "events")
+    spine = day_spine(e, "ts")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > LOCF_CUTOFF))
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.max("value").alias("vmax"))
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            iso_day("day").alias("day"),
+            r2(F.col("vmax")).alias("vmax"),
+            r2(F.last("vmax", ignorenulls=True).over(w)).alias("vfill"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution ranks: percent_rank + cume_dist within group
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dist_percent_rank",
+    oracle="""
+    SELECT c_custkey,
+           c_mktsegment AS segment,
+           ROUND(c_acctbal, 2) AS acctbal,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
+           ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
+    FROM customer
+    """,
+    tags=("window", "distribution"),
+)
+def dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical distribution position of every customer's balance within
+    its segment: percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are
+    rank arithmetic — exact, engine-independent doubles. One shuffle on the
+    segment key serves both functions."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("segment"),
+        r2(F.col("c_acctbal")).alias("acctbal"),
+        r6(F.percent_rank().over(w)).alias("pr"),
+        r6(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Correlated-subquery shape rewritten as a window: rows above group average
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "above_group_avg",
+    oracle="""
+    WITH w AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(cavg, 4) AS cust_avg
+    FROM w WHERE o_totalprice > cavg
+    """,
+    tags=("window", "correlated-subquery"),
+)
+def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders above their customer's average order value — the classic
+    correlated scalar subquery (`WHERE price > (SELECT AVG ... WHERE same
+    key)`) decorrelated into a single partition-window pass: one shuffle on
+    o_custkey instead of a per-row subquery."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    cavg = F.avg("o_totalprice").over(w)
+    return (
+        o.withColumn("cavg", cavg)
+        .filter(F.col("o_totalprice") > F.col("cavg"))
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            r2(F.col("o_totalprice")).alias("totalprice"),
+            r4(F.col("cavg")).alias("cust_avg"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mode (most frequent value) per group with deterministic tie-break
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mode_event_type",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, event_type AS mode_type, n
+    FROM c
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) = 1
+    """,
+    tags=("agg", "mode", "window"),
+)
+def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user modal event type — pandas ``value_counts().idxmax()``
+    recast as count-then-rank with an explicit lexicographic tie-break
+    (built-in ``mode()`` is tie-nondeterministic in both engines, so the
+    window form is the portable one). Two map-side-combinable shuffles."""
+    e = load(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full-outer reconciliation of two aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "full_outer_nation_counts",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nk, COUNT(*) AS customers
+      FROM customer WHERE c_mktsegment = 'BUILDING' GROUP BY 1
+    ),
+    s AS (
+      SELECT s_nationkey AS nk, COUNT(*) AS suppliers
+      FROM supplier WHERE s_acctbal > 7000 GROUP BY 1
+    )
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(customers, 0) AS customers,
+           COALESCE(suppliers, 0) AS suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+    tags=("join", "full-outer", "reconciliation"),
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer reconciliation of two filtered per-nation aggregates —
+    the join type the reference never uses (SURVEY §2.4: inner/left only).
+    Aggregating BEFORE the join shrinks both sides to ≤25 rows, so the
+    full-outer is effectively free at any scale; coalesced keys + zero
+    fills give the audit-style 'present on either side' view."""
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 7000)
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+    )
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("customers", F.lit(0)).alias("customers"),
+            F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Z-score outliers via two-pass broadcast statistics
+# ---------------------------------------------------------------------------
+
+Z_CUTOFF = 1.65
+
+
+@register(
+    "zscore_outliers",
+    oracle=f"""
+    WITH st AS (
+      SELECT l_returnflag AS rf, COUNT(*) AS n,
+             SUM(l_quantity) AS s, SUM(l_quantity * l_quantity) AS ss
+      FROM lineitem GROUP BY 1
+    ),
+    z AS (
+      SELECT l.l_orderkey, l.l_linenumber, st.rf, l.l_quantity AS qty,
+             (l.l_quantity - st.s / st.n)
+               / SQRT((st.ss - st.s * st.s / st.n) / (st.n - 1)) AS zval
+      FROM lineitem l JOIN st ON l.l_returnflag = st.rf
+    )
+    SELECT l_orderkey, l_linenumber, rf, qty, ROUND(zval, 4) AS z
+    FROM z WHERE ABS(zval) > {Z_CUTOFF}
+    """,
+    tags=("agg", "zscore", "quality", "broadcast"),
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging (generalizes the reference's
+    fixed-threshold outlier predicate F3 `data_processor.py:95-97`) done the
+    scale-correct way: a tiny moment aggregate (n, Σx, Σx²) per group is
+    broadcast-joined back to the fact table — no window over 100 TB of
+    rows, and the explicit moment formula yields bit-identical doubles in
+    any engine (quantities are integral, so the sums are exact)."""
+    li = load(spark, sf_dir, "lineitem")
+    st = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("l_quantity").alias("s"),
+        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("l_quantity") - mean) / std
+    return (
+        li.join(F.broadcast(st), li.l_returnflag == st.rf)
+        .withColumn("zval", z)
+        .filter(F.abs(F.col("zval")) > Z_CUTOFF)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "rf",
+            F.col("l_quantity").alias("qty"),
+            r4(F.col("zval")).alias("z"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width histogram
+# ---------------------------------------------------------------------------
+
+HIST_WIDTH = 20000.0
+
+
+@register(
+    "histogram_price",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / {HIST_WIDTH}) AS INTEGER) AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "histogram", "P10"),
+)
+def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram — the scalable form of the reference's
+    labeled CASE binning (P10 `analysis.py:47-54`): floor-division buckets
+    need no per-bucket branch, group count is map-side combinable, and the
+    bucket id is bit-exact in every engine."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("int").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r2(F.min("o_totalprice")).alias("lo"),
+            r2(F.max("o_totalprice")).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Banded non-equi (theta) join against a broadcast ranges table
+# ---------------------------------------------------------------------------
+
+PRICE_BANDS = [
+    ("budget", 0.0, 60000.0),
+    ("mid", 60000.0, 150000.0),
+    ("premium", 150000.0, 300000.0),
+    ("luxury", 300000.0, 1000000.0),
+]
+
+
+@register(
+    "range_join_price_band",
+    oracle="""
+    SELECT b.band, COUNT(*) AS n, ROUND(SUM(o.o_totalprice), 2) AS total
+    FROM orders o
+    JOIN (VALUES ('budget', 0.0, 60000.0),
+                 ('mid', 60000.0, 150000.0),
+                 ('premium', 150000.0, 300000.0),
+                 ('luxury', 300000.0, 1000000.0)) AS b(band, lo, hi)
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY 1
+    """,
+    tags=("join", "theta", "range", "broadcast"),
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: facts matched to a small [lo, hi) bands table on
+    an inequality predicate. Spark plans this as a broadcast nested-loop
+    join — correct and cheap while the band table is small; for large range
+    tables the scale path is bucketing both sides on a shared coarse grid
+    and equi-joining the grid key first (see operators/asof.py for the
+    same technique applied to time)."""
+    o = load(spark, sf_dir, "orders")
+    bands = F.broadcast(
+        o.sparkSession.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    )
+    return (
+        o.join(
+            bands,
+            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Explicit GROUPING SETS with GROUPING() provenance flags
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_flags",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+           CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping-sets"),
+)
+def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — an arbitrary lattice subset (unlike
+    rollup_revenue / cube_priority_status which cover the full hierarchies)
+    with GROUPING() provenance flags distinguishing 'null because
+    aggregated' from 'null in the data'. SQL form: grouping-set layout is a
+    planner concern, identical in the DataFrame API."""
+    e = load(spark, sf_dir, "lineitem")
+    e.createOrReplaceTempView("lineitem")
+    return e.sparkSession.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n,
+               SUM(l_extendedprice) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        "g_flag",
+        "g_status",
+        "n",
+        r2(F.col("revenue")).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Filtered aggregates (manual pivot without PIVOT)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filtered_agg_status",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 2) AS rev_finished
+    FROM orders GROUP BY 1
+    """,
+    tags=("agg", "filtered", "pivot"),
+)
+def filtered_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered aggregates — the one-pass manual pivot (`COUNT(*) FILTER`
+    ≡ Spark `count_if` / `sum(when)`): all conditional columns computed in
+    a single map-side-combinable aggregation instead of one scan per
+    condition or a pivot shuffle."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
+        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
+        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
+        r2(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))).alias(
+            "rev_finished"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate candidate pairs
+# ---------------------------------------------------------------------------
+
+COSINE_DUP_THRESHOLD = 0.4  # synthetic corpus max pair cosine ≈ 0.513
+
+
+@register(
+    "dedup_embed_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)
+             AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+          >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("dedup", "embedding", "similarity"),
+)
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pair detection (completes the dedup
+    family: exact / n-gram / MinHash / SimHash / edit-distance / cosine).
+    Brute-force O(n²) self-join — correct baseline; the 100 TB path blocks
+    candidates by LSH bucket first exactly as embed_lsh_bucket_topk does
+    (operators/dedup.py, operators/similarity.py), turning the cross join
+    into a per-bucket join.
+
+    The dot product is UNROLLED into per-element column arithmetic instead
+    of ``aggregate``/``zip_with``: higher-order functions allocate an array
+    per pair and evaluate a lambda per element (~60 s for 12.5 M pairs at
+    sf0.1), while the unrolled left-associative sum compiles into one
+    whole-stage-codegen expression (~10× faster) AND keeps the exact
+    left-to-right summation order of ``aggregate``'s fold, so the result
+    stays bit-identical to DuckDB's sequential list_cosine_similarity.
+    The threshold is a parameter; 0.4 sits in the synthetic corpus's top
+    tail (max pair cosine ≈ 0.513)."""
+    from functools import reduce
+
+    emb = load(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+
+    def widened(prefix: str) -> DataFrame:
+        elems = [
+            F.col("embedding")[i].cast("double").alias(f"{prefix}{i}")
+            for i in range(dim)
+        ]
+        df = emb.select(F.col("vec_id").alias(f"id_{prefix}"), *elems)
+        # norm as the same left-to-right fold the aggregate() form uses
+        ss = reduce(
+            lambda acc, i: acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}"),
+            range(1, dim),
+            F.col(f"{prefix}0") * F.col(f"{prefix}0"),
+        )
+        return df.withColumn(f"nrm_{prefix}", F.sqrt(ss))
+
+    a, b = widened("a"), widened("b")
+    dot = reduce(
+        lambda acc, i: acc + F.col(f"a{i}") * F.col(f"b{i}"),
+        range(1, dim),
+        F.col("a0") * F.col("b0"),
+    )
+    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cos)
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("id_a", "id_b", r4(F.col("cos")).alias("cosine"))
+    )

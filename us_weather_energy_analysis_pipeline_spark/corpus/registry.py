@@ -107,6 +107,7 @@ def _ensure_loaded() -> None:
         similarity_q,
         mm_stream_q,
         sql_q,
+        advanced_q,
     )
 
     _LOADED = True
