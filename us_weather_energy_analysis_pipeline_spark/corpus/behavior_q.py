@@ -1,0 +1,368 @@
+"""Behavioral & temporal analytics corpus: cohort retention, funnel
+conversion, co-occurrence pairs, year-over-year comparison, calendar-aware
+RANGE frames, grouped quantiles, argmax aggregates and higher-moment stats.
+
+The shapes a product-analytics warehouse runs on an events stream — all
+expressed as shuffle-minimal DataFrame plans (the reference's closest
+relatives are the prev-day lag J3 `app.py:605` and daily rollup A3
+`app.py:701-704`, generalized here to user-level temporal semantics)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day, tracked by offset
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(day) AS cday FROM ud GROUP BY 1
+    )
+    SELECT strftime(c.cday, '%Y-%m-%d') AS cohort_day,
+           CAST(u.day - c.cday AS INTEGER) AS day_offset,
+           COUNT(*) AS n_users
+    FROM ud u JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("cohort", "retention", "behavioral"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: each user is assigned to the cohort of
+    their first active day; (cohort_day, day_offset) cells count users
+    still active N days later. Two shuffles on user_id (dedup + min), then
+    one on the small cohort key — the user-grain intermediates never leave
+    their partitioning."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohort = ud.groupBy("user_id").agg(F.min("day").alias("cday"))
+    return (
+        ud.join(cohort, "user_id")
+        .groupBy(
+            iso_day("cday").alias("cohort_day"),
+            F.datediff("day", "cday").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Funnel conversion: view → purchase within 24 h
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS vts FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS pts
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts >= v.vts
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT strftime(CAST(v.vts AS DATE), '%Y-%m-%d') AS first_view_day,
+           COUNT(*) AS n_viewers,
+           COUNT(*) FILTER (WHERE p.pts IS NOT NULL
+                            AND p.pts <= v.vts + INTERVAL 24 HOURS) AS n_converted,
+           ROUND(CAST(COUNT(*) FILTER (WHERE p.pts IS NOT NULL
+                                       AND p.pts <= v.vts + INTERVAL 24 HOURS) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 4) AS cvr
+    FROM v LEFT JOIN p USING (user_id)
+    GROUP BY 1
+    """,
+    tags=("funnel", "behavioral", "join"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage funnel: per first-view day, how many viewers made their
+    first subsequent purchase within 24 h. Stage anchors are per-user MIN
+    aggregates (map-side combinable); the conditional conversion count is a
+    filtered aggregate over one left join — no per-user subqueries."""
+    e = load(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    converted = F.col("pts").isNotNull() & (
+        F.col("pts") <= F.col("vts") + F.expr("INTERVAL 24 HOURS")
+    )
+    return (
+        v.join(p, "user_id", "left")
+        .groupBy(iso_day(F.to_date("vts")).alias("first_view_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewers"),
+            F.count_if(converted).alias("n_converted"),
+            r4(
+                F.count_if(converted).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("cvr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Co-occurrence pairs: event types seen together per (user, day)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cooccurrence_pairs",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type FROM events
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b, COUNT(*) AS n
+    FROM ud a JOIN ud b
+      ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
+    GROUP BY 1, 2
+    """,
+    tags=("behavioral", "self-join", "market-basket"),
+)
+def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: unordered pairs of event types that
+    appear for the same user on the same day. Dedup to (user, day, type)
+    grain first — the self-join then explodes only the per-key type set
+    (≤ |types|² rows per key), not raw events; both sides share one
+    (user_id, day) shuffle partitioning so the join is co-located."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).distinct()
+    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
+    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    return (
+        a.join(b, ["user_id", "day"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year: monthly revenue vs the same month last year
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "yoy_monthly",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(strftime(l_shipdate, '%Y') AS INTEGER) AS yr,
+             CAST(strftime(l_shipdate, '%m') AS INTEGER) AS mon,
+             SUM(l_extendedprice) AS revenue
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT yr, mon,
+           ROUND(revenue, 2) AS revenue,
+           ROUND(LAG(revenue) OVER (PARTITION BY mon ORDER BY yr), 2) AS prev_year,
+           CASE WHEN LAG(revenue) OVER (PARTITION BY mon ORDER BY yr) > 0
+                THEN ROUND((revenue - LAG(revenue) OVER (PARTITION BY mon ORDER BY yr))
+                           / LAG(revenue) OVER (PARTITION BY mon ORDER BY yr) * 100, 4)
+           END AS yoy_pct
+    FROM m
+    """,
+    tags=("window", "yoy", "timeseries"),
+)
+def yoy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: lag over a window PARTITIONED BY calendar
+    month and ORDERED BY year aligns each month with the same month one
+    year earlier — no self-join, and the window runs on the tiny monthly
+    aggregate, never the fact table."""
+    li = load(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon")
+    ).agg(F.sum("l_extendedprice").alias("revenue"))
+    w = Window.partitionBy("mon").orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "yr",
+        "mon",
+        r2(F.col("revenue")).alias("revenue"),
+        r2(prev).alias("prev_year"),
+        F.when(prev > 0, r4((F.col("revenue") - prev) / prev * 100)).alias("yoy_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar-aware trailing window: RANGE frame over days
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "trailing_range_7d",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(l_shipdate AS DATE) AS day, SUM(l_extendedprice) AS total
+      FROM lineitem GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(total, 2) AS total,
+           ROUND(SUM(total) OVER (ORDER BY day
+                 RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW), 2) AS r7
+    FROM d
+    """,
+    tags=("window", "range-frame", "timeseries"),
+)
+def trailing_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7 CALENDAR days via a RANGE frame — unlike the ROWS frame
+    in moving_avg_7d, missing days shrink the window instead of silently
+    stretching it. Spark's rangeBetween needs a numeric ordering key, so
+    the date becomes an epoch-day integer (datediff from 1970-01-01) —
+    bit-exact, reversible, and the frame bounds stay in day units."""
+    li = load(spark, sf_dir, "lineitem")
+    d = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        F.sum("l_extendedprice").alias("total")
+    )
+    d = d.withColumn("dayn", F.datediff("day", F.lit("1970-01-01").cast("date")))
+    w = Window.orderBy("dayn").rangeBetween(-6, 0)
+    return d.select(
+        iso_day("day").alias("day"),
+        r2(F.col("total")).alias("total"),
+        r2(F.sum("total").over(w)).alias("r7"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped exact quantiles
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "grouped_quantiles",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS p50,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90,
+           ROUND(quantile_cont(value, 0.99), 4) AS p99
+    FROM events GROUP BY 1
+    """,
+    tags=("agg", "quantiles", "A10"),
+)
+def grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles — one percentile aggregate with an array
+    of fractions per group (single sort buffer per group, same linear
+    interpolation as DuckDB quantile_cont; see quantiles_exact for the
+    global form and the approx_percentile swap at 100 TB)."""
+    e = load(spark, sf_dir, "events")
+    arr = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5, 0.9, 0.99))").alias("ps")
+    )
+    return arr.select(
+        "event_type",
+        r4(F.col("ps")[0]).alias("p50"),
+        r4(F.col("ps")[1]).alias("p90"),
+        r4(F.col("ps")[2]).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Argmax / argmin aggregates
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "argmax_supplier",
+    oracle="""
+    SELECT s_nationkey AS nationkey,
+           arg_max(s_name, s_acctbal) AS top_supplier,
+           ROUND(MAX(s_acctbal), 2) AS top_acctbal,
+           arg_min(s_name, s_acctbal) AS bottom_supplier,
+           ROUND(MIN(s_acctbal), 2) AS bottom_acctbal
+    FROM supplier GROUP BY 1
+    """,
+    tags=("agg", "argmax", "A4"),
+)
+def argmax_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin as AGGREGATES (max_by / min_by) — the one-pass
+    alternative to the window row_number idiom in last_per_group: no sort,
+    no rank, map-side combinable. Deterministic here because extreme
+    balances are unique per nation (ties would need a struct-valued
+    ordering key or the window form)."""
+    s = load(spark, sf_dir, "supplier")
+    return s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.max_by("s_name", "s_acctbal").alias("top_supplier"),
+        r2(F.max("s_acctbal")).alias("top_acctbal"),
+        F.min_by("s_name", "s_acctbal").alias("bottom_supplier"),
+        r2(F.min("s_acctbal")).alias("bottom_acctbal"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Higher-moment statistics from raw power sums
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "moments_skew_kurt",
+    oracle="""
+    WITH st AS (
+      SELECT event_type, COUNT(*) AS n,
+             SUM(value) AS s1, SUM(value * value) AS s2,
+             SUM(value * value * value) AS s3,
+             SUM(value * value * value * value) AS s4
+      FROM events GROUP BY 1
+    )
+    SELECT event_type, n,
+           ROUND(s1 / n, 4) AS mean,
+           ROUND((s2 / n - (s1 / n) * (s1 / n)), 4) AS var_pop,
+           ROUND((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 1.5), 4) AS skew,
+           ROUND((s4 / n - 4 * (s1 / n) * (s3 / n)
+                  + 6 * (s1 / n) * (s1 / n) * (s2 / n)
+                  - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+                 / POW(s2 / n - (s1 / n) * (s1 / n), 2) - 3, 4) AS kurt_excess
+    FROM st
+    """,
+    tags=("agg", "moments", "stats"),
+)
+def moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis from raw power sums
+    (n, Σx, Σx², Σx³, Σx⁴) — one map-side-combinable pass, mergeable
+    across partitions, and the SAME explicit expression tree on both
+    engines (built-in skewness/kurtosis differ by estimator and summation
+    algorithm across engines, so the moment form is the portable one)."""
+    e = load(spark, sf_dir, "events")
+    v = F.col("value")
+    st = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    m = s1 / n
+    var_pop = s2 / n - m * m
+    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var_pop, 1.5)
+    kurt = (
+        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
+    ) / F.pow(var_pop, 2) - 3
+    return st.select(
+        "event_type",
+        "n",
+        r4(m).alias("mean"),
+        r4(var_pop).alias("var_pop"),
+        r4(skew).alias("skew"),
+        r4(kurt).alias("kurt_excess"),
+    )

@@ -108,6 +108,7 @@ def _ensure_loaded() -> None:
         mm_stream_q,
         sql_q,
         advanced_q,
+        behavior_q,
     )
 
     _LOADED = True
