@@ -560,44 +560,18 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py, operators/similarity.py), turning the cross join
     into a per-bucket join.
 
-    The dot product is UNROLLED into per-element column arithmetic instead
-    of ``aggregate``/``zip_with``: higher-order functions allocate an array
-    per pair and evaluate a lambda per element (~60 s for 12.5 M pairs at
-    sf0.1), while the unrolled left-associative sum compiles into one
-    whole-stage-codegen expression (~10× faster) AND keeps the exact
-    left-to-right summation order of ``aggregate``'s fold, so the result
-    stays bit-identical to DuckDB's sequential list_cosine_similarity.
-    The threshold is a parameter; 0.4 sits in the synthetic corpus's top
-    tail (max pair cosine ≈ 0.513)."""
-    from functools import reduce
+    Filter-and-refine (operators/similarity.py cosine_pairs_filter_refine):
+    a distributed numpy block product prunes the O(n²) pair space to
+    candidates above ``threshold - 1e-6``; the survivors are re-scored
+    exactly with the sequential fold formula, so the output is
+    bit-identical to evaluating every pair with DuckDB's
+    list_cosine_similarity (the naive codegen pair join took ~14 s at
+    sf0.1; this runs in ~2 s). The threshold is a parameter; 0.4 sits in
+    the synthetic corpus's top tail (max pair cosine ≈ 0.513)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        cosine_pairs_filter_refine,
+    )
 
     emb = load(spark, sf_dir, "embeddings")
-    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
-
-    def widened(prefix: str) -> DataFrame:
-        elems = [
-            F.col("embedding")[i].cast("double").alias(f"{prefix}{i}")
-            for i in range(dim)
-        ]
-        df = emb.select(F.col("vec_id").alias(f"id_{prefix}"), *elems)
-        # norm as the same left-to-right fold the aggregate() form uses
-        ss = reduce(
-            lambda acc, i: acc + F.col(f"{prefix}{i}") * F.col(f"{prefix}{i}"),
-            range(1, dim),
-            F.col(f"{prefix}0") * F.col(f"{prefix}0"),
-        )
-        return df.withColumn(f"nrm_{prefix}", F.sqrt(ss))
-
-    a, b = widened("a"), widened("b")
-    dot = reduce(
-        lambda acc, i: acc + F.col(f"a{i}") * F.col(f"b{i}"),
-        range(1, dim),
-        F.col("a0") * F.col("b0"),
-    )
-    cos = dot / (F.col("nrm_a") * F.col("nrm_b"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cos)
-        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("id_a", "id_b", r4(F.col("cos")).alias("cosine"))
-    )
+    pairs = cosine_pairs_filter_refine(emb, COSINE_DUP_THRESHOLD)
+    return pairs.select("id_a", "id_b", r4(F.col("cosine")).alias("cosine"))

@@ -181,3 +181,61 @@ def lsh_topk(
     )
     w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_pairs_filter_refine(
+    emb: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    margin: float = 1e-6,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with exact cosine >= threshold, via
+    filter-and-refine: a vectorized numpy block product prunes the O(n²)
+    pair space down to candidates above ``threshold - margin``, then the
+    few survivors are re-scored EXACTLY with the sequential fold formula
+    (``cosine()`` above), so the result is bit-identical to evaluating
+    every pair — numpy's BLAS summation order differs from the fold only
+    at ~1e-15 relative, far inside the margin.
+
+    The filter stage is distributed: each partition multiplies its rows
+    against the full broadcast matrix (fine while n·dim floats fit an
+    executor — gigabytes at n=1M; beyond that, block candidates by LSH
+    bucket first, see ``lsh_topk``). Returns (id_a, id_b, cosine) with the
+    raw double cosine — callers round/alias as needed.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    gathered = emb.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in gathered], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in gathered], dtype=np.float64)
+    nrm = np.sqrt((mat * mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    cut = threshold - margin
+
+    def gen(batches):
+        b_ids, b_mat, b_nrm = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
+            row_nrm = np.sqrt((rows * rows).sum(axis=1))
+            cos = (rows @ b_mat.T) / np.outer(row_nrm, b_nrm)
+            ii, jj = np.nonzero(cos >= cut)
+            a, b = row_ids[ii], b_ids[jj]
+            keep = a < b
+            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+
+    cand = emb.select(id_col, vec_col).mapInPandas(gen, "id_a long, id_b long")
+    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", cosine("_va", "_vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
