@@ -109,6 +109,7 @@ def _ensure_loaded() -> None:
         sql_q,
         advanced_q,
         behavior_q,
+        tpch_more_q,
     )
 
     _LOADED = True
