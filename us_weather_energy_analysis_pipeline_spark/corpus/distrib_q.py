@@ -1,0 +1,363 @@
+"""Distribution & segmentation analytics: Pareto concentration, Shannon
+entropy, Gini inequality, Markov transition matrices, RFM quartile
+segmentation, chi-squared independence, and word-bigram counting.
+
+These are the statistics a training-data pipeline runs to characterize a
+corpus before sampling/mixing (concentration, diversity, drift) and the
+segmentation shapes the reference's dashboard hints at but never computes
+(its only stats are mean/median/OLS, `analysis.py:6-67`).
+
+Determinism across engines: every float that feeds an ORDER BY or a
+cumulative sum is rounded (r2) FIRST, so both engines sort and prefix-sum
+the same doubles in the same order — bit-identical cumulative results.
+Scale notes are per-query; global-ordered windows (Pareto, Gini, RFM
+ntile) are single-partition at test scale and would move to range
+partitioning + partition-prefix sums at 100 TB (same two-pass trick as
+`operators/skew.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+
+@register(
+    "pareto_revenue_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
+                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
+             SUM(revenue) OVER () AS tot_rev
+      FROM rev
+    )
+    SELECT COUNT(*) FILTER (WHERE cum_rev <= 0.8 * tot_rev) AS parts_for_80pct,
+           COUNT(*) AS total_parts
+    FROM ranked
+    """,
+    tags=("window", "cumulative", "distribution"),
+)
+def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/ABC analysis: how many parts produce 80 % of revenue.
+    Per-part revenue is rounded BEFORE ranking so both engines prefix-sum
+    identical doubles in identical order (bit-equal cum_rev). One shuffle
+    for the groupBy; the ordered cumsum is a global window — at 100 TB it
+    becomes range-partition + broadcast partition totals (two-pass prefix
+    sum), the classic distributed scan pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "revenue"
+        )
+    )
+    w_cum = (
+        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = rev.select(
+        F.sum("revenue").over(w_cum).alias("cum_rev"),
+        F.sum("revenue").over(Window.partitionBy()).alias("tot_rev"),
+    )
+    return ranked.agg(
+        F.count(F.when(F.col("cum_rev") <= 0.8 * F.col("tot_rev"), 1)).alias(
+            "parts_for_80pct"
+        ),
+        F.count(F.lit(1)).alias("total_parts"),
+    )
+
+
+@register(
+    "entropy_user_events",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    t AS (SELECT user_id, SUM(n) AS tot FROM c GROUP BY user_id)
+    SELECT c.user_id,
+           CAST(t.tot AS BIGINT) AS n_events,
+           ROUND(-SUM((n * 1.0 / tot) * LN(n * 1.0 / tot)), 4) AS entropy
+    FROM c JOIN t ON c.user_id = t.user_id
+    GROUP BY c.user_id, t.tot
+    """,
+    tags=("agg", "distribution", "text-pipeline"),
+)
+def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type mix — the diversity
+    statistic corpus-mixing jobs compute per source/domain. Two co-
+    partitioned aggregations on user_id (the second groupBy reuses the
+    first's hash partitioning — one shuffle total); p·ln p terms are exact
+    integer ratios so both engines see identical doubles."""
+    e = load(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        c.join(t, "user_id")
+        .groupBy("user_id", "tot")
+        .agg(r4(-F.sum(p * F.log(p))).alias("entropy"))
+        .select(
+            "user_id",
+            F.col("tot").cast("long").alias("n_events"),
+            "entropy",
+        )
+    )
+
+
+@register(
+    "gini_customer_revenue",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM rev
+    )
+    SELECT ROUND(2.0 * SUM(i * revenue) / (MAX(n) * SUM(revenue))
+                 - (MAX(n) + 1.0) / MAX(n), 6) AS gini,
+           CAST(MAX(n) AS BIGINT) AS n_customers
+    FROM ranked
+    """,
+    tags=("window", "distribution", "inequality"),
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue (rank formula
+    G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n on ascending-sorted x). Revenue is
+    rounded before ranking for a deterministic cross-engine order. The
+    global rank is the only non-parallel step — at scale it becomes
+    range-partitioning with broadcast partition-row-counts (rank offset =
+    prefix count), everything else is a plain agg."""
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(r2(F.sum("o_totalprice")).alias("revenue"))
+    w = Window.orderBy("revenue", "o_custkey")
+    ranked = rev.select(
+        "revenue",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return ranked.agg(
+        r6(
+            2.0 * F.sum(F.col("i") * F.col("revenue"))
+            / (F.max("n") * F.sum("revenue"))
+            - (F.max("n") + 1.0) / F.max("n")
+        ).alias("gini"),
+        F.max("n").cast("long").alias("n_customers"),
+    )
+
+
+@register(
+    "markov_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events
+    )
+    SELECT event_type, next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 /
+                 SUM(COUNT(*)) OVER (PARTITION BY event_type), 6) AS p
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    tags=("window", "sequence", "behavioral"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences
+    (the journey-summary statistic behind next-event prediction). One
+    ordered window pass partitioned by user_id (same shuffle the
+    sessionizer uses), then a 25-cell aggregate; transition probabilities
+    are exact integer ratios — cross-engine identical."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_row = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_type",
+        "n",
+        r6(F.col("n") / F.sum("n").over(w_row)).alias("p"),
+    )
+
+
+@register(
+    "rfm_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS freq,
+             ROUND(SUM(o_totalprice), 2) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r,
+             CAST(NTILE(4) OVER (ORDER BY freq DESC, o_custkey) AS INTEGER) AS f,
+             CAST(NTILE(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m,
+             monetary
+      FROM rfm
+    )
+    SELECT r || '-' || f || '-' || m AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(AVG(monetary), 2) AS avg_monetary
+    FROM scored
+    GROUP BY r, f, m
+    """,
+    tags=("window", "ntile", "segmentation", "behavioral"),
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic customer-scoring pipeline. Monetary is rounded before the
+    NTILE sort and every ordering carries a custkey tie-break, so quartile
+    boundaries agree across engines. Three global NTILEs share one
+    single-partition sort at test scale; at 100 TB each becomes an
+    approx-quantile bucketing (computed map-side) — the segment semantics
+    tolerate approximate boundaries by design."""
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        r2(F.sum("o_totalprice")).alias("monetary"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
+    f_ = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
+    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
+    scored = rfm.select(
+        r.alias("r"), f_.alias("f"), m.alias("m"), "monetary"
+    )
+    return (
+        scored.groupBy("r", "f", "m")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            r2(F.avg("monetary")).alias("avg_monetary"),
+        )
+        .select(
+            F.concat_ws("-", "r", "f", "m").alias("segment"),
+            "n_customers",
+            "avg_monetary",
+        )
+    )
+
+
+@register(
+    "chi2_weekday_event",
+    oracle="""
+    WITH obs AS (
+      SELECT event_type, CAST(date_part('dow', ts) AS INTEGER) AS dow,
+             COUNT(*) AS n
+      FROM events GROUP BY event_type, dow
+    ),
+    m AS (
+      SELECT event_type, dow, n,
+             SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+             SUM(n) OVER (PARTITION BY dow) AS col_tot,
+             SUM(n) OVER () AS grand_tot
+      FROM obs
+    )
+    SELECT ROUND(SUM(POWER(n - row_tot * col_tot * 1.0 / grand_tot, 2)
+                     / (row_tot * col_tot * 1.0 / grand_tot)), 4) AS chi2,
+           CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT)
+             * CAST(COUNT(DISTINCT dow) - 1 AS BIGINT) AS dof
+    FROM m
+    """,
+    tags=("agg", "stats", "independence"),
+)
+def chi2_weekday_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared test of independence for event-type × weekday — the
+    drift/seasonality check a data-quality suite runs on event streams.
+    The contingency table is a single groupBy (35 cells); marginals come
+    from windows over the tiny aggregated table, so the heavy input is
+    touched exactly once. Expected counts are exact integer ratios."""
+    e = load(spark, sf_dir, "events")
+    obs = e.groupBy(
+        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = obs.select(
+        "event_type",
+        "dow",
+        "n",
+        F.sum("n").over(Window.partitionBy("event_type")).alias("row_tot"),
+        F.sum("n").over(Window.partitionBy("dow")).alias("col_tot"),
+        F.sum("n").over(Window.partitionBy()).alias("grand_tot"),
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
+    return m.agg(
+        r4(F.sum(F.pow(F.col("n") - exp, 2) / exp)).alias("chi2"),
+        (
+            (F.count_distinct("event_type") - 1)
+            * (F.count_distinct("dow") - 1)
+        ).alias("dof"),
+    )
+
+
+@register(
+    "bigram_topk",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(
+               lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' +'),
+               w -> w <> '') AS ws
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(ws) AS word,
+             generate_subscripts(ws, 1) AS pos
+      FROM words
+    ),
+    big AS (
+      SELECT word || ' ' ||
+             LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+      FROM toks
+    )
+    SELECT bigram, COUNT(*) AS n
+    FROM big WHERE bigram IS NOT NULL
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    tags=("text-pipeline", "ngram", "topk"),
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 word bigrams across the document corpus — n-gram statistics
+    for LM data prep (vocabulary induction, contamination fingerprints).
+    Tokenization is pure JVM expression (regexp + split + filter, no UDF);
+    adjacent pairs come from transform() over the token array — zero
+    explode/window, so the only shuffle is the bigram count, and the final
+    top-k is a TakeOrdered (no global sort materialization)."""
+    d = load(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " +"),
+        lambda w: w != "",
+    )
+    # adjacent pairs zipped from the array itself: ws[i] + ' ' + ws[i+1]
+    bigrams = F.expr(
+        "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+        "(w, i) -> concat(w, ' ', ws[i + 1]))"
+    )
+    return (
+        d.select(ws.alias("ws"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

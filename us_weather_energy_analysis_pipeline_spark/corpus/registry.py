@@ -110,6 +110,7 @@ def _ensure_loaded() -> None:
         advanced_q,
         behavior_q,
         tpch_more_q,
+        distrib_q,
     )
 
     _LOADED = True
