@@ -178,3 +178,120 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert got2.get(dt.date(2024, 1, 1)) == 1.0
     assert 100.0 not in got2.values()
     assert 101.0 not in got2.values()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Replayed (at-least-once) events collapse to one row per event_id;
+    batch fallback uses plain dropDuplicates."""
+    from us_weather_energy_analysis_pipeline_spark.streaming.jobs import stream_dedup
+
+    src = str(tmp_path / "dup_src")
+    schema = "ts timestamp, event_id long, value double"
+    d = dt.datetime
+    rows = [
+        (d(2024, 1, 1, 10, 0), 1, 1.0),
+        (d(2024, 1, 1, 10, 0), 1, 1.0),  # exact replay
+        (d(2024, 1, 1, 10, 5), 2, 2.0),
+        (d(2024, 1, 1, 10, 6), 2, 2.0),  # replay within watermark
+        (d(2024, 1, 1, 10, 9), 3, 3.0),
+    ]
+    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src)
+    sdf = stream_dedup(
+        spark.readStream.schema(schema).parquet(src), ("event_id",), "ts", "1 hour"
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id, COUNT(*) AS n FROM dedup_test GROUP BY event_id").collect()
+    assert {r["event_id"]: r["n"] for r in got} == {1: 1, 2: 1, 3: 1}
+
+    # batch fallback
+    bdf = stream_dedup(spark.createDataFrame(rows, schema), ("event_id",))
+    assert bdf.count() == 3
+
+
+def test_stream_interval_join_matches_batch(spark, tmp_path):
+    """Stream-stream interval join: purchase within 1h after a view.
+    Checked against the identical batch join."""
+    from us_weather_energy_analysis_pipeline_spark.streaming.jobs import (
+        stream_interval_join,
+    )
+
+    d = dt.datetime
+    schema = "ts timestamp, user_id long, value double"
+    views = [
+        (d(2024, 1, 1, 10, 0), 1, 0.0),
+        (d(2024, 1, 1, 12, 0), 1, 0.0),
+        (d(2024, 1, 1, 10, 0), 2, 0.0),
+    ]
+    purchases = [
+        (d(2024, 1, 1, 10, 30), 1, 9.99),   # matches view@10 only
+        (d(2024, 1, 1, 12, 45), 1, 19.99),  # matches view@12 only
+        (d(2024, 1, 1, 15, 0), 2, 5.0),     # no view within 1h → dropped
+    ]
+    v_src, p_src = str(tmp_path / "v"), str(tmp_path / "p")
+    spark.createDataFrame(views, schema).repartition(1).write.parquet(v_src)
+    spark.createDataFrame(purchases, schema).repartition(1).write.parquet(p_src)
+
+    out = stream_interval_join(
+        spark.readStream.schema(schema).parquet(v_src),
+        spark.readStream.schema(schema).parquet(p_src),
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["user_id"], r["view_ts"], r["purchase_value"])
+        for r in spark.sql("SELECT * FROM ssj_test").collect()
+    )
+    batch = stream_interval_join(
+        spark.createDataFrame(views, schema), spark.createDataFrame(purchases, schema)
+    )
+    want = sorted(
+        (r["user_id"], r["view_ts"], r["purchase_value"]) for r in batch.collect()
+    )
+    assert got == want
+    assert got == [
+        (1, d(2024, 1, 1, 10, 0), 9.99),
+        (1, d(2024, 1, 1, 12, 0), 19.99),
+    ]
+
+
+def test_foreach_batch_upsert_idempotent_merge(spark, tmp_path):
+    """Micro-batches merge into the parquet target by key: a re-sent key
+    replaces the old row instead of duplicating it."""
+    from us_weather_energy_analysis_pipeline_spark.streaming.jobs import (
+        foreach_batch_upsert,
+    )
+
+    d = dt.datetime
+    schema = "ts timestamp, k long, value double"
+    src = str(tmp_path / "up_src")
+    target = str(tmp_path / "target")
+
+    # batch 1: keys 1, 2 — batch 2: key 2 updated + key 3 new
+    spark.createDataFrame(
+        [(d(2024, 1, 1, 10), 1, 1.0), (d(2024, 1, 1, 10), 2, 2.0)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(d(2024, 1, 1, 11), 2, 22.0), (d(2024, 1, 1, 11), 3, 3.0)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+
+    sdf = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src)
+    q = foreach_batch_upsert(sdf, target, ("k",), str(tmp_path / "ckpt_up"))
+    q.awaitTermination()
+
+    got = {r["k"]: r["value"] for r in spark.read.parquet(target).collect()}
+    assert got == {1: 1.0, 2: 22.0, 3: 3.0}

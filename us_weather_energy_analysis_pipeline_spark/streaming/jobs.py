@@ -8,6 +8,12 @@ stream over the raw landing zone).
   batch and streaming plans.
 - ``stateful_running_total``: applyInPandasWithState — the escape hatch
   for custom stateful semantics the built-ins can't express.
+- ``stream_dedup``: dropDuplicatesWithinWatermark — exactly-once
+  semantics over an at-least-once source, with bounded state.
+- ``stream_interval_join``: stream-stream inner join under watermarks
+  with a time-bound condition, so both sides' state is evictable.
+- ``foreach_batch_upsert``: idempotent micro-batch sink via the batch
+  upsert operator — the streaming write path for the canonical table.
 
 Tests drive these with ``trigger(availableNow=True)`` against temp dirs —
 the same code runs continuously on a real cluster.
@@ -81,6 +87,81 @@ def sessionize(
             F.sum(value_col).alias("total_value"),
         )
         .select(*key_cols, "session_start", "session_last_event", "n_events", "total_value")
+    )
+
+
+def stream_dedup(
+    sdf: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once dedup of an at-least-once stream:
+    dropDuplicatesWithinWatermark keeps one row per key and — unlike plain
+    dropDuplicates on a stream — EVICTS key state older than the watermark,
+    so state stays bounded at any throughput. Batch inputs fall back to
+    plain dropDuplicates (no watermark semantics to honor)."""
+    if not sdf.isStreaming:
+        return sdf.dropDuplicates(list(key_cols))
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
+def stream_interval_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    max_gap: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: purchase within ``max_gap`` after a view.
+    Both sides carry watermarks and the join condition time-bounds the
+    match window, which is what lets Spark evict buffered state — without
+    the interval bound a stream-stream join holds both sides forever."""
+    v = views.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("v_user"), F.col(ts_col).alias("view_ts")
+    )
+    p = purchases.withWatermark(ts_col, watermark).select(
+        F.col(key).alias("p_user"),
+        F.col(ts_col).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    return v.join(
+        p,
+        (F.col("v_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts") <= F.col("view_ts") + F.expr(f"INTERVAL {max_gap}")),
+    ).select(
+        F.col("v_user").alias(key), "view_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def foreach_batch_upsert(
+    sdf: DataFrame,
+    target_path: str,
+    key_cols: tuple[str, ...],
+    checkpoint: str,
+):
+    """Streaming upsert sink: each micro-batch merges into the parquet
+    target via the batch upsert operator (new keys replace old rows).
+    foreachBatch + checkpointing gives effectively-once writes — a replayed
+    batch re-merges the same keys idempotently. Returns the started query."""
+    from us_weather_energy_analysis_pipeline_spark.operators.upsert import (
+        upsert_parquet,
+    )
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        upsert_parquet(
+            batch_df.sparkSession, target_path, batch_df, list(key_cols)
+        )
+
+    return (
+        sdf.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
     )
 
 
