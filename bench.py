@@ -54,14 +54,37 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
+    # Full per-query detail goes to a file; the printed line must stay SHORT
+    # (the driver tail-captures stdout — a 106-key JSON line gets truncated
+    # and recorded as parsed:null, which is what happened in round 1).
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "corpus_total_sec",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_queries": len(timings),
+            },
+            f,
+            indent=1,
+            sort_keys=True,
+        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in slowest.items()},
+                "sf": sf,
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
             }
         )
     )

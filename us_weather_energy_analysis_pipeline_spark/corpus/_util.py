@@ -11,7 +11,7 @@ Conventions keeping the Spark result and the DuckDB oracle hash-identical:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -46,3 +46,18 @@ def r4(col: Column) -> Column:
 
 def r6(col: Column) -> Column:
     return dround(col, 6)
+
+
+def day_spine(df: DataFrame, ts_col: str) -> DataFrame:
+    """Generate the complete daily calendar spanning df's [min, max] of
+    ``ts_col`` — one row per day, column ``day`` (DateType).
+
+    Bounds come from a single-row aggregate; ``sequence`` + ``explode``
+    generates the days inside the plan (the single-row cross join is free).
+    """
+    bounds = df.agg(
+        F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
+    )
+    return bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )

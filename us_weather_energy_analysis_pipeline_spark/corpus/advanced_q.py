@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.corpus.spine_q import day_spine
+from us_weather_energy_analysis_pipeline_spark.corpus._util import day_spine
 
 
 # ---------------------------------------------------------------------------

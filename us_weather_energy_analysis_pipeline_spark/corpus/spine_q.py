@@ -14,23 +14,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2
+from us_weather_energy_analysis_pipeline_spark.corpus._util import day_spine, iso_day, r2
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
-
-def day_spine(df: DataFrame, ts_col: str) -> DataFrame:
-    """Generate the complete daily calendar spanning df's [min, max] of
-    ``ts_col`` — one row per day, column ``day`` (DateType).
-
-    Bounds come from a single-row aggregate; ``sequence`` + ``explode``
-    generates the days inside the plan (the single-row cross join is free).
-    """
-    bounds = df.agg(
-        F.min(F.to_date(ts_col)).alias("lo"), F.max(F.to_date(ts_col)).alias("hi")
-    )
-    return bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
-    )
 
 
 @register(
