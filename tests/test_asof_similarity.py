@@ -84,3 +84,32 @@ def test_lsh_bucket_determinism(emb):
     assert planes == hyperplanes(6, 64)
     codes = emb.select(lsh_bucket_code("embedding", planes).alias("b")).collect()
     assert all(0 <= r["b"] < 64 for r in codes)
+
+
+def test_cosine_pairs_blocked_matches_brute_force(emb):
+    """The block-pair filter-refine must return the exact all-pairs result
+    regardless of block count — force several hash blocks (block_rows=7 on
+    a ~60-row slice) so the i==j upper-triangle path AND the i<j
+    min/max-normalization path are both exercised."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        cosine,
+        cosine_pairs_filter_refine,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 60).select("vec_id", "embedding")
+    thr = 0.2
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in cosine_pairs_filter_refine(sub, thr, block_rows=7).collect()
+    }
+    a = sub.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = sub.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine("_va", "_vb"))
+        .filter(F.col("cosine") >= thr)
+    )
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in brute.collect()
+    }
+    assert got == want and len(want) > 0

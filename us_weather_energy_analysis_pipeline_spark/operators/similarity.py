@@ -183,53 +183,123 @@ def lsh_topk(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def _pack_blocks(
+    emb: DataFrame, n_blocks: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Hash rows into ``n_blocks`` blocks and pack each block into ONE row
+    ``(bid int, ids array<bigint>, mat binary)`` — the matrix serialized as
+    contiguous float64 (``numpy.tobytes``), so a block-pair task
+    reconstructs both operands with a zero-copy ``frombuffer``."""
+    import numpy as np
+    import pandas as pd
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "bid": [int(pdf["bid"].iloc[0])],
+                "ids": [pdf[id_col].to_numpy(dtype=np.int64)],
+                "dim": [mat.shape[1]],
+                "mat": [mat.tobytes()],
+            }
+        )
+
+    return (
+        emb.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("bid"),
+            id_col,
+            vec_col,
+        )
+        .groupBy("bid")
+        .applyInPandas(pack, "bid int, ids array<bigint>, dim int, mat binary")
+    )
+
+
 def cosine_pairs_filter_refine(
     emb: DataFrame,
     threshold: float,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     margin: float = 1e-6,
+    block_rows: int = 8192,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with exact cosine >= threshold, via
-    filter-and-refine: a vectorized numpy block product prunes the O(n²)
-    pair space down to candidates above ``threshold - margin``, then the
-    few survivors are re-scored EXACTLY with the sequential fold formula
-    (``cosine()`` above), so the result is bit-identical to evaluating
-    every pair — numpy's BLAS summation order differs from the fold only
-    at ~1e-15 relative, far inside the margin.
+    DISTRIBUTED block-pair filter-and-refine — no driver collect, no
+    full-matrix broadcast (both were the round-1 scale ceiling).
 
-    The filter stage is distributed: each partition multiplies its rows
-    against the full broadcast matrix (fine while n·dim floats fit an
-    executor — gigabytes at n=1M; beyond that, block candidates by LSH
-    bucket first, see ``lsh_topk``). Returns (id_a, id_b, cosine) with the
-    raw double cosine — callers round/alias as needed.
+    Stage 1 (pack): rows are hashed into B = ceil(n / block_rows) blocks;
+    each block becomes one (ids, float64-bytes) row (~block_rows·dim·8 B).
+    Stage 2 (pair): block i is exploded to pair keys (i, j≥i) on one side
+    and (i≤j, j) on the other; an equi-join on (i, j) co-locates every
+    block pair with ONE hash shuffle — each block is replicated ~B/2×,
+    the irreducible cost of exact all-pairs, but no task ever holds more
+    than two blocks and the driver holds nothing.
+    Stage 3 (filter): per block pair, a vectorized numpy product prunes
+    the pair space down to candidates above ``threshold - margin``
+    (upper triangle only when i == j).
+    Stage 4 (refine): survivors are re-scored EXACTLY with the sequential
+    fold formula (``cosine()`` above), so the result is bit-identical to
+    evaluating every pair — numpy's BLAS summation order differs from the
+    fold only at ~1e-15 relative, far inside the margin.
+
+    Returns (id_a, id_b, cosine) with the raw double cosine — callers
+    round/alias as needed. For web-scale corpora where even B² block
+    pairs is too many, run the approximate path first (LSH banding as in
+    ``lsh_topk``) and feed each bucket through this exact verifier.
     """
     import numpy as np
     import pandas as pd
 
-    spark = emb.sparkSession
-    gathered = emb.select(id_col, vec_col).collect()
-    ids = np.array([r[0] for r in gathered], dtype=np.int64)
-    mat = np.array([list(r[1]) for r in gathered], dtype=np.float64)
-    nrm = np.sqrt((mat * mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ids, mat, nrm))
+    n = emb.count()
+    n_blocks = max(1, -(-n // block_rows))
+    blocks = _pack_blocks(emb, n_blocks, id_col, vec_col)
+
+    left = blocks.select(
+        F.col("bid").alias("i"),
+        F.explode(F.sequence("bid", F.lit(n_blocks - 1))).alias("j"),
+        F.col("ids").alias("ids_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    right = blocks.select(
+        F.explode(F.sequence(F.lit(0), "bid")).alias("i"),
+        F.col("bid").alias("j"),
+        F.col("ids").alias("ids_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    paired = left.join(right, ["i", "j"])
     cut = threshold - margin
 
     def gen(batches):
-        b_ids, b_mat, b_nrm = bc.value
         for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            rows = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
-            row_ids = pdf[id_col].to_numpy(dtype=np.int64)
-            row_nrm = np.sqrt((rows * rows).sum(axis=1))
-            cos = (rows @ b_mat.T) / np.outer(row_nrm, b_nrm)
-            ii, jj = np.nonzero(cos >= cut)
-            a, b = row_ids[ii], b_ids[jj]
-            keep = a < b
-            yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(
+                    len(ids_a), r.dim_a
+                )
+                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(
+                    len(ids_b), r.dim_b
+                )
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(cos >= cut)
+                a, b = ids_a[ii], ids_b[jj]
+                if r.i == r.j:
+                    keep = a < b
+                    yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+                else:
+                    # blocks are hash-assigned, not id-ranged: a cross-block
+                    # hit can arrive in either id order — normalize to
+                    # (min, max); each unordered pair meets exactly once.
+                    lo = np.minimum(a, b)
+                    hi = np.maximum(a, b)
+                    keep = lo < hi
+                    yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
 
-    cand = emb.select(id_col, vec_col).mapInPandas(gen, "id_a long, id_b long")
+    cand = paired.mapInPandas(gen, "id_a long, id_b long")
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
