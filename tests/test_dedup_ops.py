@@ -97,3 +97,43 @@ def test_connected_components_distributed_path(spark):
         for r in connected_components(edges, driver_threshold=0).collect()
     }
     assert fast == dist == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 5: 5, 6: 5, 7: 5}
+
+
+def test_ngram_df_cap_drops_boilerplate_shingles(spark):
+    """Adversarial repeated-shingle fixture: a boilerplate shingle shared
+    by every doc must NOT create pairs on its own once df > cap — the
+    inverted-index self-join would otherwise emit k² rows for it."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.dedup_q import (
+        word_shingles,
+    )
+
+    # 12 docs all share the boilerplate head "terms of service"; only docs
+    # 0 and 1 also share a discriminative tail.
+    rows = [
+        (i, "terms of service " + ("alpha beta gamma delta" if i < 2 else f"unique{i} u{i}x u{i}y u{i}z"))
+        for i in range(12)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = (
+        word_shingles(d)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= 10)
+        .drop("df")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .collect()
+    )
+    # Without the cap this would be C(12,2)=66 pairs; capped, only the one
+    # genuinely-similar pair (via discriminative shingles) survives.
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}

@@ -22,6 +22,12 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, regi
 
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.2
+# Shingle document-frequency cap (CCNet/Gopher-style): a shingle shared by k
+# docs emits k² bucket-local pairs in the inverted-index self-join, so one
+# boilerplate shingle at web scale is a quadratic blowup + a hot shuffle key.
+# Both engines drop shingles with df > cap BEFORE the join — the Jaccard is
+# defined over discriminative shingles, identically on both sides, at any sf.
+NGRAM_DF_CAP = 10
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
@@ -68,10 +74,14 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
     ),
-    shingles AS (
+    all_shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(t[i:i+{SHINGLE_K}-1], ' ') AS shingle
       FROM toks, UNNEST(generate_series(1, len(t) - {SHINGLE_K} + 1)) AS g(i)
+    ),
+    shingles AS (
+      SELECT doc_id, shingle FROM all_shingles
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {NGRAM_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     pairs AS (
@@ -93,9 +103,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs by n-gram (word-shingle) Jaccard similarity via a
     shingle inverted index: shuffle on shingle (not on pairs), count
     co-occurrences per pair, |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no
-    shingle never materialize — the crucial scale property."""
+    shingle never materialize — the crucial scale property.
+
+    A document-frequency cap (NGRAM_DF_CAP, window count over the shingle
+    — the same key the self-join shuffles on) drops boilerplate shingles
+    BEFORE the join: without it one stop-shingle shared by k docs emits
+    k² pairs in its bucket (quadratic skew at web scale). Sizes and
+    intersections are both computed over the capped index, mirrored
+    exactly in the oracle."""
+    from pyspark.sql import Window
+
     d = load(spark, sf_dir, "documents")
-    sh = word_shingles(d)
+    sh = (
+        word_shingles(d)
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
+        .filter(F.col("df") <= NGRAM_DF_CAP)
+        .drop("df")
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -185,6 +185,9 @@ def simhash_near_dups(
             F.col("b.doc_id").alias("doc_b"),
             hamming.alias("hamming"),
         )
-        .distinct()
+        # Hamming is computed map-side (bit_count(xor), codegen) and
+        # filtered BEFORE the pair-dedup shuffle — the distinct only
+        # carries survivors, not every bucket-local candidate row.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
