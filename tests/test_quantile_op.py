@@ -1,0 +1,66 @@
+"""Adaptive exact-quantile operator: both dispatch paths must agree with
+Spark's built-in percentile (== DuckDB quantile_cont interpolation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.operators.quantile import (
+    exact_quantiles,
+)
+
+FRACS = [0.0, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0]
+
+
+@pytest.fixture(scope="module")
+def values(spark):
+    # duplicates, negatives, a skewed tail — and a null that must be dropped
+    rows = [(float(x % 97),) for x in range(3000)] + [
+        (-5.0,),
+        (1e6,),
+        (1e6,),
+        (None,),
+    ]
+    return spark.createDataFrame(rows, "x double")
+
+
+def _builtin(df):
+    arr = df.agg(
+        F.percentile("x", F.array(*[F.lit(f) for f in FRACS])).alias("qs")
+    ).collect()[0]["qs"]
+    return dict(zip(FRACS, arr))
+
+
+def test_small_path_matches_builtin(values):
+    got = {
+        r["f"]: r["q"]
+        for r in exact_quantiles(values, "x", FRACS, small_threshold=10**6).collect()
+    }
+    want = _builtin(values)
+    assert got.keys() == want.keys()
+    for f in FRACS:
+        assert got[f] == pytest.approx(want[f], abs=1e-9), f
+
+
+def test_distributed_path_matches_builtin(values):
+    """small_threshold=0 forces the literal-boundary rank path."""
+    got = {
+        r["f"]: r["q"]
+        for r in exact_quantiles(
+            values, "x", FRACS, num_partitions=8, small_threshold=0
+        ).collect()
+    }
+    want = _builtin(values)
+    assert got.keys() == want.keys()
+    for f in FRACS:
+        assert got[f] == pytest.approx(want[f], abs=1e-9), f
+
+
+def test_empty_and_single_value(spark):
+    empty = spark.createDataFrame([], "x double")
+    assert exact_quantiles(empty, "x", [0.5]).count() == 0
+    one = spark.createDataFrame([(42.0,)], "x double")
+    for thr in (0, 10):
+        got = exact_quantiles(one, "x", [0.0, 0.5, 1.0], small_threshold=thr).collect()
+        assert {r["q"] for r in got} == {42.0}

@@ -595,12 +595,12 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-quantile profile (linear interpolation — DuckDB
-    quantile_cont semantics, SURVEY §7.3 A10). Computed DISTRIBUTEDLY by
-    operators/quantile.py: range-partition + partition-offset ranks, so the
-    sort parallelizes over 32 partitions instead of Spark percentile()'s
-    single aggregation buffer (which made this a 2.9s query at sf0.1; the
-    distributed form is ~3x faster locally and is the only shape that
-    survives 100 TB)."""
+    quantile_cont semantics, SURVEY §7.3 A10). Adaptive via
+    operators/quantile.py: below the 2M-value gate the built-in
+    ``percentile`` aggregate (one pass — the right plan at this sf);
+    above it, literal-boundary range binning + partition-offset ranks so
+    the sort parallelizes over value-range bins instead of percentile()'s
+    single aggregation buffer — the only shape that survives 100 TB."""
     from us_weather_energy_analysis_pipeline_spark.operators.quantile import (
         exact_quantiles_row,
     )

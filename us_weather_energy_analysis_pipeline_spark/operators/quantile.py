@@ -1,29 +1,41 @@
 """Distributed EXACT quantiles — no single-node sort, no single value
-buffer.
+buffer (above a size gate).
 
 Spark's built-in ``percentile`` aggregate is exact but funnels every value
 into ONE aggregation buffer that is sorted on one task — at 100 TB that is
 the job. This operator computes the same linearly-interpolated quantiles
 (DuckDB ``quantile_cont`` semantics, reference A10 `data_processor.py:99`
-median) with only narrow shuffles, all parallel:
+median) adaptively:
 
-1. range-partition the value column (equal keys stay together);
-2. per-partition counts → prefix offsets (a ≤P-row table, broadcast);
-3. per-partition ``row_number`` + offset = exact global 0-based rank —
-   the sort parallelizes over P partitions instead of one;
-4. the 2·|fractions| target ranks (floor/ceil of (n−1)·q) are joined back
-   as a broadcast — the full column is never collected anywhere.
+- ``n <= small_threshold`` (default 2M values): the built-in ``percentile``
+  aggregate — one pass, one small sort, the right plan when the column
+  fits a single buffer comfortably;
+- above the gate: deterministic range binning →
+  1. bin boundaries come from ONE driver-side ``approxQuantile`` call and
+     are baked into the plan as literals, so ``pid`` is a pure function of
+     the value — every plan branch recomputes it identically, with **no
+     reliance on exchange reuse** (a sampled ``repartitionByRange``
+     consumed by two branches silently breaks if the two exchanges
+     re-sample different boundaries);
+  2. per-bin counts → prefix offsets (a ≤P-row table, broadcast);
+  3. per-bin ``row_number`` + offset = exact global 0-based rank — the
+     sort parallelizes over P value-range bins instead of one task;
+  4. the 2·|fractions| target ranks (floor/ceil of (n−1)·q) are joined
+     back as a broadcast — the full column is never collected anywhere.
 
-Cost: two shuffles of a single column (the range exchange + the window's
-hash exchange) and a metadata-sized broadcast. Every stage scales out.
+Cost above the gate: one driver approxQuantile pass + two shuffles of a
+single column. Every stage scales out.
 """
 
 from __future__ import annotations
 
 from collections.abc import Sequence
+from functools import reduce
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+SMALL_THRESHOLD = 2_000_000
 
 
 def exact_quantiles(
@@ -31,21 +43,51 @@ def exact_quantiles(
     value_col: str,
     fractions: Sequence[float],
     num_partitions: int = 32,
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> DataFrame:
     """Exact linear-interpolation quantiles of ``value_col``, computed
-    distributedly. Returns one row per fraction: (f double, q double).
+    adaptively (built-in ``percentile`` below ``small_threshold`` values,
+    distributed rank otherwise). Returns one row per fraction:
+    (f double, q double).
 
     Interpolation matches DuckDB quantile_cont / Spark percentile:
     rank = (n-1)·f; q = v[floor] + (rank - floor)·(v[ceil] - v[floor]).
     """
-    vals = df.select(F.col(value_col).alias("v")).filter(F.col("v").isNotNull())
-    parts = vals.repartitionByRange(num_partitions, "v").withColumn(
-        "pid", F.spark_partition_id()
+    spark = df.sparkSession
+    vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
+        F.col("v").isNotNull()
     )
+    n = vals.count()
+    if n == 0:
+        return spark.createDataFrame([], "f double, q double")
+    if n <= small_threshold:
+        fl = [float(f) for f in fractions]
+        arr = vals.agg(
+            F.percentile("v", F.array(*[F.lit(f) for f in fl])).alias("qs")
+        )
+        return arr.select(
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(f) for f in fl]).alias("f"),
+                    F.col("qs").alias("q"),
+                )
+            ).alias("z")
+        ).select(F.col("z.f").alias("f"), F.col("z.q").alias("q"))
+
+    # ---- distributed exact path -------------------------------------------
+    # Literal bin boundaries: computed ONCE driver-side, so `pid` below is a
+    # deterministic function of v (no sampled exchange feeding two branches).
+    nb = max(2, num_partitions)
+    cuts = vals.stat.approxQuantile("v", [i / nb for i in range(1, nb)], 0.001)
+    pid = reduce(
+        lambda acc, b: acc + (F.col("v") > F.lit(float(b))).cast("int"),
+        sorted(set(cuts)),
+        F.lit(0),
+    )
+    parts = vals.withColumn("pid", pid)
+
     pc = parts.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = Window.orderBy("pid").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = pc.select(
         "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("off")
     )
@@ -57,19 +99,14 @@ def exact_quantiles(
         .select("v", (F.col("off") + F.col("rn") - 1).alias("rank0"))
     )
 
-    rank = (F.col("n") - 1) * F.col("f")
-    fr = (
-        pc.agg(F.sum("cnt").alias("n"))
-        .select(
-            F.explode(F.array(*[F.lit(float(f)) for f in fractions])).alias("f"),
-            "n",
-        )
-        .select(
-            "f",
-            F.floor(rank).cast("long").alias("lo"),
-            F.ceil(rank).cast("long").alias("hi"),
-            (rank - F.floor(rank)).alias("wt"),
-        )
+    rank = (F.lit(n) - 1) * F.col("f")
+    fr = spark.range(1).select(
+        F.explode(F.array(*[F.lit(float(f)) for f in fractions])).alias("f")
+    ).select(
+        "f",
+        F.floor(rank).cast("long").alias("lo"),
+        F.ceil(rank).cast("long").alias("hi"),
+        (rank - F.floor(rank)).alias("wt"),
     )
     lo = ranked.join(F.broadcast(fr), ranked.rank0 == fr.lo).select(
         "f", "wt", F.col("v").alias("v_lo")
@@ -91,10 +128,11 @@ def exact_quantiles_row(
     names: Sequence[str],
     round_expr=None,
     num_partitions: int = 32,
+    small_threshold: int = SMALL_THRESHOLD,
 ) -> DataFrame:
     """One-row pivot of :func:`exact_quantiles`: column ``names[i]`` holds
     the ``fractions[i]`` quantile (optionally rounded via ``round_expr``)."""
-    q = exact_quantiles(df, value_col, fractions, num_partitions)
+    q = exact_quantiles(df, value_col, fractions, num_partitions, small_threshold)
     cols = []
     for f, name in zip(fractions, names):
         c = F.max(F.when(F.col("f") == float(f), F.col("q")))
