@@ -137,3 +137,21 @@ def test_ngram_df_cap_drops_boilerplate_shingles(spark):
     # Without the cap this would be C(12,2)=66 pairs; capped, only the one
     # genuinely-similar pair (via discriminative shingles) survives.
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(0, 1)}
+
+
+def test_connected_components_long_path_converges(spark):
+    """Diameter-40 path graph through the distributed propagation path:
+    pointer jumping must converge well inside the round budget (plain
+    min-propagation would need 40 rounds and previously raised at 10)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src long, dst long"
+    )
+    comp = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_threshold=0, max_iter=10).collect()
+    }
+    assert comp == {i: 0 for i in range(41)}

@@ -50,7 +50,20 @@ def connected_components(
         edges.unpersist()
 
 
+_HARD_ITER_BOUND = 64  # doubling covers diameter 2^64 — always enough
+
+
 def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame:
+    """Min-label propagation with POINTER JUMPING: each round first takes
+    the min label over the node's neighborhood (one join + min-aggregate),
+    then follows the label one hop through the label table itself
+    (comp := min(comp, comp[comp]) — path doubling, the contraction step
+    of large-star/small-star). Effective propagation distance doubles per
+    round, so convergence is O(log diameter) rounds, not O(diameter): a
+    10-round budget covers diameter ~2^10, and the hard 64-round bound is
+    sufficient for any graph that fits in 64-bit ids — a giant-path
+    component degrades to a few extra rounds instead of a RuntimeError.
+    """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -64,21 +77,27 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    for _ in range(max_iter):
+    for _ in range(max(max_iter, _HARD_ITER_BOUND)):
         # each node's candidate label: min over its own and neighbors'
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("comp").alias("ncomp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
-            )
+        stepped = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce("ncomp", F.col("comp"))).alias("comp"),
         )
-        new_labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        # pointer jump: comp := min(comp, comp[comp]) — labels are node ids,
+        # so every comp value resolves in the label table
+        hop = stepped.select(
+            F.col("node").alias("cnode"), F.col("comp").alias("ccomp")
+        )
+        new_labels = (
+            stepped.join(hop, stepped.comp == hop.cnode)
+            .select("node", F.least("comp", "ccomp").alias("comp"))
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
         changed = (
             labels.alias("o")
             .join(new_labels.alias("n"), "node")
@@ -88,7 +107,9 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
         labels = new_labels
         if changed == 0:
             return labels
-    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")
+    raise RuntimeError(
+        f"connected_components did not converge in {_HARD_ITER_BOUND} iterations"
+    )
 
 
 def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
