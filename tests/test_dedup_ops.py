@@ -155,3 +155,48 @@ def test_connected_components_long_path_converges(spark):
         for r in connected_components(edges, driver_threshold=0, max_iter=10).collect()
     }
     assert comp == {i: 0 for i in range(41)}
+
+
+def test_frame_sample_bytes_explosion(spark):
+    """frame_sample_bytes: 1 row → ceil(n_frames/every_n) rows, exact
+    byte slices, short payloads yield nothing."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        frame_sample_bytes,
+    )
+
+    payload = bytes(range(40))  # 10 frames of 4 bytes
+    blobs = spark.createDataFrame(
+        [(1, payload), (2, b"abc")], "doc_id long, payload binary"
+    )
+    out = frame_sample_bytes(blobs, frame_size=4, every_n=3).collect()
+    got = {(r["doc_id"], r["frame_idx"]): bytes(r["frame"]) for r in out}
+    assert got == {
+        (1, 0): bytes(range(0, 4)),
+        (1, 3): bytes(range(12, 16)),
+        (1, 6): bytes(range(24, 28)),
+        (1, 9): bytes(range(36, 40)),
+    }
+
+
+def test_pil_decode_paths(spark):
+    """decode_image/resize_images are real when Pillow exists, honest
+    NotImplementedError otherwise (this container has no PIL)."""
+    import pytest as _pytest
+
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+
+    blobs = spark.createDataFrame([(1, b"\x89PNG")], "doc_id long, payload binary")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            decode_image(blobs)
+        with _pytest.raises(NotImplementedError):
+            resize_images(blobs, 8, 8)
+        return
+    # PIL present: undecodable payload must yield null metadata, not fail
+    rows = decode_image(blobs).collect()
+    assert rows[0]["width"] is None and rows[0]["n_bytes"] == 4

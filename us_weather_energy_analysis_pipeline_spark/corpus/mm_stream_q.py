@@ -161,3 +161,36 @@ def tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text AS p FROM documents
+      WHERE octet_length(CAST(text AS BLOB)) = length(text)  -- ASCII guard:
+        -- the oracle slices VARCHAR (DuckDB has no BLOB substring), which is
+        -- byte-identical only for 1-byte chars; both engines apply the guard
+    ),
+    f AS (SELECT doc_id, p, length(p) // 16 AS n FROM b)
+    SELECT doc_id, CAST(i AS INTEGER) AS frame_idx,
+           md5(substring(p, CAST(i AS INTEGER) * 16 + 1, 16)) AS frame_md5
+    FROM f, UNNEST(generate_series(0, n - 1, 4)) AS g(i)
+    """,
+    tags=("multimodal", "mapInPandas", "frames"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over opaque payloads (operators/multimodal.py
+    frame_sample_bytes): the 1→N row-explosion mapInPandas shape a video
+    sampler needs — every 4th 16-byte frame, frame identity checked via
+    md5 so the Arrow binary round-trip is value-verified end to end."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        frame_sample_bytes,
+        to_blob_table,
+    )
+
+    docs = load(spark, sf_dir, "documents").filter(
+        F.octet_length("text") == F.length("text")
+    )
+    frames = frame_sample_bytes(to_blob_table(docs), frame_size=16, every_n=4)
+    return frames.select("doc_id", "frame_idx", F.md5("frame").alias("frame_md5"))

@@ -64,26 +64,120 @@ def fake_decode_meta(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode_batch, DECODE_META_SCHEMA)
 
 
-def decode_image(blobs: DataFrame) -> DataFrame:  # pragma: no cover - stub
-    """REAL image decode — STUB: Pillow/OpenCV are not in this container.
-    The mapInPandas shape is identical to fake_decode_meta; swap the body
-    for PIL.Image.open(io.BytesIO(payload)) when codecs are available."""
+def decode_image(blobs: DataFrame) -> DataFrame:
+    """REAL image decode (PIL behind an import-try): mapInPandas over the
+    binary payload → (doc_id, n_bytes, width, height, mode); undecodable
+    payloads yield nulls instead of failing the task. Raises
+    NotImplementedError only when Pillow is absent (this container) — the
+    plumbing is the same Arrow-batched shape as fake_decode_meta."""
     try:
-        import PIL  # noqa: F401, PLC0415
+        import PIL.Image  # noqa: F401, PLC0415
     except ImportError as e:
         raise NotImplementedError(
             "image decode requires Pillow; use fake_decode_meta for plumbing tests"
         ) from e
-    raise NotImplementedError("wire PIL decode into the mapInPandas body")
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            ws, hs, modes = [], [], []
+            for p in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        ws.append(im.width)
+                        hs.append(im.height)
+                        modes.append(im.mode)
+                except Exception:
+                    ws.append(None)
+                    hs.append(None)
+                    modes.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "width": ws,
+                    "height": hs,
+                    "mode": modes,
+                }
+            )
+
+    return blobs.mapInPandas(
+        _decode_batch, "doc_id bigint, n_bytes bigint, width int, height int, mode string"
+    )
 
 
-def resize_stub(blobs: DataFrame, width: int, height: int) -> DataFrame:  # pragma: no cover
-    """Image resize — STUB (no codecs in container). Kept to pin the API:
-    resize is a mapInPandas over (payload) → (payload), metadata updated."""
-    raise NotImplementedError("resize requires an image codec; API stub only")
+def resize_images(blobs: DataFrame, width: int, height: int) -> DataFrame:
+    """REAL image resize (PIL behind an import-try): payload → re-encoded
+    PNG payload at (width, height); undecodable payloads pass through as
+    null. One mapInPandas, binary in / binary out."""
+    try:
+        import PIL.Image  # noqa: F401, PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "resize requires Pillow; API contract: (payload)->(payload) mapInPandas"
+        ) from e
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from PIL import Image
+
+        for pdf in batches:
+            outs = []
+            for p in pdf["payload"]:
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        buf = io.BytesIO()
+                        im.resize((width, height)).save(buf, format="PNG")
+                        outs.append(buf.getvalue())
+                except Exception:
+                    outs.append(None)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                }
+            )
+
+    return blobs.mapInPandas(
+        _resize_batch, "doc_id bigint, payload binary, width int, height int"
+    )
+
+
+def frame_sample_bytes(
+    blobs: DataFrame, frame_size: int = 16, every_n: int = 4
+) -> DataFrame:
+    """Deterministic frame sampling over opaque payloads: treat the binary
+    as consecutive ``frame_size``-byte frames and keep every ``every_n``-th
+    — the REAL 1→N row-explosion plumbing a video sampler needs
+    (mapInPandas yielding more rows than it consumes, frame index carried
+    alongside), with byte-slicing standing in for the codec. Swap the
+    slicing for an actual decoder (PyAV/OpenCV) when present; the schema,
+    batching, and partition behavior are unchanged."""
+
+    def _sample_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                n = len(p) // frame_size
+                for i in range(0, n, every_n):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(p[i * frame_size : (i + 1) * frame_size]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return blobs.mapInPandas(
+        _sample_batch, "doc_id bigint, frame_idx int, frame binary"
+    )
 
 
 def frame_sample_stub(blobs: DataFrame, every_n: int) -> DataFrame:  # pragma: no cover
-    """Video frame sampling — STUB (no codecs). One input row → n output
-    rows; implement as mapInPandas yielding exploded frames."""
-    raise NotImplementedError("frame sampling requires a video codec; API stub only")
+    """Video frame sampling with a REAL codec — STUB (no PyAV/OpenCV in
+    container). ``frame_sample_bytes`` implements the identical exploded
+    mapInPandas shape over byte-frames."""
+    raise NotImplementedError("frame sampling requires a video codec; see frame_sample_bytes")
