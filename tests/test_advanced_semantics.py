@@ -91,3 +91,37 @@ def test_banded_range_join_assigns_every_row_once(spark):
     )  # rows -> (band, n)
     got = {r: n for r, n in got.items()}
     assert got == {"lo": 2, "hi": 2}
+
+
+def test_grid_range_join_matches_inequality_join(spark):
+    """Grid rewrite == plain theta join for boundary values, overlapping
+    ranges (one fact, many ranges) and cell-straddling intervals, on both
+    the broadcast and shuffled paths."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.rangejoin import (
+        grid_range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate([0, 9, 10, 15, 99, 100, 101, 250, 999])],
+        "fid long, v double",
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 100.0), ("wide", 5.0, 995.0), ("empty", 400.0, 400.0)],
+        "band string, lo double, hi double",
+    )
+    want = {
+        (r["fid"], r["band"])
+        for r in facts.join(
+            ranges, (facts.v >= ranges.lo) & (facts.v < ranges.hi)
+        ).collect()
+    }
+    for bc in (True, False):
+        got = {
+            (r["fid"], r["band"])
+            for r in grid_range_join(
+                facts, "v", ranges, grid=7.0, broadcast_ranges=bc
+            ).collect()
+        }
+        assert got == want, bc

@@ -142,3 +142,21 @@ def test_compact_parquet(spark, tmp_path):
     assert len(glob.glob(f"{path}/*.parquet")) == 1
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(100))
+
+
+def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
+    """The grid rewrite must give the banded range join a HASH join on
+    the cell key — a raw inequality join degrades to nested-loop."""
+    plan = _formatted(spark, "range_join_price_band", sf_dir)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_pair_dedup_no_driver_collect(spark, sf_dir):
+    """dedup_embed_cosine must stay fully distributed: the block-pair plan
+    contains the pack/pair joins and no CollectLimit/driver gather; the
+    embedding scan feeds mapInPandas workers, never the driver."""
+    plan = _formatted(spark, "dedup_embed_cosine", sf_dir)
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" in plan  # the block packer
+    assert "CollectLimit" not in plan

@@ -434,21 +434,21 @@ PRICE_BANDS = [
     tags=("join", "theta", "range", "broadcast"),
 )
 def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded range join: facts matched to a small [lo, hi) bands table on
-    an inequality predicate. Spark plans this as a broadcast nested-loop
-    join — correct and cheap while the band table is small; for large range
-    tables the scale path is bucketing both sides on a shared coarse grid
-    and equi-joining the grid key first (see operators/asof.py for the
-    same technique applied to time)."""
-    o = load(spark, sf_dir, "orders")
-    bands = F.broadcast(
-        o.sparkSession.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    """Banded range join via the bucketed-grid rewrite
+    (operators/rangejoin.py): each band explodes to the coarse grid cells
+    it overlaps, facts equi-join on their cell, the exact [lo, hi)
+    predicate refines. Catalyst plans a Broadcast HASH join on the cell
+    key instead of the BroadcastNestedLoopJoin a raw inequality join gets
+    — and with a non-broadcastable ranges table the same rewrite shuffles
+    both sides on the cell, the only shape that survives scale."""
+    from us_weather_energy_analysis_pipeline_spark.operators.rangejoin import (
+        grid_range_join,
     )
+
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
     return (
-        o.join(
-            bands,
-            (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
-        )
+        grid_range_join(o, "o_totalprice", bands, grid=50_000.0)
         .groupBy("band")
         .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
     )
