@@ -195,9 +195,20 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         (d(2024, 1, 1, 10, 6), 2, 2.0),  # replay within watermark
         (d(2024, 1, 1, 10, 9), 3, 3.0),
     ]
-    spark.createDataFrame(rows, schema).repartition(1).write.parquet(src)
+    # one FILE per row + maxFilesPerTrigger=1 → each replay arrives in a
+    # LATER micro-batch, so the watermark-scoped dedup state (not plain
+    # in-batch dropDuplicates) is what collapses it
+    for row in rows:
+        spark.createDataFrame([row], schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
     sdf = stream_dedup(
-        spark.readStream.schema(schema).parquet(src), ("event_id",), "ts", "1 hour"
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        ("event_id",),
+        "ts",
+        "1 hour",
     )
     q = (
         sdf.writeStream.format("memory")

@@ -340,9 +340,10 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 word bigrams across the document corpus — n-gram statistics
     for LM data prep (vocabulary induction, contamination fingerprints).
     Tokenization is pure JVM expression (regexp + split + filter, no UDF);
-    adjacent pairs come from transform() over the token array — zero
-    explode/window, so the only shuffle is the bigram count, and the final
-    top-k is a TakeOrdered (no global sort materialization)."""
+    adjacent pairs come from transform() over the token array — no window
+    or posexplode self-join for adjacency; the per-document bigram array
+    is then exploded once (one row per bigram) into the count, and the
+    final top-k is a TakeOrdered (no global sort materialization)."""
     d = load(spark, sf_dir, "documents")
     ws = F.filter(
         F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " +"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
 
@@ -138,7 +138,7 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q17_small_qty_revenue",
     oracle="""
     WITH avg_qty AS (
-      SELECT l_partkey AS a_partkey, 0.5 * AVG(l_quantity) AS qty_thresh
+      SELECT l_partkey AS a_partkey, ROUND(0.5 * AVG(l_quantity), 6) AS qty_thresh
       FROM lineitem GROUP BY l_partkey
     )
     SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly,
@@ -162,7 +162,7 @@ def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
     ).select("p_partkey")
     avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        (F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
+        r6(F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -228,7 +228,7 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpch_q22_dormant_customers",
     oracle="""
     WITH avg_bal AS (
-      SELECT AVG(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0
+      SELECT ROUND(AVG(c_acctbal), 6) AS ab FROM customer WHERE c_acctbal > 0.0
     )
     SELECT c.c_mktsegment AS segment,
            COUNT(*) AS numcust,
@@ -256,7 +256,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        r6(F.avg("c_acctbal")).alias("ab")
     )
     return (
         c.join(F.broadcast(avg_bal))
