@@ -117,6 +117,7 @@ def _ensure_loaded() -> None:
         quality_q,
         stats_q,
         spine_q,
+        sketch_q,
     )
 
     _LOADED = True

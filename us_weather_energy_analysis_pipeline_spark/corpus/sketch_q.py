@@ -1,0 +1,114 @@
+"""Sketch / approximate-query corpus: cardinality estimation that stays
+DETERMINISTIC, so the DuckDB oracle can value-check it bit-for-bit.
+
+- ``distinct_kmv_estimate``: K-Minimum-Values estimator (Bar-Yossef et al.
+  2002). Hash every key with md5, keep the k smallest distinct hashes; if
+  u_k is the k-th smallest hash mapped into [0, 1), the distinct count is
+  ≈ (k-1)/u_k. md5 makes both engines produce the identical sketch, and
+  the "keep k smallest" is a TakeOrdered(k) in Spark — no global sort, a
+  tiny fixed-size result from any input size. This is the mergeable-sketch
+  pattern: per-partition top-k fold into a global top-k, O(k) state.
+- ``approx_distinct_hll_sanity``: Spark's native HyperLogLog++
+  (approx_count_distinct) cross-checked against the exact count INSIDE the
+  query; the oracle does the same with DuckDB's approx_count_distinct.
+  Estimator internals differ across engines, so the emitted (and hashed)
+  columns are the exact count and a within-tolerance flag — both
+  deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r2
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+KMV_K = 256
+_HEX = "0123456789abcdef"
+# 12 hex digits → exact double (16^12 < 2^53, no precision loss)
+_HEX12_DUCK = " + ".join(
+    f"(strpos('{_HEX}', substr(h, {i + 1}, 1)) - 1) * {16 ** (11 - i)}.0"
+    for i in range(12)
+)
+
+
+@register(
+    "distinct_kmv_estimate",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+    ),
+    smallest AS (SELECT h FROM h ORDER BY h LIMIT {KMV_K}),
+    kth AS (SELECT MAX(({_HEX12_DUCK}) / {16 ** 12}.0) AS u_k,
+                   COUNT(*) AS n_kept
+            FROM smallest),
+    exact AS (SELECT COUNT(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+    SELECT {KMV_K} AS k,
+           n_kept,
+           ROUND(CASE WHEN n_kept < {KMV_K} THEN n_kept
+                      ELSE ({KMV_K} - 1) / u_k END, 2) AS est_distinct,
+           n_exact
+    FROM kth, exact
+    """,
+    tags=("sketch", "kmv", "approx", "cardinality"),
+)
+def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch over ``l_orderkey``: md5 each key, keep
+    the 256 smallest distinct hashes (TakeOrdered — per-partition partial
+    top-k folded, never a global sort), estimate (k-1)/u_k. Deterministic
+    md5 hashing means the sketch — and therefore the estimate — is
+    bit-identical in the oracle, unlike engine-private HLL registers.
+    At 100 TB the sketch state is O(k) per partition and mergeable."""
+    li = load(spark, sf_dir, "lineitem")
+    h = (
+        li.select(F.md5(F.col("l_orderkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(KMV_K)
+    )
+    kth = h.agg(
+        F.max(F.conv(F.substring("h", 1, 12), 16, 10).cast("double") / 16**12).alias(
+            "u_k"
+        ),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
+    return kth.crossJoin(exact).select(
+        F.lit(KMV_K).alias("k"),
+        "n_kept",
+        r2(
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")).otherwise(
+                (KMV_K - 1) / F.col("u_k")
+            )
+        ).alias("est_distinct"),
+        "n_exact",
+    )
+
+
+@register(
+    "approx_distinct_hll_sanity",
+    oracle="""
+    SELECT COUNT(DISTINCT user_id) AS n_exact,
+           CAST(ABS(approx_count_distinct(user_id) - COUNT(DISTINCT user_id))
+                <= 0.1 * COUNT(DISTINCT user_id) AS INTEGER) AS within_10pct
+    FROM events
+    """,
+    tags=("sketch", "hll", "approx", "cardinality"),
+)
+def approx_distinct_hll_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native HyperLogLog++ sanity: the estimate must land within 10% of
+    the exact count. HLL register layouts differ per engine, so the
+    hashed output is (exact, within-tolerance flag) — each engine checks
+    its own estimator. Spark's approx_count_distinct rsd=0.05 default
+    gives ~5% typical error; 10% is a deterministic-pass bound."""
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        (
+            F.abs(F.approx_count_distinct("user_id") - F.countDistinct("user_id"))
+            <= 0.1 * F.countDistinct("user_id")
+        )
+        .cast("int")
+        .alias("within_10pct"),
+    )
