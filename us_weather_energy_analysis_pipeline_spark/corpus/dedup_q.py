@@ -140,29 +140,45 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
-    """DuckDB twin of operators.dedup.minhash_near_dups — same md5-based
-    signature construction, so digests agree bit-for-bit."""
+    """DuckDB twin of operators.dedup.minhash_near_dups — identical
+    universal-hash permutations over the 32-bit md5 prefix (same
+    md5-derived (a, b) constants), so signature values agree exactly."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_params,
+    )
+
     rows = k // bands
     band_exprs = ", ".join(
-        "md5(" + " || ',' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)) + ")"
+        "md5("
+        + " || ',' || ".join(
+            f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+        )
+        + ")"
         for b in range(bands)
+    )
+    hv = " + ".join(
+        f"(strpos('0123456789abcdef', substr(h, {i + 1}, 1)) - 1) * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    sig_mins = ", ".join(
+        f"MIN((hv * {a} + {b}) % {MINHASH_P})" for a, b in minhash_params(k)
     )
     return f"""
     WITH toks AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
     ),
     shingles AS (
-      SELECT DISTINCT doc_id, array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
+      SELECT doc_id, array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
       FROM toks, UNNEST(generate_series(1, len(t) - {shingle_k} + 1)) AS g(i)
       WHERE len(t) >= {shingle_k}
     ),
-    perseed AS (
-      SELECT doc_id, seed, MIN(md5(seed::VARCHAR || ':' || shingle)) AS minh
-      FROM shingles, UNNEST(generate_series(0, {k - 1})) AS s(seed)
-      GROUP BY doc_id, seed
+    hashed AS (
+      SELECT doc_id, CAST({hv} AS BIGINT) AS hv
+      FROM (SELECT doc_id, md5(shingle) AS h FROM shingles)
     ),
     sig AS (
-      SELECT doc_id, list(minh ORDER BY seed) AS sig FROM perseed GROUP BY doc_id
+      SELECT doc_id, [{sig_mins}] AS sig FROM hashed GROUP BY doc_id
     ),
     banded AS (
       SELECT doc_id, u.band, [{band_exprs}][u.band + 1] AS digest
@@ -173,17 +189,17 @@ def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> 
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ),
-    est AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             ROUND(SUM(CASE WHEN a.minh = b.minh THEN 1 ELSE 0 END) / {k}.0, 4)
-               AS est_jaccard
-      FROM perseed a JOIN perseed b
-        ON a.seed = b.seed AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
     )
-    SELECT c.doc_a, c.doc_b, c.n_shared_bands, e.est_jaccard
-    FROM cands c JOIN est e ON c.doc_a = e.doc_a AND c.doc_b = e.doc_b
+    -- est_jaccard is scored on CANDIDATE pairs only (signature positions
+    -- compared elementwise), mirroring the Spark pipeline — an all-pairs
+    -- perseed self-join would be O(n² k) for the identical final result
+    SELECT c.doc_a, c.doc_b, c.n_shared_bands,
+           ROUND(list_sum(list_transform(generate_series(1, {k}),
+                   i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+                 / {k}.0, 4) AS est_jaccard
+    FROM cands c
+    JOIN sig sa ON c.doc_a = sa.doc_id
+    JOIN sig sb ON c.doc_b = sb.doc_id
     """
 
 

@@ -17,48 +17,80 @@ functions in the contract path.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 MINHASH_K = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 SIMHASH_BITS = 32
+# Universal-hash family for MinHash permutations: h_s(x) = (a_s·x + b_s) mod p
+# over the 32-bit md5 prefix of the shingle. ONE md5 per shingle row instead
+# of k — hashing is the dominant map-side compute of a web-scale minhash
+# pass. Constants are md5-derived so the DuckDB oracle regenerates them;
+# a_s < 2^29 and x < 2^32 keep a·x + b < 2^63 (no int64 overflow).
+MINHASH_P = 2_147_483_647  # 2^31 − 1 (Mersenne prime)
+
+
+def minhash_params(k: int) -> list[tuple[int, int]]:
+    return [
+        (
+            int(hashlib.md5(f"a:{s}".encode()).hexdigest()[:7], 16) * 2 + 1,
+            int(hashlib.md5(f"b:{s}".encode()).hexdigest()[:7], 16),
+        )
+        for s in range(k)
+    ]
+
+
+MINHASH_AB = minhash_params(MINHASH_K)
 
 HEX = "0123456789abcdef"
 
 
-def word_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — k-word shingles of lowercased text."""
+def word_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3, dedupe: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) pairs — k-word shingles of lowercased text.
+    ``dedupe=False`` skips the distinct (a full shuffle): correct whenever
+    the consumer is duplicate-insensitive, e.g. MinHash's min()."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
     base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
     idx = F.sequence(F.lit(0), F.size("t") - k)
     shingles = F.transform(idx, lambda i: F.array_join(F.slice("t", i + 1, k), " "))
-    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    out = base.select("doc_id", F.explode(shingles).alias("shingle"))
+    return out.distinct() if dedupe else out
 
 
 def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Per-doc MinHash signature: sig[s] = min(md5(s || ':' || shingle)).
+    """Per-doc MinHash signature via a universal-hash family:
+    sig[s] = min over shingles of (a_s·h + b_s) mod p, where h is the
+    32-bit md5 prefix of the shingle (parsed once per row).
 
-    One narrow explode (k seed copies) + one groupBy(doc) — the signature
-    build is a single shuffle on doc_id regardless of corpus size.
-    Returns (doc_id, sig array<string> ordered by seed).
+    ONE shuffle, no row multiplication, ONE md5 per shingle: the k
+    permutations are integer arithmetic on the same parsed hash, and a
+    single groupBy(doc_id) takes the k elementwise mins (partial
+    aggregation combines map-side before the exchange). Duplicate
+    shingles need no pre-distinct — min() is duplicate-insensitive.
+    Returns (doc_id, sig array<bigint> ordered by seed); the oracle
+    regenerates identical values from the same md5-derived constants.
     """
-    seeds = F.sequence(F.lit(0), F.lit(k - 1))
-    per_seed = shingles.select(
-        "doc_id",
-        F.explode(seeds).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    hv = (
+        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
     )
+    perms = [
+        ((F.col("hv") * a + b) % MINHASH_P).alias(f"h{s}")
+        for s, (a, b) in enumerate(minhash_params(k))
+    ]
+    per_row = shingles.select("doc_id", hv).select("doc_id", *perms)
     return (
-        per_seed.groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minh"))
-        .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_list(F.struct("seed", "minh"))).alias("s"))
-        .select("doc_id", F.col("s.minh").alias("sig"))
+        per_row.groupBy("doc_id")
+        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
+        .select(
+            "doc_id", F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig")
+        )
     )
 
 
@@ -104,7 +136,7 @@ def minhash_near_dups(
     """Full MinHash/LSH near-dup pipeline: candidates via banding, then
     estimated Jaccard = fraction of agreeing signature positions; keep
     pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard)."""
-    sig = minhash_signatures(word_shingles(df, text_col), k)
+    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
     cands = lsh_candidate_pairs(sig, bands, k)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     est = (
