@@ -59,7 +59,77 @@ def self_join_agg(df: DataFrame) -> DataFrame:
     return a.join(b, "l_orderkey").agg(F.corr("q", "p"))
 
 
-PROBES = {"q1_agg": q1, "window_lag": window_lag, "selfjoin_corr": self_join_agg}
+def simhash_fp(df: DataFrame) -> DataFrame:
+    """SimHash fingerprints over a synthetic text column — a pure map
+    stage (higher-order-function bit votes, zero shuffle): must be flat
+    ~linear."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import simhash32
+
+    text = F.concat_ws(
+        " ",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_extendedprice").cast("string"),
+    )
+    docs = df.select(F.col("l_orderkey").alias("doc_id"), text.alias("text"))
+    return simhash32(docs)
+
+
+def kmv_sketch(df: DataFrame) -> DataFrame:
+    """KMV distinct-count sketch over the scaled key space: TakeOrdered
+    keeps O(k) state regardless of volume — must be ~linear in scan cost."""
+    h = (
+        df.select(F.md5(F.col("l_orderkey").cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(256)
+    )
+    return h.agg(F.max("h").alias("u_k"), F.count(F.lit(1)).alias("n"))
+
+
+def grid_range(df: DataFrame) -> DataFrame:
+    """Bucketed-grid range join against a 4-band table — broadcast hash
+    join on the cell, so growth tracks the probe-side scan."""
+    from us_weather_energy_analysis_pipeline_spark.operators.rangejoin import (
+        grid_range_join,
+    )
+
+    spark = df.sparkSession
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 20000.0), ("mid", 20000.0, 45000.0), ("hi", 45000.0, 100000.0)],
+        "band string, lo double, hi double",
+    )
+    return (
+        grid_range_join(df, "l_extendedprice", bands, grid=10_000.0)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def quantiles_dist(df: DataFrame) -> DataFrame:
+    """Distributed exact-quantile path (size gate forced off): two narrow
+    single-column shuffles — must stay ≲linear."""
+    from us_weather_energy_analysis_pipeline_spark.operators.quantile import (
+        exact_quantiles,
+    )
+
+    return exact_quantiles(
+        df, "l_extendedprice", [0.25, 0.5, 0.9, 0.99], small_threshold=0
+    )
+
+
+PROBES = {
+    "q1_agg": q1,
+    "window_lag": window_lag,
+    "selfjoin_corr": self_join_agg,
+    "simhash_map": simhash_fp,
+    "kmv_sketch": kmv_sketch,
+    "grid_range_join": grid_range,
+    "quantiles_distributed": quantiles_dist,
+}
 
 
 def main() -> None:
