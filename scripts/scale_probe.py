@@ -60,9 +60,10 @@ def self_join_agg(df: DataFrame) -> DataFrame:
 
 
 def simhash_fp(df: DataFrame) -> DataFrame:
-    """SimHash fingerprints over a synthetic text column — a pure map
-    stage (higher-order-function bit votes, zero shuffle): must be flat
-    ~linear."""
+    """SimHash fingerprints over a synthetic text column — codegen'd
+    explode + partially-aggregated groupBy (32 longs/doc cross the wire):
+    must be ~linear. (A zero-shuffle HOF fold variant measured 4-10×
+    slower here — interpreted lambdas lose to codegen + tiny shuffle.)"""
     from us_weather_energy_analysis_pipeline_spark.operators.dedup import simhash32
 
     text = F.concat_ws(

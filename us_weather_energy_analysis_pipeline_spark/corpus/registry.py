@@ -101,6 +101,9 @@ def _ensure_loaded() -> None:
     # modules that had no driver-verified row yet (dedup/similarity/text/
     # multimodal/advanced/TPC-H-extra/sql/behavior/distrib) so they land in
     # the verification window. Already-certified modules register last.
+    # ROUND 3 TODO: rotate distrib_q and sketch_q (plus any new module) to
+    # the FRONT — the round-2 window covers exactly dedup..behavior (50),
+    # leaving 7 distrib + 2 sketch queries for the next rotation.
     from us_weather_energy_analysis_pipeline_spark.corpus import (  # noqa: F401
         dedup_q,
         similarity_q,

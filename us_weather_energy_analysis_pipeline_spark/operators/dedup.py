@@ -162,47 +162,34 @@ def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
     sign of the vote sum sets the fingerprint bit.
     Returns (doc_id, simhash bigint).
 
-    ZERO shuffles: fingerprinting is per-document, so the bit votes fold
-    over the token array with higher-order functions (transform +
-    aggregate) inside one narrow map stage — the previous explode +
-    groupBy(doc_id) paid a full token-row exchange for a row-local
-    computation. vote_p = 2·ones_p − n, so only the set-bit count is
-    folded per bit plane.
+    Shape: explode tokens → one groupBy(doc_id) with 32 bit-count sums.
+    The explode + codegen'd shifts keep every operation inside whole-stage
+    codegen, and partial aggregation shrinks the exchange to 32 longs per
+    doc per partition. A zero-shuffle higher-order-function fold was
+    measured 4-10× SLOWER at volume (SCALE_PROBE simhash_map): HOF
+    lambdas evaluate interpreted, outside codegen — the tiny post-combine
+    shuffle is the cheaper currency.
     """
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
-    hvs = F.transform(
-        toks,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
+    per_tok = df.select("doc_id", toks).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
     )
-    # null texts produced no rows under the old explode form; keep that
-    # contract (the oracle's UNNEST drops them too)
-    base = df.filter(F.col(text_col).isNotNull()).select("doc_id", hvs.alias("hvs"))
-    # ONE fold over the token hashes accumulating all 32 set-bit counters
-    # as an array — the hvs column is referenced once, so the md5
-    # transform evaluates once per doc (32 separate folds would
-    # re-evaluate it per bit plane: lambda expressions defeat CSE)
-    ones = F.aggregate(
-        "hvs",
-        F.array_repeat(F.lit(0).cast("long"), SIMHASH_BITS),
-        lambda acc, h: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.shiftright(h, p).bitwiseAND(F.lit(1)).cast("long")
-                    for p in range(SIMHASH_BITS)
-                ]
-            ),
-            lambda a, b: a + b,
-        ),
-    )
-    counted = base.select(
-        "doc_id", F.size("hvs").cast("long").alias("n"), ones.alias("ones")
+    votes = [
+        (2 * F.shiftright(F.col("hv"), p).bitwiseAND(F.lit(1)) - 1).alias(f"v{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+    voted = per_tok.select("doc_id", *votes)
+    sums = voted.groupBy("doc_id").agg(
+        *[F.sum(f"v{p}").alias(f"s{p}") for p in range(SIMHASH_BITS)]
     )
     fingerprint = sum(
-        F.when(2 * F.col("ones")[p] - F.col("n") >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        F.when(F.col(f"s{p}") >= 0, F.lit(2**p)).otherwise(F.lit(0))
         for p in range(SIMHASH_BITS)
     )
-    return counted.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
 
 
 def simhash_near_dups(

@@ -19,6 +19,11 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF: dict[str, str] = {
+    # local mode runs ALL executor threads inside the driver JVM, whose
+    # default 1g heap means constant GC (and OOM on larger-than-sf0.1
+    # inputs) with 32 task threads; size it like the executor it really is.
+    # Only effective at JVM launch — a no-op when attaching to a live session.
+    "spark.driver.memory": "16g",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
