@@ -29,8 +29,17 @@ TABLES = (
 )
 
 
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one corpus table. Parquet scan → pushdown + pruning come free.
+
+    The logical plan (NOT the data) is memoized per (application, sf_dir,
+    table): ``spark.read.parquet`` pays ~100 ms of file listing + footer
+    schema read per call, which a table catalog resolves once — exactly
+    what a metastore does for a real deployment. Laziness is unchanged;
+    every query still scans parquet with its own pushed filters.
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
     parquet reader rejects outright; read the raw int64 nanos via the
@@ -38,6 +47,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     double division, which would lose precision above 2^53). DuckDB performs
     the same nanos→micros truncation natively, so the two engines agree.
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -45,8 +58,12 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             from pyspark.sql import functions as F
 
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if len(_TABLE_CACHE) > 512:  # stopped-session leak guard; never hit in practice
+        _TABLE_CACHE.clear()
+    _TABLE_CACHE[key] = df
+    return df
 
 
 @dataclass
