@@ -103,10 +103,10 @@ def test_ngram_df_cap_drops_boilerplate_shingles(spark):
     """Adversarial repeated-shingle fixture: a boilerplate shingle shared
     by every doc must NOT create pairs on its own once df > cap — the
     inverted-index self-join would otherwise emit k² rows for it."""
-    from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from us_weather_energy_analysis_pipeline_spark.corpus.dedup_q import (
+        capped_shingles,
         word_shingles,
     )
 
@@ -117,12 +117,13 @@ def test_ngram_df_cap_drops_boilerplate_shingles(spark):
         for i in range(12)
     ]
     d = spark.createDataFrame(rows, "doc_id long, text string")
-    sh = (
-        word_shingles(d)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= 10)
-        .drop("df")
-    )
+    sh = capped_shingles(word_shingles(d), 10)
+    # the cap must be enforced by a broadcast ANTI join (map-side df count,
+    # hot rows dropped with no shuffle of the index by shingle) — never by
+    # a per-shingle window, which concentrates a hot key on one partition
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan and "Broadcast" in plan
+    assert "Window" not in plan
     a, b = sh.alias("a"), sh.alias("b")
     pairs = (
         a.join(

@@ -152,6 +152,49 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with NO partition spec in the optimized plan.
+    A partitioned window prints ``Window [exprs], [partition], [order]``
+    (three top-level bracket groups); unpartitioned prints two."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    bad = 0
+    for line in plan.splitlines():
+        idx = line.find("Window [")
+        if idx < 0:
+            continue
+        groups = depth = 0
+        for ch in line[idx:]:
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            bad += 1
+    return bad
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "ntile_deciles",
+        "rfm_segments",
+        "pareto_revenue_concentration",
+        "gini_customer_revenue",
+    ],
+)
+def test_global_order_queries_have_no_unpartitioned_window(spark, sf_dir, name):
+    """The four global-order statistics must run on the range-binned rank
+    (operators/rank.py): every Window in the plan is partitioned by the
+    bin id — a single-partition global sort would be the 100 TB
+    straggler (WindowExec: No Partition Defined)."""
+    df = REGISTRY[name].spark_fn(spark, sf_dir)
+    assert _unpartitioned_windows(df) == 0
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" in plan  # the partitioned per-bin window is present
+
+
 def test_cosine_pair_dedup_no_driver_collect(spark, sf_dir):
     """dedup_embed_cosine must stay fully distributed: the block-pair plan
     contains the pack/pair joins and no CollectLimit/driver gather; the

@@ -1,0 +1,109 @@
+"""Unit semantics for operators/rank.py — the range-partitioned global
+rank/ntile/cumsum must agree exactly with the single-partition window
+idioms it replaces (checked against F.ntile / row_number on small data,
+where the global window is cheap and trusted)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.operators.rank import (
+    OrderSpec,
+    global_ntile,
+    global_order_stats,
+    multi_global_ntile,
+)
+
+
+def _df(spark, vals):
+    return spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+
+
+def test_rank_and_cumsum_match_window(spark):
+    vals = [5, 3, 8, 3, 1, 9, 3, 7, 2, 2, 6, 4] * 10
+    df = _df(spark, vals)
+    got = global_order_stats(
+        df,
+        "v",
+        tiebreaks=("id",),
+        cum_cols=("v",),
+        num_bins=4,
+        n_col="n",
+        totals=True,
+        persist=False,
+    )
+    w = Window.orderBy("v", "id")
+    exp = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+    )
+    got_rows = got.collect()
+    assert all(r["n"] == len(vals) and r["v_tot"] == sum(vals) for r in got_rows)
+    got_m = {r["id"]: (r["global_rn"], r["v_cum"]) for r in got_rows}
+    for r in exp.collect():
+        assert got_m[r["id"]] == (r["rn"], r["cs"])
+
+
+def test_rank_descending(spark):
+    vals = [10, 20, 20, 5, 40, 5]
+    df = _df(spark, vals)
+    got = global_order_stats(
+        df, "v", ascending=False, tiebreaks=("id",), num_bins=3, persist=False
+    )
+    w = Window.orderBy(F.col("v").desc(), "id")
+    exp = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    assert {r["id"]: r["global_rn"] for r in got.collect()} == exp
+
+
+@pytest.mark.parametrize("n,k", [(12, 4), (13, 4), (3, 10), (100, 7), (7, 7)])
+def test_ntile_matches_builtin(spark, n, k):
+    vals = [(i * 37) % 50 for i in range(n)]  # duplicates + spread
+    df = _df(spark, vals)
+    got = global_ntile(
+        df, "v", k, tiebreaks=("id",), out_col="t", num_bins=5, persist=False
+    )
+    w = Window.orderBy("v", "id")
+    exp = {r["id"]: r["t"] for r in df.select("id", F.ntile(k).over(w).alias("t")).collect()}
+    assert {r["id"]: r["t"] for r in got.collect()} == exp
+
+
+def test_multi_ntile_matches_builtin(spark):
+    rows = [(i, (i * 37) % 50, (i * 13) % 29) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = multi_global_ntile(
+        df,
+        [
+            OrderSpec("a", True, ("id",), "ta"),
+            OrderSpec("b", False, ("id",), "tb"),
+        ],
+        4,
+        num_bins=5,
+        persist=False,
+    )
+    wa = Window.orderBy("a", "id")
+    wb = Window.orderBy(F.col("b").desc(), "id")
+    exp = {
+        r["id"]: (r["ta"], r["tb"])
+        for r in df.select(
+            "id", F.ntile(4).over(wa).alias("ta"), F.ntile(4).over(wb).alias("tb")
+        ).collect()
+    }
+    assert {r["id"]: (r["ta"], r["tb"]) for r in got.collect()} == exp
+
+
+def test_constant_key_single_bin(spark):
+    df = _df(spark, [7] * 20)
+    got = global_ntile(df, "v", 4, tiebreaks=("id",), out_col="t", persist=False)
+    counts = {r["t"]: r["n"] for r in got.groupBy("t").agg(F.count("*").alias("n")).collect()}
+    assert counts == {1: 5, 2: 5, 3: 5, 4: 5}
+
+
+def test_empty_input(spark):
+    df = _df(spark, []).filter("1=0")
+    out = global_order_stats(df, "v", cum_cols=("v",), persist=False)
+    assert out.count() == 0

@@ -697,15 +697,24 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "distribution"),
 )
 def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile assignment via ntile over a deterministic total order —
-    the distribution-profiling companion to quantiles_exact (both engines
-    share ntile's equal-height bucket rule)."""
-    from pyspark.sql import Window
+    """Decile assignment via exact NTILE over a deterministic total order
+    — the distribution-profiling companion to quantiles_exact (both
+    engines share ntile's equal-height bucket rule). Runs on
+    ``operators/rank.py``'s range-binned global rank: a parallel sort
+    over literal-boundary bins, not a single-partition window (the input
+    is the full fact table, so the one-task sort would be the straggler
+    at scale). Columns are pruned before the rank so the persisted probe
+    input carries 2 columns, not the whole table."""
+    from us_weather_energy_analysis_pipeline_spark.operators.rank import (
+        global_ntile,
+    )
 
-    o = load(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     return (
-        o.withColumn("decile", F.ntile(10).over(w).cast("long"))
+        global_ntile(
+            o, "o_totalprice", 10, tiebreaks=("o_orderkey",), out_col="decile"
+        )
+        .withColumn("decile", F.col("decile").cast("long"))
         .groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n"),

@@ -41,6 +41,25 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
     return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
 
 
+def capped_shingles(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
+    """Drop shingles whose document frequency exceeds ``cap`` — map-side.
+
+    The df count is a groupBy (partial agg combines every hot key
+    per-partition before the exchange: a web-scale stop-shingle
+    contributes one combiner row per map partition, never its full
+    posting list on one task). The over-cap shingle set is tiny by
+    construction (boilerplate vocabulary), so it broadcasts, and the
+    ANTI join removes hot rows without shuffling the index by shingle.
+    """
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > cap)
+        .select("shingle")
+    )
+    return sh.join(F.broadcast(hot), "shingle", "left_anti")
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -105,28 +124,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrences per pair, |A∪B| = |A|+|B|−|A∩B|. Pairs sharing no
     shingle never materialize — the crucial scale property.
 
-    A document-frequency cap (NGRAM_DF_CAP, window count over the shingle
-    — the same key the self-join shuffles on) drops boilerplate shingles
+    A document-frequency cap (NGRAM_DF_CAP) drops boilerplate shingles
     BEFORE the join: without it one stop-shingle shared by k docs emits
-    k² pairs in its bucket (quadratic skew at web scale). The windowed
-    form shuffles the index ONCE and every consumer (cap filter, sizes,
-    both self-join sides) reuses that exchange — measured ~35% faster
-    than a count+semi-join cap, which recomputes the shingle transform
-    per branch. The residual skew is linear (a hot shingle's rows sort in
-    one partition before being dropped); for corpora with pathological
-    single-shingle hot keys, flip to counting dfs map-side and
-    broadcast-ANTI-joining the tiny df>cap set, which drops hot rows
-    before any exchange. Sizes and intersections are both computed over
-    the capped index, mirrored exactly in the oracle."""
-    from pyspark.sql import Window
-
+    k² pairs in its bucket (quadratic skew at web scale). The cap is
+    enforced MAP-SIDE: shingle dfs come from a groupBy count whose
+    partial aggregation combines each hot key per-partition before the
+    exchange (a hot shingle ships ~P combiner rows, never its full
+    posting list), the tiny over-cap set is broadcast, and a broadcast
+    ANTI join drops hot rows with zero data-sized shuffle — unlike the
+    previous windowed count (r2, commit e6a31cc), which concentrated
+    every posting of a hot shingle on one partition just to count it.
+    The two consumers of the shingle index (the df count and the anti
+    join probe) share the distinct's exchange via ReuseExchange — the
+    shingle transform is not recomputed per branch. Sizes and
+    intersections are both computed over the capped index, mirrored
+    exactly in the oracle."""
     d = load(spark, sf_dir, "documents")
-    sh = (
-        word_shingles(d)
-        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("shingle")))
-        .filter(F.col("df") <= NGRAM_DF_CAP)
-        .drop("df")
-    )
+    sh = capped_shingles(word_shingles(d), NGRAM_DF_CAP)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -146,10 +160,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
-    """DuckDB twin of operators.dedup.minhash_near_dups — identical
+def _minhash_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
+    """CTE body (toks → cands) of the DuckDB MinHash/LSH twin — identical
     universal-hash permutations over the 32-bit md5 prefix (same
-    md5-derived (a, b) constants), so signature values agree exactly."""
+    md5-derived (a, b) constants), so signature values agree exactly.
+    Shared by the standalone candidates query and the end-to-end dedup
+    pipeline oracle (corpus/pipeline_q.py)."""
     from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -172,7 +188,7 @@ def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> 
         f"MIN((hv * {a} + {b}) % {MINHASH_P})" for a, b in minhash_params(k)
     )
     return f"""
-    WITH toks AS (
+    toks AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
     ),
     shingles AS (
@@ -196,7 +212,14 @@ def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> 
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    )
+    )"""
+
+
+def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
+    """Standalone candidates oracle: the shared CTEs + per-pair estimated
+    Jaccard from signature agreement."""
+    return f"""
+    WITH {_minhash_ctes(k, bands, shingle_k)}
     -- est_jaccard is scored on CANDIDATE pairs only (signature positions
     -- compared elementwise), mirroring the Spark pipeline — an all-pairs
     -- perseed self-join would be O(n² k) for the identical final result

@@ -10,10 +10,11 @@ segmentation shapes the reference's dashboard hints at but never computes
 Determinism across engines: every float that feeds an ORDER BY or a
 cumulative sum is rounded (r2) FIRST, so both engines sort and prefix-sum
 the same doubles in the same order — bit-identical cumulative results.
-Scale notes are per-query; global-ordered windows (Pareto, Gini, RFM
-ntile) are single-partition at test scale and would move to range
-partitioning + partition-prefix sums at 100 TB (same two-pass trick as
-`operators/skew.py`).
+Global-ordered statistics (Pareto cumsum, Gini rank, RFM/decile NTILE)
+run on ``operators/rank.py``'s range-partitioned machinery — a parallel
+sort over literal-boundary bins, never a single-partition window — and
+cumulative revenue is summed in integer cents so bin-parallel partial
+sums are exactly associative.
 """
 
 from __future__ import annotations
@@ -23,6 +24,10 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.operators.rank import (
+    global_order_stats,
+    multi_global_ntile,
+)
 
 
 @register(
@@ -48,29 +53,33 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, regi
 )
 def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto/ABC analysis: how many parts produce 80 % of revenue.
-    Per-part revenue is rounded BEFORE ranking so both engines prefix-sum
-    identical doubles in identical order (bit-equal cum_rev). One shuffle
-    for the groupBy; the ordered cumsum is a global window — at 100 TB it
-    becomes range-partition + broadcast partition totals (two-pass prefix
-    sum), the classic distributed scan pattern."""
+    Per-part revenue is rounded then scaled to integer cents, and the
+    global cumulative sum runs on ``operators/rank.py``'s range-binned
+    parallel prefix sum — integer cents make the bin-parallel partials
+    exactly associative, and no single-partition window appears in the
+    plan. The 0.8 × total threshold is baked as a literal (the grand
+    total falls out of the bounded per-bin stats for free)."""
     li = load(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         )
     )
-    w_cum = (
-        Window.orderBy(F.col("revenue").desc(), F.col("l_partkey"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cents = rev.withColumn(
+        "rev_cents", F.round(F.col("revenue") * 100).cast("long")
     )
-    ranked = rev.select(
-        F.sum("revenue").over(w_cum).alias("cum_rev"),
-        F.sum("revenue").over(Window.partitionBy()).alias("tot_rev"),
+    ranked = global_order_stats(
+        cents,
+        "revenue",
+        ascending=False,
+        tiebreaks=("l_partkey",),
+        cum_cols=("rev_cents",),
+        totals=True,
     )
     return ranked.agg(
-        F.count(F.when(F.col("cum_rev") <= 0.8 * F.col("tot_rev"), 1)).alias(
-            "parts_for_80pct"
-        ),
+        F.count(
+            F.when(F.col("rev_cents_cum") <= 0.8 * F.col("rev_cents_tot"), 1)
+        ).alias("parts_for_80pct"),
         F.count(F.lit(1)).alias("total_parts"),
     )
 
@@ -136,17 +145,20 @@ def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer revenue (rank formula
     G = 2·Σ(i·xᵢ)/(n·Σxᵢ) − (n+1)/n on ascending-sorted x). Revenue is
-    rounded before ranking for a deterministic cross-engine order. The
-    global rank is the only non-parallel step — at scale it becomes
-    range-partitioning with broadcast partition-row-counts (rank offset =
-    prefix count), everything else is a plain agg."""
+    rounded before ranking for a deterministic cross-engine order; the
+    exact global rank comes from ``operators/rank.py``'s range-binned
+    row_number (bin offset + partitioned window), so the sort
+    parallelizes over value-range bins instead of one task. ``n`` rides
+    along as a broadcast single-row cross join, not a global window."""
     o = load(spark, sf_dir, "orders")
     rev = o.groupBy("o_custkey").agg(r2(F.sum("o_totalprice")).alias("revenue"))
-    w = Window.orderBy("revenue", "o_custkey")
-    ranked = rev.select(
+    ranked = global_order_stats(
+        rev,
         "revenue",
-        F.row_number().over(w).alias("i"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        ascending=True,
+        tiebreaks=("o_custkey",),
+        rank_col="i",
+        n_col="n",
     )
     return ranked.agg(
         r6(
@@ -227,22 +239,35 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM (recency/frequency/monetary) quartile segmentation — the
     classic customer-scoring pipeline. Monetary is rounded before the
     NTILE sort and every ordering carries a custkey tie-break, so quartile
-    boundaries agree across engines. Three global NTILEs share one
-    single-partition sort at test scale; at 100 TB each becomes an
-    approx-quantile bucketing (computed map-side) — the segment semantics
-    tolerate approximate boundaries by design."""
+    boundaries agree across engines. The three exact NTILEs run on
+    ``operators/rank.py``'s ``multi_global_ntile`` — three parallel
+    range-binned sorts instead of three single-partition ones, with ONE
+    driver boundary probe (a single multi-column approxQuantile over the
+    persisted RFM aggregate); recency is keyed on epoch micros
+    (monotonic in the TIMESTAMP_NTZ, so the order matches the oracle's
+    ORDER BY last_order DESC exactly)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.rank import OrderSpec
+
     o = load(spark, sf_dir, "orders")
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         r2(F.sum("o_totalprice")).alias("monetary"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.col("last_order").desc(), "o_custkey"))
-    f_ = F.ntile(4).over(Window.orderBy(F.col("freq").desc(), "o_custkey"))
-    m = F.ntile(4).over(Window.orderBy(F.col("monetary").desc(), "o_custkey"))
-    scored = rfm.select(
-        r.alias("r"), f_.alias("f"), m.alias("m"), "monetary"
-    )
+    scored = multi_global_ntile(
+        rfm,
+        [
+            OrderSpec(
+                F.unix_micros(F.col("last_order").cast("timestamp")),
+                ascending=False,
+                tiebreaks=("o_custkey",),
+                out_col="r",
+            ),
+            OrderSpec("freq", False, ("o_custkey",), "f"),
+            OrderSpec("monetary", False, ("o_custkey",), "m"),
+        ],
+        4,
+    ).select("r", "f", "m", "monetary")
     return (
         scored.groupBy("r", "f", "m")
         .agg(

