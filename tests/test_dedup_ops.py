@@ -201,3 +201,26 @@ def test_pil_decode_paths(spark):
     # PIL present: undecodable payload must yield null metadata, not fail
     rows = decode_image(blobs).collect()
     assert rows[0]["width"] is None and rows[0]["n_bytes"] == 4
+
+
+def test_video_frame_sample_paths(spark):
+    """frame_sample_video mirrors the PIL gate: real PyAV decode when the
+    codec is importable, NotImplementedError at plan-build time otherwise
+    (this container has no PyAV)."""
+    import pytest as _pytest
+
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        frame_sample_video,
+    )
+
+    blobs = spark.createDataFrame(
+        [(1, b"notavideo")], "doc_id long, payload binary"
+    )
+    try:
+        import av  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            frame_sample_video(blobs)
+        return
+    # codec present: undecodable payload yields zero rows, not a failure
+    assert frame_sample_video(blobs).count() == 0

@@ -86,6 +86,42 @@ def test_upsert_parquet_roundtrip(spark, tmp_path):
     assert upsert_parquet(spark, path, update, ["id"]) == 4
 
 
+def test_upsert_table_dispatch_falls_back_to_parquet(spark, tmp_path):
+    """Without delta-spark in the session, upsert_table must take the
+    parquet write-then-swap path and honor the same contract."""
+    from us_weather_energy_analysis_pipeline_spark.operators import upsert
+
+    assert upsert.delta_available(spark) is False  # this container has no delta
+    path = str(tmp_path / "tbl2")
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    assert upsert.upsert_table(spark, path, base, ["id"]) == 2
+    upd = spark.createDataFrame([(2, 20.0), (3, 3.0)], "id long, v double")
+    assert upsert.upsert_table(spark, path, upd, ["id"]) == 3
+    got = {r["id"]: r["v"] for r in spark.read.parquet(path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
+def test_upsert_delta_merge(spark, tmp_path):
+    """Delta MERGE path — exercised only where delta-spark is installed
+    (skipped in this container; the dispatch test above covers the
+    fallback)."""
+    pytest.importorskip("delta")
+    from us_weather_energy_analysis_pipeline_spark.operators.upsert import (
+        delta_available,
+        upsert_delta,
+    )
+
+    if not delta_available(spark):
+        pytest.skip("session lacks DeltaSparkSessionExtension")
+    path = str(tmp_path / "dtbl")
+    base = spark.createDataFrame([(1, 1.0), (2, 2.0)], "id long, v double")
+    assert upsert_delta(spark, path, base, ["id"]) == 2
+    upd = spark.createDataFrame([(2, 20.0), (3, 3.0)], "id long, v double")
+    assert upsert_delta(spark, path, upd, ["id"]) == 3
+    got = {r["id"]: r["v"] for r in spark.read.format("delta").load(path).collect()}
+    assert got == {1: 1.0, 2: 20.0, 3: 3.0}
+
+
 def test_partition_pruning_on_city(spark, tmp_path):
     """write_fact partitions by city; a city filter must prune partitions
     at scan time (PartitionFilters), not post-read."""

@@ -227,6 +227,56 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert bdf.count() == 3
 
 
+def test_stream_dedup_state_evicts_after_watermark(spark, tmp_path):
+    """Pins the WATERMARK-SCOPED semantics (and bounded state) of
+    dropDuplicatesWithinWatermark: once the watermark passes a key's
+    expiry (event ts + delay), its dedup state is EVICTED, so a
+    re-occurrence of the same key with a fresh timestamp is emitted
+    again. Plain dropDuplicates keeps key state forever (unbounded at
+    100 TB) and would suppress the re-occurrence — this test FAILS if
+    the implementation is swapped to it."""
+    from us_weather_energy_analysis_pipeline_spark.streaming.jobs import stream_dedup
+
+    src = str(tmp_path / "evict_src")
+    schema = "ts timestamp, event_id long, value double"
+    d = dt.datetime
+    batches = [
+        (d(2024, 1, 1, 10, 0), 1, 1.0),  # b1: first occurrence of key 1
+        (d(2024, 1, 1, 10, 5), 1, 1.0),  # b2: replay within delay → dropped
+        (d(2024, 1, 1, 13, 0), 2, 2.0),  # b3: watermark → 12:00 (> key-1 expiry)
+        (d(2024, 1, 1, 13, 5), 3, 3.0),  # b4: state cleanup applies (1-batch lag)
+        (d(2024, 1, 1, 13, 10), 1, 9.0),  # b5: key 1 again, fresh ts → EMITTED
+    ]
+    for row in batches:
+        spark.createDataFrame([row], schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    sdf = stream_dedup(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        ("event_id",),
+        "ts",
+        "1 hour",
+    )
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("dedup_evict_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ev"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r["event_id"]: r["n"]
+        for r in spark.sql(
+            "SELECT event_id, COUNT(*) AS n FROM dedup_evict_test GROUP BY event_id"
+        ).collect()
+    }
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
 def test_stream_interval_join_matches_batch(spark, tmp_path):
     """Stream-stream interval join: purchase within 1h after a view.
     Checked against the identical batch join."""

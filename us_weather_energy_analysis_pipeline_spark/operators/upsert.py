@@ -1,11 +1,17 @@
-"""Key-based upsert into a parquet table — the reference's realtime mode
+"""Key-based upsert into a table — the reference's realtime mode
 (yesterday-only append, `pipeline.py:24-28`) done safely.
 
-Plain parquet has no MERGE; the batch-rewrite pattern is: materialize
-(existing ∖ new-keys) ∪ new into a staging dir, then atomically swap.
-At real scale this is exactly what Delta/Iceberg MERGE INTO does with
-transaction-log bookkeeping instead of a directory swap — swap to a table
-format when one is available; the call-site contract stays the same.
+Two paths behind one contract (:func:`upsert_table`):
+
+- **Delta MERGE INTO** when the ``delta-spark`` package is importable
+  and the Spark session carries the Delta extensions — transactional,
+  file-level pruning on the merge keys, the real cluster path;
+- **parquet write-then-swap** otherwise: materialize
+  (existing ∖ new-keys) ∪ new into a staging dir, then atomically swap.
+  The staging write fully completes BEFORE the old directory is
+  touched, so a failed job never corrupts the table — but the swap is
+  local-filesystem-only (rename is not atomic on object stores); at
+  scale use the Delta path.
 """
 
 from __future__ import annotations
@@ -15,6 +21,66 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+
+
+def delta_available(spark: SparkSession) -> bool:
+    """True when the delta-spark package AND its Spark session
+    extensions are present (both are required for MERGE to parse)."""
+    try:
+        import delta  # noqa: F401
+    except ImportError:
+        return False
+    ext = spark.conf.get("spark.sql.extensions", "") or ""
+    return "DeltaSparkSessionExtension" in ext
+
+
+def upsert_delta(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: list[str],
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """MERGE ``new_df`` into the Delta table at ``path`` by ``keys``
+    (update-all on match, insert-all otherwise). Creates the table on
+    first write. Returns the resulting row count.
+
+    Scale posture: Delta prunes candidate files by merge-key min/max
+    stats, so the rewrite touches only files containing matched keys —
+    unlike the parquet fallback, which rewrites the whole table.
+    """
+    from delta.tables import DeltaTable
+
+    if not DeltaTable.isDeltaTable(spark, path):
+        w = new_df.write.format("delta").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(path)
+    else:
+        tgt = DeltaTable.forPath(spark, path)
+        cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in keys)
+        (
+            tgt.alias("t")
+            .merge(new_df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+    return spark.read.format("delta").load(path).count()
+
+
+def upsert_table(
+    spark: SparkSession,
+    path: str,
+    new_df: DataFrame,
+    keys: list[str],
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Upsert dispatch: Delta MERGE when available, parquet
+    write-then-swap fallback. Same contract either way."""
+    if delta_available(spark):
+        return upsert_delta(spark, path, new_df, keys, partition_by)
+    return upsert_parquet(spark, path, new_df, keys, partition_by)
 
 
 def upsert_parquet(
