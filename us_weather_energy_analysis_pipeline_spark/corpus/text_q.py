@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
 # Tiny function-word inventory for the ratio heuristics; fixed and public.
@@ -219,4 +219,122 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", "rnk")
+    )
+
+
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(text)), ' ') AS t
+      FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, word, COUNT(*) AS n
+      FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+      GROUP BY doc_id, word
+    ),
+    per_doc AS (
+      SELECT doc_id, SUM(n) AS total, COUNT(*) AS n_distinct, MAX(n) AS top_n
+      FROM counted GROUP BY doc_id
+    )
+    SELECT doc_id,
+           ROUND(1.0 - n_distinct * 1.0 / total, 4) AS dup_word_ratio,
+           ROUND(top_n * 1.0 / total, 4)            AS top_word_ratio,
+           CAST(total AS BIGINT)                    AS n_tokens
+    FROM per_doc
+    """,
+    tags=("text", "quality", "repetition"),
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition metrics per document: duplicate-word ratio
+    (1 − distinct/total) and most-frequent-word share — the cheap
+    repetition filters an LM data pipeline applies before the expensive
+    dedup passes. Pure array expressions (split → array_distinct /
+    aggregate over token counts), zero shuffle: every ratio is computed
+    inside one codegen stage per row."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    total = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    # top word count: for each distinct token, count occurrences in the
+    # full array; take the max — O(distinct·total) per row, all in codegen
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    return d.select(
+        "doc_id",
+        r4(1.0 - n_distinct.cast("double") / total).alias("dup_word_ratio"),
+        r4(top_n.cast("double") / total).alias("top_word_ratio"),
+        total.cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "corpus_mix_summary",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+           ROUND(AVG(n_chars), 2) AS avg_chars
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "corpus-mix", "agg"),
+)
+def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-mix characterization per (lang, source) — the sampling-
+    weight table a data-mixing job computes before building a training
+    blend. One partial-aggregated groupBy over a pure scan."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+        r2(F.avg("n_chars")).alias("avg_chars"),
+    )
+
+
+@register(
+    "decontamination_check",
+    oracle="""
+    WITH fp AS (
+      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+    ),
+    eval_set AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0),
+    train AS (SELECT doc_id, fp FROM fp WHERE doc_id % 97 <> 0)
+    SELECT COUNT(*) AS n_train,
+           COUNT(*) FILTER (WHERE e.fp IS NOT NULL) AS n_contaminated,
+           ROUND(COUNT(*) FILTER (WHERE e.fp IS NOT NULL) * 1.0 / COUNT(*), 6)
+             AS contamination_rate
+    FROM train t LEFT JOIN eval_set e ON t.fp = e.fp
+    """,
+    tags=("text", "decontamination", "semi-join"),
+)
+def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose normalized
+    fingerprint collides with a held-out eval set (here a deterministic
+    1/97 slice standing in for the benchmark suite). The eval fingerprint
+    set is tiny by construction → broadcast semi-join against the train
+    scan, no shuffle of the corpus; at 100 TB this is a map-only pass."""
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(
+        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    )
+    eval_set = fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
+    train = fp.filter(F.col("doc_id") % 97 != 0)
+    joined = train.join(
+        F.broadcast(eval_set.withColumn("hit", F.lit(1))), "fp", "left"
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count("hit").alias("n_contaminated"),
+        r6(F.count("hit") / F.count(F.lit(1))).alias("contamination_rate"),
     )

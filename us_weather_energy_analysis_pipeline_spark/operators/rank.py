@@ -10,20 +10,27 @@ sort, the same two-pass trick as ``operators/quantile.py``:
 1. bin boundaries come from ONE driver-side ``approxQuantile`` over the
    (direction-adjusted) sort key(s) and are baked into the plan as
    literals, so the bin id is a pure function of the key — no reliance
-   on exchange reuse between plan branches. This is the ONLY driver
-   action; everything else stays lazy in one plan;
+   on exchange reuse between plan branches;
 2. per-bin row counts (and, when requested, per-bin value sums) are
-   aggregated map-side into a ≤num_bins-row table; prefix offsets over
-   the bins come from a bins×bins triangular self-join on that tiny
-   table — in-plan, broadcast-sized, no driver collect and no
-   unpartitioned window;
-3. within each bin a PARTITIONED window (partitionBy bin) assigns
+   aggregated map-side and collected in ONE job — the collected table is
+   bounded by ``num_bins`` (≤ a few dozen rows), NOT by data volume; for
+   several orderings the per-ordering counts are stacked into that one
+   aggregation;
+3. prefix offsets over the bins are computed in plain Python and baked
+   into the plan as a LITERAL array lookup (``element_at(array(...),
+   pid + 1)``) — no join, no broadcast exchange, no extra plan branch;
+4. within each bin a PARTITIONED window (partitionBy bin) assigns
    ``row_number`` / running sums; global rank = bin offset + local rank.
 
 Cumulative sums are computed over LONG columns (callers pre-scale
 rounded decimals to integer cents) so the bin-parallel partial sums are
 exactly associative — bit-identical to a sequential scan, no float
 reordering hazard.
+
+Cost model per call: two driver actions (boundary probe + bounded bin
+stats, both over the persisted keyed input) and one fully parallel final
+job. The input here is typically a small aggregate of a huge fact table
+(group totals, per-doc stats) — exactly what a production job persists.
 
 Reference parity: the reference has no distribution profiler at all
 (``src/analysis.py:6-67`` stops at mean/median/OLS); these are the
@@ -69,79 +76,73 @@ def _pid_expr(sk_name: str, cuts: list[float]) -> Column:
     )
 
 
+def _lookup(values: list[int], pid_col: str) -> Column:
+    """Literal array lookup: values[pid] as a Column (1-based element_at)."""
+    arr = F.array(*[F.lit(int(v)).cast("long") for v in values])
+    return F.element_at(arr, F.col(pid_col) + 1)
+
+
+class _BinStats:
+    """Prefix offsets + totals for one ordering, from the bounded per-bin
+    rows collected driver-side: ``roff[p]`` rows precede bin p;
+    ``coff[c][p]`` is the running sum of column c before bin p."""
+
+    def __init__(self, n_pids: int, rows, cum_cols: Sequence[str]):
+        by_pid = {r["_pid"]: r for r in rows}
+        self.roff: list[int] = []
+        self.coff: dict[str, list[int]] = {c: [] for c in cum_cols}
+        self.n = 0
+        self.totals: dict[str, int] = {c: 0 for c in cum_cols}
+        for p in range(n_pids):
+            self.roff.append(self.n)
+            r = by_pid.get(p)
+            for c in cum_cols:
+                self.coff[c].append(self.totals[c])
+                if r is not None:
+                    self.totals[c] += r[f"_s_{c}"] or 0
+            if r is not None:
+                self.n += r["_cnt"]
+
+
 def _attach_rank(
     df: DataFrame,
-    stats_src: DataFrame,
     i: int,
     spec: OrderSpec,
+    stats: _BinStats,
     rank_col: str,
-    n_col: str | None,
-    tot: bool,
 ) -> DataFrame:
     """Assuming ``_sk{i}``/``_pid{i}`` are present, append the exact
-    global rank (+ running sums / totals) for one ordering. Offsets come
-    from a triangular self-join over the ≤num_bins-row per-bin stats —
-    all in-plan, broadcast-sized. Bin counts aggregate over
-    ``stats_src`` — the (persisted) binned input BEFORE any rank
-    attachment — so when several orderings chain, an offsets branch
-    never re-executes an earlier ordering's join/window stages."""
+    global rank (+ running sums) for one ordering: literal-array bin
+    offset + partitioned per-bin window. Purely lazy — no joins, no
+    broadcasts, no extra plan branches."""
     sk, pid = f"_sk{i}", f"_pid{i}"
-    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(F.col(c)).cast("long").alias(f"_s_{c}") for c in spec.cum_cols
-    ]
-    counts = stats_src.groupBy(pid).agg(*aggs)
-    a, b = counts.alias("a"), counts.alias("b")
-    off_aggs = [F.coalesce(F.sum("b._cnt"), F.lit(0)).alias("_roff")] + [
-        F.coalesce(F.sum(f"b._s_{c}"), F.lit(0)).alias(f"_coff_{c}")
-        for c in spec.cum_cols
-    ]
-    off = (
-        a.join(b, F.col(f"b.{pid}") < F.col(f"a.{pid}"), "left")
-        .groupBy(F.col(f"a.{pid}").alias(pid))
-        .agg(*off_aggs)
-    )
-    out = df.join(F.broadcast(off), pid)
     w = Window.partitionBy(pid).orderBy(
         F.col(sk).asc(), *[F.col(t).asc() for t in spec.tiebreaks]
     )
-    out = out.withColumn(
-        rank_col, (F.col("_roff") + F.row_number().over(w)).cast("long")
+    out = df.withColumn(
+        rank_col,
+        (_lookup(stats.roff, pid) + F.row_number().over(w)).cast("long"),
     )
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     for c in spec.cum_cols:
         out = out.withColumn(
-            f"{c}_cum", (F.col(f"_coff_{c}") + F.sum(c).over(w_run)).cast("long")
+            f"{c}_cum",
+            (_lookup(stats.coff[c], pid) + F.sum(c).over(w_run)).cast("long"),
         )
-    drop = [sk, pid, "_roff"] + [f"_coff_{c}" for c in spec.cum_cols]
-    if n_col or tot:
-        tot_aggs = [F.sum("_cnt").alias("_nt")] + [
-            F.sum(f"_s_{c}").alias(f"_tt_{c}") for c in spec.cum_cols
-        ]
-        totals = counts.agg(*tot_aggs)
-        out = out.crossJoin(F.broadcast(totals))
-        if n_col:
-            out = out.withColumn(n_col, F.col("_nt").cast("long"))
-        if tot:
-            for c in spec.cum_cols:
-                out = out.withColumn(f"{c}_tot", F.col(f"_tt_{c}").cast("long"))
-        drop += ["_nt"] + [f"_tt_{c}" for c in spec.cum_cols]
-    return out.drop(*drop)
+    return out.drop(sk, pid)
 
 
-def _ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
-    """SQL NTILE(k) bucket from a 1-based global rank: the first
-    ``n mod k`` buckets get ``ceil(n/k)`` rows, the rest ``floor(n/k)``.
-    Pure column arithmetic (double division only, so ANSI mode never
-    sees an integral division by zero; the q=0 branch is guarded)."""
-    q = F.floor(n / k)
-    r = n % k
+def _ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """SQL NTILE(k) bucket from a 1-based global rank with LITERAL n:
+    the first ``n mod k`` buckets get ``ceil(n/k)`` rows, the rest
+    ``floor(n/k)``."""
+    q, r = divmod(n, k)
+    if q == 0:  # fewer rows than buckets: bucket == rank
+        return rank.cast("int")
     head = r * (q + 1)
-    big = F.floor((rank - 1) / (q + 1).cast("double")) + 1
-    small = r + F.floor((rank - 1 - head) / q.cast("double")) + 1
     return (
-        F.when(q == 0, rank)
-        .when(rank <= head, big)
-        .otherwise(small)
+        F.when(rank <= F.lit(head), F.floor((rank - 1) / F.lit(float(q + 1))) + 1)
+        .otherwise(F.lit(r) + F.floor((rank - 1 - F.lit(head)) / F.lit(float(q))) + 1)
         .cast("int")
     )
 
@@ -164,23 +165,32 @@ def global_order_stats(
     ``c`` in ``cum_cols`` (must be integer-typed), an exact running sum
     ``{c}_cum`` including the current row. ``n_col`` names an optional
     total-row-count column; ``totals=True`` adds ``{c}_tot`` grand-total
-    columns — both broadcast single-row cross joins, not windows.
-
-    ``persist=True`` caches the keyed input before the boundary probe so
-    the probe and the final plan share one upstream computation — the
-    input here is typically a small aggregate of a huge fact table
-    (group-totals, per-doc stats), which is exactly what a production
-    job would persist. Pass ``persist=False`` when the caller manages
-    caching itself.
-    """
+    columns — all literals (known driver-side from the bounded bin
+    stats), zero extra plan cost."""
     spec = OrderSpec(key, ascending, tuple(tiebreaks), cum_cols=tuple(cum_cols))
     base = df.withColumn("_sk0", spec.sort_key())
     if persist:
         base = base.persist()
     nb = max(2, num_bins)
     cuts = base.stat.approxQuantile("_sk0", [i / nb for i in range(1, nb)], 0.001)
+    n_pids = len(sorted(set(cuts))) + 1
     binned = base.withColumn("_pid0", _pid_expr("_sk0", cuts))
-    return _attach_rank(binned, binned, 0, spec, rank_col, n_col, totals)
+    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+        F.sum(F.col(c)).cast("long").alias(f"_s_{c}") for c in cum_cols
+    ]
+    rows = (
+        binned.groupBy(F.col("_pid0").alias("_pid")).agg(*aggs).collect()
+    )
+    stats = _BinStats(n_pids, rows, cum_cols)
+    out = _attach_rank(binned, 0, spec, stats, rank_col)
+    if n_col:
+        out = out.withColumn(n_col, F.lit(stats.n).cast("long"))
+    if totals:
+        for c in cum_cols:
+            out = out.withColumn(
+                f"{c}_tot", F.lit(stats.totals[c]).cast("long")
+            )
+    return out
 
 
 def global_ntile(
@@ -214,11 +224,11 @@ def multi_global_ntile(
     persist: bool = True,
 ) -> DataFrame:
     """Exact ``NTILE(k)`` for SEVERAL global orderings over the same
-    frame (the RFM shape: recency/frequency/monetary quartiles) with ONE
-    driver action: all sort keys are probed in a single multi-column
-    ``approxQuantile`` pass, and the per-key rank plumbing (bin counts,
-    triangular offsets, partitioned windows) composes lazily into one
-    plan."""
+    frame (the RFM shape: recency/frequency/monetary quartiles) with TWO
+    driver actions total: all sort keys are probed in a single
+    multi-column ``approxQuantile`` pass, the per-ordering bin counts are
+    STACKED into one aggregation job, and the rank plumbing (literal
+    offsets + partitioned windows) composes lazily into one final plan."""
     base = df
     for i, s in enumerate(specs):
         base = base.withColumn(f"_sk{i}", s.sort_key())
@@ -230,12 +240,31 @@ def multi_global_ntile(
         sk_names, [i / nb for i in range(1, nb)], 0.001
     )
     binned = base
+    n_pids = []
     for i, cuts in enumerate(all_cuts):
         binned = binned.withColumn(f"_pid{i}", _pid_expr(f"_sk{i}", cuts))
+        n_pids.append(len(sorted(set(cuts))) + 1)
+    # one job for ALL orderings' bin counts: stack (ordering, pid) pairs
+    stacked = binned.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("_w"), F.col(f"_pid{i}").alias("_pid")
+                    )
+                    for i in range(len(specs))
+                ]
+            )
+        ).alias("s")
+    ).select("s._w", "s._pid")
+    rows = stacked.groupBy("_w", "_pid").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    ).collect()
     out = binned
     for i, s in enumerate(specs):
-        out = _attach_rank(out, binned, i, s, f"_gr{i}", f"_n{i}", False)
+        stats = _BinStats(n_pids[i], [r for r in rows if r["_w"] == i], ())
+        out = _attach_rank(out, i, s, stats, f"_gr{i}")
         out = out.withColumn(
-            s.out_col, _ntile_from_rank(F.col(f"_gr{i}"), F.col(f"_n{i}"), k)
-        ).drop(f"_gr{i}", f"_n{i}")
+            s.out_col, _ntile_from_rank(F.col(f"_gr{i}"), stats.n, k)
+        ).drop(f"_gr{i}")
     return out
