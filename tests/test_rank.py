@@ -107,3 +107,47 @@ def test_empty_input(spark):
     df = _df(spark, []).filter("1=0")
     out = global_order_stats(df, "v", cum_cols=("v",), persist=False)
     assert out.count() == 0
+
+
+def test_rank_property_random_distributions(spark):
+    """Property check across adversarial value distributions (constant,
+    heavy-tailed, negative, duplicate-heavy): the range-binned rank and
+    running sum must equal the trusted single-partition window on small
+    data, for every (ascending, num_bins) combination."""
+    import random
+
+    rng = random.Random(20260813)
+    distributions = [
+        [0] * 40,  # constant → one bin
+        [rng.randint(-5, 5) for _ in range(67)],  # duplicate-heavy, negatives
+        [int(rng.lognormvariate(0, 3)) for _ in range(101)],  # heavy tail
+        [rng.randint(-(10**9), 10**9) for _ in range(53)],  # wide spread
+        [7],  # single row
+    ]
+    for vals in distributions:
+        df = _df(spark, vals)
+        for ascending in (True, False):
+            for nb in (2, 7):
+                got = global_order_stats(
+                    df,
+                    "v",
+                    ascending=ascending,
+                    tiebreaks=("id",),
+                    cum_cols=("v",),
+                    num_bins=nb,
+                    persist=False,
+                )
+                order = F.col("v").asc() if ascending else F.col("v").desc()
+                w = Window.orderBy(order, F.col("id").asc())
+                exp = df.select(
+                    "id",
+                    F.row_number().over(w).alias("rn"),
+                    F.sum("v")
+                    .over(w.rowsBetween(Window.unboundedPreceding, 0))
+                    .alias("cs"),
+                )
+                got_m = {
+                    r["id"]: (r["global_rn"], r["v_cum"]) for r in got.collect()
+                }
+                exp_m = {r["id"]: (r["rn"], r["cs"]) for r in exp.collect()}
+                assert got_m == exp_m, (vals[:5], ascending, nb)
