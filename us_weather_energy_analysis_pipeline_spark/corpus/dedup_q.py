@@ -326,10 +326,18 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH RECURSIVE toks AS (
       SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
     ),
-    shingles AS (
+    all_shingles AS (
       SELECT DISTINCT doc_id,
              array_to_string(t[i:i+{SHINGLE_K}-1], ' ') AS shingle
       FROM toks, UNNEST(generate_series(1, len(t) - {SHINGLE_K} + 1)) AS g(i)
+    ),
+    shingles AS (
+      -- same df-cap as the Spark side's capped_shingles: the pair set
+      -- feeding the components MUST match dedup_ngram_jaccard's exactly
+      -- (at sf>=0.1 some boilerplate shingles exceed the cap, which
+      -- shifts Jaccard denominators on BOTH sides)
+      SELECT doc_id, shingle FROM all_shingles
+      QUALIFY COUNT(*) OVER (PARTITION BY shingle) <= {NGRAM_DF_CAP}
     ),
     sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
     cand AS (

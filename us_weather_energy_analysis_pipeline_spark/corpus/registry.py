@@ -123,6 +123,7 @@ def _ensure_loaded() -> None:
         distrib_q,
         sketch_q,
         pipeline_q,
+        sampling_q,
         dedup_q,
         similarity_q,
         text_q,

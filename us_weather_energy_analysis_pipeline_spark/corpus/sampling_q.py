@@ -1,0 +1,212 @@
+"""Corpus sampling & packing — the selection stages of a training-data
+pipeline: deterministic stratified sampling (mix weighting), composite
+quality filtering (Gopher-style rules with reason flags), and
+concat-and-chunk token packing (how pretraining actually batches
+documents into fixed token budgets).
+
+All native Column expressions; sampling hashes are md5-based so both
+engines select identical rows (no RNG, reproducible across reruns and
+engines — the property a production sampler needs for auditability).
+
+Reference parity: the reference has no sampling/selection stage at all
+(its pipeline loads everything, `src/pipeline.py:11-111`); this is the
+LLM-training-data extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+
+# per-language sampling percentage (0-100): the mix-weighting table a
+# blend job derives from corpus_mix_summary
+SAMPLE_PCT = {"en": 60, "de": 35, "fr": 35}
+DEFAULT_PCT = 20
+
+_HEX = "0123456789abcdef"
+
+
+def _hash_pct_sql() -> str:
+    """DuckDB twin of the Spark bucket expr: first 4 hex digits of
+    md5(doc_id) → int → mod 100."""
+    hv = " + ".join(
+        f"(strpos('{_HEX}', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"(({hv}) % 100)"
+
+
+def _pct_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_PCT.items())
+    )
+    return f"CASE {whens} ELSE {DEFAULT_PCT} END"
+
+
+@register(
+    "stratified_sample_hash",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT lang, {_hash_pct_sql()} AS bucket,
+             {_pct_case_sql()} AS pct
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE bucket < pct) AS n_sampled,
+           ROUND(COUNT(*) FILTER (WHERE bucket < pct) * 1.0 / COUNT(*), 4)
+             AS achieved_rate
+    FROM hashed GROUP BY lang
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+)
+def stratified_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: each document's md5 bucket
+    (0-99) is compared against its language's target percentage — a pure
+    map-side predicate, no shuffle until the per-stratum audit counts.
+    Hash-based selection (vs rand()) is reproducible across engines,
+    reruns, and retries — the auditability property a corpus-mixing job
+    needs. Returns the per-stratum audit table."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 100
+    )
+    pct = F.lit(DEFAULT_PCT)
+    for k, v in sorted(SAMPLE_PCT.items()):
+        pct = F.when(F.col("lang") == k, F.lit(v)).otherwise(pct)
+    hashed = d.select("lang", bucket.alias("bucket"), pct.alias("pct"))
+    return hashed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("bucket") < F.col("pct"), 1)).alias("n_sampled"),
+        r4(
+            F.count(F.when(F.col("bucket") < F.col("pct"), 1))
+            / F.count(F.lit(1))
+        ).alias("achieved_rate"),
+    )
+
+
+MIN_WORDS, MAX_WORDS = 5, 100_000
+MAX_TOP_WORD_RATIO = 0.2
+MIN_ALPHA_RATIO = 0.6
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id,
+             len(string_split(lower(trim(text)), ' ')) AS n_words,
+             len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct,
+             length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
+               / GREATEST(length(text), 1) AS alpha_ratio
+      FROM documents
+    ),
+    top_w AS (
+      SELECT doc_id, MAX(cnt) * 1.0 / SUM(cnt) AS top_ratio
+      FROM (
+        SELECT doc_id, word, COUNT(*) AS cnt
+        FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+              FROM documents)
+        GROUP BY doc_id, word
+      ) GROUP BY doc_id
+    )
+    SELECT m.doc_id,
+           CAST(m.n_words < {MIN_WORDS} OR m.n_words > {MAX_WORDS} AS INTEGER)
+             AS fail_length,
+           CAST(t.top_ratio > {MAX_TOP_WORD_RATIO} AS INTEGER) AS fail_repetition,
+           CAST(m.alpha_ratio < {MIN_ALPHA_RATIO} AS INTEGER)  AS fail_alpha,
+           CAST(NOT (m.n_words < {MIN_WORDS} OR m.n_words > {MAX_WORDS})
+                AND NOT t.top_ratio > {MAX_TOP_WORD_RATIO}
+                AND NOT m.alpha_ratio < {MIN_ALPHA_RATIO} AS INTEGER) AS keep
+    FROM m JOIN top_w t ON m.doc_id = t.doc_id
+    """,
+    tags=("text", "quality", "filter", "gopher"),
+)
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher-style quality rules with per-rule reason flags
+    (length bounds, top-word repetition share, alphabetic ratio) and the
+    final keep decision — the reasons column is what lets a pipeline
+    audit WHY documents were dropped. Zero shuffle: every metric is an
+    array/regexp expression evaluated per row in one codegen stage."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    n_words = F.size(toks)
+    top_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    )
+    top_ratio = top_n.cast("double") / n_words
+    alpha_ratio = F.length(
+        F.regexp_replace("text", "[^a-zA-Z ]", "")
+    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
+    fail_length = (n_words < MIN_WORDS) | (n_words > MAX_WORDS)
+    fail_rep = top_ratio > MAX_TOP_WORD_RATIO
+    fail_alpha = alpha_ratio < MIN_ALPHA_RATIO
+    return d.select(
+        "doc_id",
+        fail_length.cast("int").alias("fail_length"),
+        fail_rep.cast("int").alias("fail_repetition"),
+        fail_alpha.cast("int").alias("fail_alpha"),
+        (~fail_length & ~fail_rep & ~fail_alpha).cast("int").alias("keep"),
+    )
+
+
+PACK_BUDGET = 1024  # tokens per pack
+
+
+@register(
+    "token_budget_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT source, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) - n_tokens)
+                        / {PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT source, pack_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, pack_id
+    """,
+    tags=("packing", "tokens", "window"),
+)
+def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk token packing — the way pretraining actually
+    batches documents: within each source stream (ordered by doc_id),
+    a document's pack is its cumulative START offset div the budget.
+    One window partitioned BY SOURCE (each stream sorts independently —
+    parallel across sources; a single 100 TB source would be sub-sharded
+    first, e.g. by hash(doc_id) ranges, exactly like the range-binned
+    rank in operators/rank.py). Returns per-pack audit counts."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    packed = toks.select(
+        "source",
+        "n_tokens",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / float(PACK_BUDGET)
+        ).alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
