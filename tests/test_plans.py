@@ -189,24 +189,32 @@ def test_range_join_is_hash_not_nested_loop(spark, sf_dir):
 
 
 def _unpartitioned_windows(df) -> int:
-    """Count Window nodes with NO partition spec in the optimized plan.
-    A partitioned window prints ``Window [exprs], [partition], [order]``
-    (three top-level bracket groups); unpartitioned prints two."""
+    """Count ORDERED Window nodes with NO partition spec in the optimized
+    plan (the single-partition-sort hazard). A fully-specified window
+    prints ``Window [exprs], [partition], [order]`` (three top-level
+    bracket groups); two groups are ambiguous — ``[exprs], [order]``
+    (global sort: BAD) vs ``[exprs], [partition]`` (partition-only agg
+    window: fine, no sort) — disambiguated by the ASC/DESC markers an
+    order spec always carries."""
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     bad = 0
     for line in plan.splitlines():
         idx = line.find("Window [")
         if idx < 0:
             continue
-        groups = depth = 0
-        for ch in line[idx:]:
+        groups, depth, start = [], 0, None
+        for pos, ch in enumerate(line[idx:], idx):
             if ch == "[":
                 if depth == 0:
-                    groups += 1
+                    start = pos
                 depth += 1
             elif ch == "]":
                 depth -= 1
-        if groups < 3:
+                if depth == 0:
+                    groups.append(line[start : pos + 1])
+        if len(groups) >= 3:
+            continue
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
             bad += 1
     return bad
 
@@ -229,6 +237,34 @@ def test_global_order_queries_have_no_unpartitioned_window(spark, sf_dir, name):
     assert _unpartitioned_windows(df) == 0
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "Window" in plan  # the partitioned per-bin window is present
+
+
+# Queries allowed to carry a global-ordered window: every one operates on
+# an intermediate whose size is BOUNDED regardless of fact-table volume —
+# calendar-day series (ewma/moving_avg/trailing/locf: ≤366 rows/year) or a
+# dimension-level aggregate (revenue_share: 25 nations). A global sort
+# over a bounded frame is not a scale hazard. Everything else in the
+# corpus must be partition-clean.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "ewma_daily",
+    "locf_gap_fill",
+    "moving_avg_7d",
+    "revenue_share",
+    "trailing_range_7d",
+}
+
+
+def test_corpus_has_no_unlisted_global_windows(spark, sf_dir):
+    """Corpus-wide single-partition-sort audit: any query outside the
+    bounded-intermediate allowlist whose optimized plan contains an
+    ordered unpartitioned Window is a regression (the class that filled
+    the round-2 bench log with 'WindowExec: No Partition Defined')."""
+    offenders = {}
+    for name, q in sorted(REGISTRY.items()):
+        n = _unpartitioned_windows(q.spark_fn(spark, sf_dir))
+        if n and name not in GLOBAL_WINDOW_ALLOWLIST:
+            offenders[name] = n
+    assert offenders == {}
 
 
 def test_cosine_pair_dedup_no_driver_collect(spark, sf_dir):
