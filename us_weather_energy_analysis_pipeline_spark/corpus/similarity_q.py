@@ -220,3 +220,60 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
     return ivf_topk(emb, q, k=3).select("qid", "cell", "vec_id", "cosine", "rnk")
+
+
+@register(
+    "embed_int8_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS e
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, e,
+             127.0 / GREATEST(list_max(list_transform(e, x -> abs(x))), 1e-12)
+               AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, scale,
+             list_transform(e, x -> CAST(round(x * scale) AS BIGINT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           ROUND(scale, 6)                  AS scale_r,
+           CAST(list_sum(qv) AS BIGINT)     AS q_sum,
+           CAST(list_min(qv) AS BIGINT)     AS q_min,
+           CAST(list_max(qv) AS BIGINT)     AS q_max
+    FROM q
+    """,
+    tags=("similarity", "quantization", "vector"),
+)
+def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the storage/ANN preprocessing
+    step that shrinks a 100 TB float corpus 4× (8× vs float64) before
+    index build: per-vector scale = 127/max|x|, q = round(x·scale)
+    ∈ [−127, 127]. Pure higher-order array expressions (transform /
+    array_max / aggregate), zero shuffle, embarrassingly parallel.
+    Rounding uses the binary half-away-from-zero form (`_util.dround`)
+    so both engines emit identical integers; the query returns the
+    per-vector audit scalars (scale + quantized sum/min/max), which
+    hash-certify every element through the sum without comparing raw
+    arrays."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
+
+    d = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = 127.0 / F.greatest(amax, F.lit(1e-12))
+    base = d.select("vec_id", e.alias("e"), scale.alias("scale"))
+    qv = F.transform("e", lambda x: dround(x * F.col("scale"), 0).cast("long"))
+    q = base.select("vec_id", "scale", qv.alias("qv"))
+    return q.select(
+        "vec_id",
+        r6(F.col("scale")).alias("scale_r"),
+        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+        F.array_min("qv").cast("long").alias("q_min"),
+        F.array_max("qv").cast("long").alias("q_max"),
+    )
