@@ -95,6 +95,22 @@ def main() -> None:
         )
         for name, ts, td in rows:
             f.write(f"| {name} | {ts:.2f} | {'' if td is None else f'{td:.2f}'} |\n")
+        # Floor-free comparison: restrict to queries where DuckDB itself
+        # does real work — no scheduling-floor arithmetic at all, just
+        # the two engines on data-dominated queries.
+        f.write(
+            "\n## Data-dominated subsets (floor-free)\n\n"
+            "Restricting to queries where DuckDB itself spends real time —\n"
+            "the cleaner comparison, since no floor estimate is involved:\n\n"
+            "| subset | n | spark s | duckdb s | ratio |\n|---|---|---|---|---|\n"
+        )
+        for cut in (0.05, 0.1, 0.2):
+            sub = [(s, d) for _, s, d in rows if d is not None and d >= cut]
+            ss, sd = sum(s for s, _ in sub), sum(d for _, d in sub)
+            f.write(
+                f"| duckdb ≥ {cut}s | {len(sub)} | {ss:.1f} | {sd:.1f} "
+                f"| {ss / sd:.2f}× |\n"
+            )
     print(
         f"\ntotals: spark={total_s:.1f}s duckdb={total_d:.1f}s "
         f"floor={floor:.3f} adj={adj:.1f} → BENCH_NOTES.md"
