@@ -107,3 +107,108 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         F.coalesce("is_canonical", F.lit(1)).cast("int").alias("is_kept"),
     )
+
+
+EMB_PLANES = 3  # coarse buckets: high recall for the 0.4+ cosine tail
+EMB_COS_THRESHOLD = 0.4  # synthetic corpus max pair cosine ≈ 0.513
+
+
+def _embed_pipeline_oracle() -> str:
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(EMB_PLANES, 64)
+    plane_lits = [
+        "[" + ", ".join(str(x) for x in w) + "]::DOUBLE[]" for w in planes
+    ]
+    code = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p, lit in enumerate(plane_lits)
+    )
+    return f"""
+    WITH RECURSIVE coded AS (
+      SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM coded a JOIN coded b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.embedding::DOUBLE[],
+                                         b.embedding::DOUBLE[]), 6)
+            >= {EMB_COS_THRESHOLD}
+    ),
+    edges AS (
+      SELECT ia AS a, ib AS b FROM pairs
+      UNION
+      SELECT ib AS a, ia AS b FROM pairs
+    ),
+    reach(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+      UNION
+      SELECT e.a, r.comp FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+    SELECT e.vec_id,
+           COALESCE(c.comp, e.vec_id) AS cluster_id,
+           CASE WHEN c.node IS NULL OR c.node = c.comp THEN 1 ELSE 0 END
+             AS is_kept
+    FROM embeddings e LEFT JOIN comp c ON e.vec_id = c.node
+    """
+
+
+@register(
+    "embed_dedup_pipeline_e2e",
+    oracle=_embed_pipeline_oracle(),
+    tags=("dedup", "pipeline", "embedding", "lsh", "components", "e2e"),
+)
+def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMBEDDING-side dedup composition, end to end: hyperplane-LSH
+    buckets → exact cosine verify WITHIN buckets only → connected
+    components → per-vector keep/drop. The only pair-producing join is
+    the bucket equi-join (no all-pairs stage anywhere in the plan); the
+    exact verify touches bucket-local candidates only — the composition
+    SCALE_PROBE.md routes web-scale corpora through (its data curve
+    shows exact all-pairs is quadratic; this is the sub-quadratic
+    default above the corpus-size threshold). Coarse 3-bit buckets trade
+    partition size for recall; production multi-probe/multi-table LSH
+    raises recall with the same plan shape."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+    )
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_code,
+    )
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    planes = hyperplanes(EMB_PLANES, 64)
+    coded = emb.select(
+        "vec_id", "embedding", lsh_bucket_code("embedding", planes).alias("bucket")
+    )
+    a, b = coded.alias("a"), coded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= EMB_COS_THRESHOLD
+        )
+        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+    )
+    comp = connected_components(pairs, "ia", "ib")
+    return emb.select("vec_id").join(
+        comp, emb.vec_id == comp.node, "left"
+    ).select(
+        "vec_id",
+        F.coalesce("comp", F.col("vec_id")).alias("cluster_id"),
+        F.when(F.col("node").isNull() | (F.col("node") == F.col("comp")), 1)
+        .otherwise(0)
+        .alias("is_kept"),
+    )
