@@ -174,7 +174,22 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     shows exact all-pairs is quadratic; this is the sub-quadratic
     default above the corpus-size threshold). Coarse 3-bit buckets trade
     partition size for recall; production multi-probe/multi-table LSH
-    raises recall with the same plan shape."""
+    raises recall with the same plan shape.
+
+    The in-bucket verify is filter-and-refine (the
+    ``cosine_pairs_filter_refine`` pattern applied per bucket): an
+    Arrow-batched numpy matrix product prunes each bucket's pair space
+    to candidates above ``threshold − 1e-6`` (a codegen'd HOF-fold pair
+    join was measured ~8× slower here — zip_with/aggregate lambdas
+    evaluate interpreted), then the tiny survivor set is re-scored
+    EXACTLY with the sequential fold formula, so the kept pairs are
+    bit-identical to the oracle's list_cosine_similarity decision. A
+    bucket is assumed to fit one task (tune plane count so it does; for
+    pathological buckets, apply the hash-block pairing of
+    operators/similarity.py within the bucket)."""
+    import pandas as pd
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import cosine
     from us_weather_energy_analysis_pipeline_spark.operators.components import (
         connected_components,
     )
@@ -182,25 +197,37 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         hyperplanes,
         lsh_bucket_code,
     )
-    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import cosine
 
     emb = load(spark, sf_dir, "embeddings")
     planes = hyperplanes(EMB_PLANES, 64)
     coded = emb.select(
         "vec_id", "embedding", lsh_bucket_code("embedding", planes).alias("bucket")
     )
-    a, b = coded.alias("a"), coded.alias("b")
+
+    def bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        sim = (mat @ mat.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sim[iu, ju] >= EMB_COS_THRESHOLD - 1e-6
+        a, b = ids[iu[keep]], ids[ju[keep]]
+        return pd.DataFrame(
+            {"ia": np.minimum(a, b), "ib": np.maximum(a, b)}
+        )
+
+    cand = coded.groupBy("bucket").applyInPandas(
+        bucket_candidates, "ia long, ib long"
+    )
+    ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
     pairs = (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-            >= EMB_COS_THRESHOLD
-        )
-        .select(F.col("a.vec_id").alias("ia"), F.col("b.vec_id").alias("ib"))
+        cand.join(ea, "ia")
+        .join(eb, "ib")
+        .filter(F.round(cosine("va", "vb"), 6) >= EMB_COS_THRESHOLD)
+        .select("ia", "ib")
     )
     comp = connected_components(pairs, "ia", "ib")
     return emb.select("vec_id").join(
