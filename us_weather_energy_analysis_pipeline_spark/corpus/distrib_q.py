@@ -13,8 +13,10 @@ the same doubles in the same order — bit-identical cumulative results.
 Global-ordered statistics (Pareto cumsum, Gini rank, RFM/decile NTILE)
 run on ``operators/rank.py``'s range-partitioned machinery — a parallel
 sort over literal-boundary bins, never a single-partition window — and
-cumulative revenue is summed in integer cents so bin-parallel partial
-sums are exactly associative.
+cumulative revenue is summed in integer cents ON BOTH ENGINES (the
+DuckDB oracle prefix-sums the same CAST(ROUND(revenue*100) AS BIGINT)),
+so the comparison is exact arithmetic end-to-end, not float-sum-error
+coincidence.
 """
 
 from __future__ import annotations
@@ -38,14 +40,18 @@ from us_weather_energy_analysis_pipeline_spark.operators.rank import (
              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem GROUP BY l_partkey
     ),
-    ranked AS (
-      SELECT revenue,
-             SUM(revenue) OVER (ORDER BY revenue DESC, l_partkey
-                                ROWS UNBOUNDED PRECEDING) AS cum_rev,
-             SUM(revenue) OVER () AS tot_rev
+    cents AS (
+      SELECT revenue, l_partkey,
+             CAST(ROUND(revenue * 100) AS BIGINT) AS rev_cents
       FROM rev
+    ),
+    ranked AS (
+      SELECT SUM(rev_cents) OVER (ORDER BY revenue DESC, l_partkey
+                                  ROWS UNBOUNDED PRECEDING) AS cum_cents,
+             SUM(rev_cents) OVER () AS tot_cents
+      FROM cents
     )
-    SELECT COUNT(*) FILTER (WHERE cum_rev <= 0.8 * tot_rev) AS parts_for_80pct,
+    SELECT COUNT(*) FILTER (WHERE cum_cents <= 0.8 * tot_cents) AS parts_for_80pct,
            COUNT(*) AS total_parts
     FROM ranked
     """,

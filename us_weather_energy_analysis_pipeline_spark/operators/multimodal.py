@@ -188,6 +188,11 @@ def frame_sample_video(blobs: DataFrame, every_n: int = 4) -> DataFrame:
     Raises ``NotImplementedError`` at plan-build time when PyAV is
     absent — fail fast on the driver, not per-task on executors.
     """
+    if every_n < 1:
+        # Validate at plan-build time: inside the per-payload loop a
+        # ZeroDivisionError would be swallowed by the decode-error
+        # handler and every payload would silently yield zero frames.
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
     try:
         import av  # noqa: F401
     except ImportError as e:  # pragma: no cover - container has no codec
@@ -201,6 +206,18 @@ def frame_sample_video(blobs: DataFrame, every_n: int = 4) -> DataFrame:
 
         import av as _av
 
+        # Only decode/IO failures mean "skip this payload"; logic bugs
+        # (e.g. a bad argument) must still surface as task errors.
+        codec_errors = tuple(
+            e
+            for e in (
+                getattr(_av, "AVError", None),
+                getattr(getattr(_av, "error", None), "FFmpegError", None),
+                OSError,
+                EOFError,
+            )
+            if isinstance(e, type)
+        )
         for pdf in batches:
             ids, idxs, ws, hs, frames = [], [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
@@ -215,7 +232,7 @@ def frame_sample_video(blobs: DataFrame, every_n: int = 4) -> DataFrame:
                             hs.append(rgb.shape[0])
                             ws.append(rgb.shape[1])
                             frames.append(rgb.tobytes())
-                except Exception:
+                except codec_errors:
                     continue  # undecodable payload → no frames
             yield pd.DataFrame(
                 {

@@ -49,6 +49,20 @@ from pyspark.sql import functions as F
 
 DEFAULT_BINS = 32
 
+# Persisted inputs outlive the call on purpose: the returned plan still
+# reads them lazily, so eager unpersist here would force a recompute in
+# the caller's final action. Callers that loop over many queries (bench,
+# oracle sweeps) should call :func:`release_persisted` between queries.
+_PERSISTED: list[DataFrame] = []
+
+
+def release_persisted() -> None:
+    """Unpersist every input this module cached. Safe to call once the
+    caller's action over the returned DataFrame has completed (later
+    re-execution just recomputes instead of reading cache)."""
+    while _PERSISTED:
+        _PERSISTED.pop().unpersist()
+
 
 @dataclass
 class OrderSpec:
@@ -63,6 +77,16 @@ class OrderSpec:
     cum_cols: tuple[str, ...] = field(default_factory=tuple)
 
     def sort_key(self) -> Column:
+        """Direction-adjusted double sort key.
+
+        Caveats (caller contract):
+        - **keys must be non-null** — a null key yields a null ``_pid``,
+          so the row gets a null rank and drops out of the bin counts
+          (diverging from SQL NULLS FIRST); filter or coalesce nulls
+          before calling.
+        - the double cast is exact only up to 2^53; 64-bit integer keys
+          beyond that can mis-rank. Pre-scale or split such keys.
+        """
         sk = F.col(self.key) if isinstance(self.key, str) else self.key
         sk = sk.cast("double")
         return sk if self.ascending else -sk
@@ -171,6 +195,7 @@ def global_order_stats(
     base = df.withColumn("_sk0", spec.sort_key())
     if persist:
         base = base.persist()
+        _PERSISTED.append(base)
     nb = max(2, num_bins)
     cuts = base.stat.approxQuantile("_sk0", [i / nb for i in range(1, nb)], 0.001)
     n_pids = len(sorted(set(cuts))) + 1
@@ -234,6 +259,7 @@ def multi_global_ntile(
         base = base.withColumn(f"_sk{i}", s.sort_key())
     if persist:
         base = base.persist()
+        _PERSISTED.append(base)
     nb = max(2, num_bins)
     sk_names = [f"_sk{i}" for i in range(len(specs))]
     all_cuts = base.stat.approxQuantile(

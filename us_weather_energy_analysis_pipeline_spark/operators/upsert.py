@@ -52,6 +52,15 @@ def upsert_delta(
     from delta.tables import DeltaTable
 
     if not DeltaTable.isDeltaTable(spark, path):
+        # A non-Delta directory here means the table was built by the
+        # parquet fallback; overwrite-create would silently drop those
+        # rows instead of merging them. Refuse — one table path must stay
+        # on one format (migrate explicitly via CONVERT TO DELTA).
+        if os.path.exists(path) and os.listdir(path):
+            raise ValueError(
+                f"{path} exists with non-Delta data; refusing overwrite-create. "
+                "Migrate it (e.g. CONVERT TO DELTA) before Delta upserts."
+            )
         w = new_df.write.format("delta").mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
