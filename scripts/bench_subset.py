@@ -1,9 +1,11 @@
 #!/usr/bin/env python
 """A/B harness: run a representative query subset under conf overrides.
 
-Usage: python scripts/bench_subset.py '{"spark.sql.shuffle.partitions":"8"}'
+Usage: python scripts/bench_subset.py '{"spark.sql.shuffle.partitions":"8"}' \\
+           [comma,separated,query,names]
 Prints per-query warm-min timings + total for the subset; used to pick
-session defaults without paying a full 109-query bench per variant.
+session defaults (and to A/B code changes across git stash flips)
+without paying a full corpus bench per variant.
 """
 
 from __future__ import annotations
@@ -47,6 +49,7 @@ SUBSET = [
 
 def main() -> None:
     overrides = json.loads(sys.argv[1]) if len(sys.argv) > 1 else {}
+    subset = sys.argv[2].split(",") if len(sys.argv) > 2 else SUBSET
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     _ensure_loaded()
     spark = get_spark("bench-subset", extra_conf=overrides)
@@ -57,10 +60,10 @@ def main() -> None:
         "overwrite"
     ).save()
     timings: dict[str, float] = {}
-    for name in SUBSET:
+    for name in subset:
         q = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
