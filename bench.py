@@ -22,6 +22,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
 )
+from us_weather_energy_analysis_pipeline_spark.operators import cache
 from us_weather_energy_analysis_pipeline_spark.session import get_spark
 
 
@@ -66,6 +67,10 @@ def main() -> None:
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            # release operator-internal persists so every run pays its
+            # own cache fill (honest accounting) and nothing leaks into
+            # later queries' memory budget
+            cache.release_all()
         timings[name] = round(best, 3)
     wall = round(time.time() - wall0, 3)
 

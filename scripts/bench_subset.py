@@ -21,6 +21,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
 )
+from us_weather_energy_analysis_pipeline_spark.operators import cache
 from us_weather_energy_analysis_pipeline_spark.session import get_spark
 
 SUBSET = [
@@ -67,6 +68,7 @@ def main() -> None:
             t0 = time.time()
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
+            cache.release_all()
         timings[name] = round(best, 3)
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         print(f"{sec:7.3f}  {name}")

@@ -23,6 +23,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
 )
+from us_weather_energy_analysis_pipeline_spark.operators import cache
 from us_weather_energy_analysis_pipeline_spark.session import get_spark
 from us_weather_energy_analysis_pipeline_spark.testing import register_views
 
@@ -62,10 +63,11 @@ def main() -> None:
     rows = []
     for name, q in sorted(REGISTRY.items()):
         # min of two runs on BOTH engines — warm-path, symmetric comparison
-        t_spark = min(
-            _timed(lambda: q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save())
-            for _ in range(2)
-        )
+        def _run_spark(q=q):
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cache.release_all()
+
+        t_spark = min(_timed(_run_spark) for _ in range(2))
         t_duck = None
         if q.oracle:
             t_duck = min(_timed(lambda: con.execute(q.oracle).fetchall()) for _ in range(2))

@@ -23,6 +23,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
 )
+from us_weather_energy_analysis_pipeline_spark.operators import cache
 from us_weather_energy_analysis_pipeline_spark.session import get_spark
 from us_weather_energy_analysis_pipeline_spark.testing import diff_report, register_views
 
@@ -59,6 +60,7 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        cache.release_all()
         msg = diff_report(sdf, odf)
         if msg is None:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")

@@ -16,8 +16,11 @@ _ensure_loaded()
 
 @pytest.mark.parametrize("name", sorted(REGISTRY))
 def test_query_matches_oracle(name, spark, duck, sf_dir):
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
     q = REGISTRY[name]
     sdf = q.spark_fn(spark, sf_dir).toPandas()
+    cache.release_all()
     if q.oracle is None:
         # rows-only contract: must run and return a stable schema
         assert sdf is not None

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.2
@@ -31,14 +32,27 @@ NGRAM_DF_CAP = 10
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) distinct pairs: k-word shingles of the lowercased
-    text. transform over a 0..n-k index range keeps it all in one codegen
-    stage — no UDF, no explode-then-window."""
+    """(doc_id, shingle) distinct pairs where ``shingle`` is the XXHASH64
+    of the k-word slice — an 8-byte int64 key, so the distinct and the
+    inverted-index self-join exchange fixed-width integers instead of raw
+    multi-word strings (the r3 bench showed the string shuffle dominating
+    this family). The hash is taken over the token-array slice directly
+    (no join-to-string materialization); slice↔string is injective (split
+    on ' ' leaves no spaces inside tokens), so the DuckDB oracle keeps
+    matching on the raw ``array_to_string`` shingle — identical pair sets
+    unless xxhash64 collides (P ≈ n²/2⁶⁵ ≈ 3e-8 at sf0.1's ~1M shingles;
+    the string-keyed oracle doubles as the collision check at test SFs).
+
+    Per-doc dedup is ``array_distinct`` MAP-SIDE (every doc's shingles
+    sit in one row pre-explode), not a ``.distinct()`` — that removes an
+    entire shingle-index exchange from the plan."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
     base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
     idx = F.sequence(F.lit(0), F.size("t") - k)
-    shingles = F.transform(idx, lambda i: F.array_join(F.slice("t", i + 1, k), " "))
-    return base.select("doc_id", F.explode(shingles).alias("shingle")).distinct()
+    shingles = F.array_distinct(
+        F.transform(idx, lambda i: F.xxhash64(F.slice("t", i + 1, k)))
+    )
+    return base.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def capped_shingles(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
@@ -134,13 +148,28 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ANTI join drops hot rows with zero data-sized shuffle — unlike the
     previous windowed count (r2, commit e6a31cc), which concentrated
     every posting of a hot shingle on one partition just to count it.
-    The two consumers of the shingle index (the df count and the anti
-    join probe) share the distinct's exchange via ReuseExchange — the
-    shingle transform is not recomputed per branch. Sizes and
-    intersections are both computed over the capped index, mirrored
-    exactly in the oracle."""
+    Exchange accounting (the r4 rewrite): per-doc shingle dedup is
+    map-side ``array_distinct`` (no distinct shuffle), and the index is
+    explicitly hash-partitioned ON THE JOIN KEY once —
+    ``repartition("shingle")`` — which every downstream consumer then
+    reuses with zero additional data-sized exchanges: the df-count
+    groupBy("shingle") sees its required distribution, the anti probe is
+    a broadcast, and BOTH self-join sides are already co-partitioned
+    (ReuseExchange collapses them onto the one materialized shuffle).
+    The only other exchanges in the plan are bounded: per-doc sizes
+    (combiner-compressed to ~one row per doc) and the pair groupBy.
+    Sizes and intersections are both computed over the capped index,
+    mirrored exactly in the oracle.
+
+    The capped index feeds FOUR plan branches (both self-join sides +
+    two size lookups); exchange reuse measurably does NOT collapse them
+    (each branch re-ran the tokenize→hash→repartition subtree), so the
+    index is persisted via operators.cache — ~16 bytes/shingle, the
+    standard materialization any production dedup pass makes."""
     d = load(spark, sf_dir, "documents")
-    sh = capped_shingles(word_shingles(d), NGRAM_DF_CAP)
+    sh = cache.track(
+        capped_shingles(word_shingles(d).repartition("shingle"), NGRAM_DF_CAP)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")
     b = sh.alias("b")

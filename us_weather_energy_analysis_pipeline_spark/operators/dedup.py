@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.operators import cache
+
 MINHASH_K = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 SIMHASH_BITS = 32
@@ -101,12 +103,18 @@ def lsh_candidate_pairs(
 
     The ONLY join is on (band, digest) — the O(n²) pair space never forms.
     Returns (doc_a, doc_b, n_shared_bands).
+
+    The digest is XXHASH64 over the band's signature values — an 8-byte
+    join key instead of the r3 32-char md5 hex string, so the one
+    pair-producing exchange ships fixed-width ints. The DuckDB oracle
+    keeps md5-string digests: both bucketings group by the same value
+    tuple, so candidate sets agree unless xxhash64 collides (~n²/2⁶⁵).
     """
     rows = k // bands
     band_digest = [
-        F.md5(
-            F.concat_ws(",", *[F.col("sig")[b * rows + r] for r in range(rows)])
-        ).alias("digest")
+        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
+            "digest"
+        )
         for b in range(bands)
     ]
     banded = sig.select(
@@ -135,8 +143,14 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: candidates via banding, then
     estimated Jaccard = fraction of agreeing signature positions; keep
-    pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard)."""
-    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
+    pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard).
+
+    The signature table feeds three plan branches (banding + both pair
+    lookups); it is persisted via operators.cache (k longs per doc) so
+    the shingle→md5→min pass runs once, not per branch."""
+    sig = cache.track(
+        minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
+    )
     cands = lsh_candidate_pairs(sig, bands, k)
     sa, sb = sig.alias("sa"), sig.alias("sb")
     est = (

@@ -47,21 +47,15 @@ from functools import reduce
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.operators import cache
+
 DEFAULT_BINS = 32
 
 # Persisted inputs outlive the call on purpose: the returned plan still
 # reads them lazily, so eager unpersist here would force a recompute in
-# the caller's final action. Callers that loop over many queries (bench,
-# oracle sweeps) should call :func:`release_persisted` between queries.
-_PERSISTED: list[DataFrame] = []
-
-
-def release_persisted() -> None:
-    """Unpersist every input this module cached. Safe to call once the
-    caller's action over the returned DataFrame has completed (later
-    re-execution just recomputes instead of reading cache)."""
-    while _PERSISTED:
-        _PERSISTED.pop().unpersist()
+# the caller's final action. Loop drivers (bench, oracle sweeps, test
+# fixtures) release via operators.cache.release_all between queries.
+release_persisted = cache.release_all  # back-compat alias
 
 
 @dataclass
@@ -194,8 +188,7 @@ def global_order_stats(
     spec = OrderSpec(key, ascending, tuple(tiebreaks), cum_cols=tuple(cum_cols))
     base = df.withColumn("_sk0", spec.sort_key())
     if persist:
-        base = base.persist()
-        _PERSISTED.append(base)
+        base = cache.track(base)
     nb = max(2, num_bins)
     cuts = base.stat.approxQuantile("_sk0", [i / nb for i in range(1, nb)], 0.001)
     n_pids = len(sorted(set(cuts))) + 1
@@ -258,8 +251,7 @@ def multi_global_ntile(
     for i, s in enumerate(specs):
         base = base.withColumn(f"_sk{i}", s.sort_key())
     if persist:
-        base = base.persist()
-        _PERSISTED.append(base)
+        base = cache.track(base)
     nb = max(2, num_bins)
     sk_names = [f"_sk{i}" for i in range(len(specs))]
     all_cuts = base.stat.approxQuantile(
