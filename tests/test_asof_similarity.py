@@ -113,3 +113,49 @@ def test_cosine_pairs_blocked_matches_brute_force(emb):
         (r["id_a"], r["id_b"]): round(r["cosine"], 9) for r in brute.collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_grouped_pairs_pathological_bucket(emb):
+    """Skew fixture: EVERY vector lands in one giant LSH bucket (constant
+    group) with block_rows far below the bucket size — the pathological
+    case the e2e embedding pipeline must survive without a single-task
+    OOM. The bounded block-pair walk must still produce exactly the
+    brute-force candidate set, and a second group must stay isolated
+    (no cross-bucket pairs)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        grouped_candidate_pairs,
+    )
+
+    # group 7: ids 0..39 (the giant bucket); group 9: ids 40..49
+    sub = emb.filter(F.col("vec_id") < 50).select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("vec_id") < 40, F.lit(7)).otherwise(F.lit(9)).alias("bkt"),
+    )
+    thr = 0.15
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in grouped_candidate_pairs(
+            sub, thr, "bkt", block_rows=6
+        ).collect()
+    }
+    rows = sub.select("vec_id", "embedding", "bkt").collect()
+    import numpy as np
+
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["bkt"], []).append((r["vec_id"], np.array(r["embedding"], dtype=np.float64)))
+    want = set()
+    for vecs in by_g.values():
+        for i in range(len(vecs)):
+            for j in range(i + 1, len(vecs)):
+                ia, va = vecs[i]
+                ib, vb = vecs[j]
+                c = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+                if c >= thr - 1e-6:
+                    want.add((min(ia, ib), max(ia, ib)))
+    assert got == want and len(want) > 0
+    # isolation: no pair spans the two groups
+    g7 = {ia for ia, _ in by_g[7]} if 7 in by_g else set()
+    for a, b in got:
+        assert (a in g7) == (b in g7)

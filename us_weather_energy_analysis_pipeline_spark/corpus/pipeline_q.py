@@ -176,24 +176,24 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition size for recall; production multi-probe/multi-table LSH
     raises recall with the same plan shape.
 
-    The in-bucket verify is filter-and-refine (the
-    ``cosine_pairs_filter_refine`` pattern applied per bucket): an
-    Arrow-batched numpy matrix product prunes each bucket's pair space
-    to candidates above ``threshold − 1e-6`` (a codegen'd HOF-fold pair
-    join was measured ~8× slower here — zip_with/aggregate lambdas
-    evaluate interpreted), then the tiny survivor set is re-scored
-    EXACTLY with the sequential fold formula, so the kept pairs are
-    bit-identical to the oracle's list_cosine_similarity decision. A
-    bucket is assumed to fit one task (tune plane count so it does; for
-    pathological buckets, apply the hash-block pairing of
-    operators/similarity.py within the bucket)."""
-    import pandas as pd
-
+    The in-bucket verify is filter-and-refine via
+    ``grouped_candidate_pairs`` (the block-pair machinery of
+    ``operators/similarity.py`` keyed by bucket): an Arrow-batched numpy
+    matrix product prunes each bucket's pair space to candidates above
+    ``threshold − 1e-6`` (a codegen'd HOF-fold pair join was measured
+    ~8× slower here — zip_with/aggregate lambdas evaluate interpreted),
+    then the tiny survivor set is re-scored EXACTLY with the sequential
+    fold formula, so the kept pairs are bit-identical to the oracle's
+    list_cosine_similarity decision. No task ever holds more than two
+    ``block_rows``-row blocks regardless of bucket size — a pathological
+    bucket (all-near-identical corpus, too few planes) degrades to more
+    block-pair tasks, never to one OOM-ing task."""
     from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import cosine
     from us_weather_energy_analysis_pipeline_spark.operators.components import (
         connected_components,
     )
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        grouped_candidate_pairs,
         hyperplanes,
         lsh_bucket_code,
     )
@@ -203,24 +203,13 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = emb.select(
         "vec_id", "embedding", lsh_bucket_code("embedding", planes).alias("bucket")
     )
-
-    def bucket_candidates(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-        mat = np.array([list(v) for v in pdf["embedding"]], dtype=np.float64)
-        norms = np.linalg.norm(mat, axis=1)
-        sim = (mat @ mat.T) / np.outer(norms, norms)
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sim[iu, ju] >= EMB_COS_THRESHOLD - 1e-6
-        a, b = ids[iu[keep]], ids[ju[keep]]
-        return pd.DataFrame(
-            {"ia": np.minimum(a, b), "ib": np.maximum(a, b)}
-        )
-
-    cand = coded.groupBy("bucket").applyInPandas(
-        bucket_candidates, "ia long, ib long"
-    )
+    cand = grouped_candidate_pairs(
+        coded,
+        EMB_COS_THRESHOLD,
+        "bucket",
+        id_col="vec_id",
+        vec_col="embedding",
+    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
     ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
     eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
     pairs = (

@@ -184,12 +184,14 @@ def lsh_topk(
 
 
 def _pack_blocks(
-    emb: DataFrame, n_blocks: int, id_col: str, vec_col: str
+    emb: DataFrame, id_col: str, vec_col: str, grp_col: str = "_grp"
 ) -> DataFrame:
-    """Hash rows into ``n_blocks`` blocks and pack each block into ONE row
-    ``(bid int, ids array<bigint>, mat binary)`` — the matrix serialized as
-    contiguous float64 (``numpy.tobytes``), so a block-pair task
-    reconstructs both operands with a zero-copy ``frombuffer``."""
+    """Pack each ``(grp, bid)`` block into ONE row
+    ``(grp, bid, nb, ids array<bigint>, mat binary)`` — the matrix
+    serialized as contiguous float64 (``numpy.tobytes``), so a block-pair
+    task reconstructs both operands with a zero-copy ``frombuffer``.
+    Expects ``bid``/``nb`` columns already assigned (hash-block id and the
+    group's block count)."""
     import numpy as np
     import pandas as pd
 
@@ -197,22 +199,107 @@ def _pack_blocks(
         mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
         return pd.DataFrame(
             {
+                grp_col: [pdf[grp_col].iloc[0]],
                 "bid": [int(pdf["bid"].iloc[0])],
+                "nb": [int(pdf["nb"].iloc[0])],
                 "ids": [pdf[id_col].to_numpy(dtype=np.int64)],
                 "dim": [mat.shape[1]],
                 "mat": [mat.tobytes()],
             }
         )
 
-    return (
-        emb.select(
-            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("bid"),
+    return emb.groupBy(grp_col, "bid").applyInPandas(
+        pack, f"{grp_col} long, bid int, nb int, ids array<bigint>, dim int, mat binary"
+    )
+
+
+def grouped_candidate_pairs(
+    df: DataFrame,
+    threshold: float,
+    grp_col: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    margin: float = 1e-6,
+    block_rows: int = 8192,
+) -> DataFrame:
+    """Candidate pairs ``(id_a < id_b)`` with numpy-filtered cosine >=
+    ``threshold - margin``, WITHIN each group of ``grp_col`` — the bounded
+    in-bucket verifier for LSH pipelines.
+
+    No task ever holds more than two ``block_rows``-row blocks, regardless
+    of bucket size: group sizes are counted once (tiny agg, broadcast back),
+    each group is hash-split into ``ceil(n/block_rows)`` blocks, and block
+    pairs co-locate via one equi-join on ``(grp, i, j)``. A pathological
+    bucket (everything hashed together) therefore degrades to more block
+    pairs, not to one OOM-ing task. Candidates are approximate (BLAS
+    summation order); callers re-score exactly before acting on them."""
+    import numpy as np
+    import pandas as pd
+
+    sizes = df.groupBy(grp_col).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(block_rows)).cast("int").alias("nb")
+    )
+    keyed = (
+        df.join(F.broadcast(sizes), grp_col)
+        .select(
+            F.col(grp_col).cast("long").alias("_grp"),
+            "nb",
+            F.pmod(F.xxhash64(F.col(id_col)), F.col("nb")).cast("int").alias("bid"),
             id_col,
             vec_col,
         )
-        .groupBy("bid")
-        .applyInPandas(pack, "bid int, ids array<bigint>, dim int, mat binary")
     )
+    blocks = _pack_blocks(keyed, id_col, vec_col)
+    left = blocks.select(
+        F.col("_grp"),
+        F.col("bid").alias("i"),
+        F.explode(F.sequence("bid", F.col("nb") - 1)).alias("j"),
+        F.col("ids").alias("ids_a"),
+        F.col("dim").alias("dim_a"),
+        F.col("mat").alias("mat_a"),
+    )
+    right = blocks.select(
+        F.col("_grp"),
+        F.explode(F.sequence(F.lit(0), "bid")).alias("i"),
+        F.col("bid").alias("j"),
+        F.col("ids").alias("ids_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("mat").alias("mat_b"),
+    )
+    paired = left.join(right, ["_grp", "i", "j"])
+    cut = threshold - margin
+
+    def gen(batches):
+        for pdf in batches:
+            for r in pdf.itertuples(index=False):
+                ids_a = np.asarray(r.ids_a, dtype=np.int64)
+                ids_b = np.asarray(r.ids_b, dtype=np.int64)
+                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(
+                    len(ids_a), r.dim_a
+                )
+                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(
+                    len(ids_b), r.dim_b
+                )
+                na = np.sqrt((ma * ma).sum(axis=1))
+                nb = np.sqrt((mb * mb).sum(axis=1))
+                cos = (ma @ mb.T) / np.outer(na, nb)
+                ii, jj = np.nonzero(cos >= cut)
+                a, b = ids_a[ii], ids_b[jj]
+                if r.i == r.j:
+                    # same block on both sides: the full matrix holds each
+                    # unordered pair twice ((x,y) and (y,x)) — keep the
+                    # id-ordered orientation only
+                    keep = a < b
+                    yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+                else:
+                    # blocks are hash-assigned, not id-ranged: a cross-block
+                    # hit arrives in one orientation only — normalize to
+                    # (min, max)
+                    lo = np.minimum(a, b)
+                    hi = np.maximum(a, b)
+                    yield pd.DataFrame({"id_a": lo, "id_b": hi})
+
+    return paired.mapInPandas(gen, "id_a long, id_b long")
 
 
 def cosine_pairs_filter_refine(
@@ -246,60 +333,20 @@ def cosine_pairs_filter_refine(
     round/alias as needed. For web-scale corpora where even B² block
     pairs is too many, run the approximate path first (LSH banding as in
     ``lsh_topk``) and feed each bucket through this exact verifier.
+
+    Implemented as ``grouped_candidate_pairs`` with one constant group —
+    the same bounded block-pair machinery the LSH pipelines use per
+    bucket (no separate count action, no driver-held sizes).
     """
-    import numpy as np
-    import pandas as pd
-
-    n = emb.count()
-    n_blocks = max(1, -(-n // block_rows))
-    blocks = _pack_blocks(emb, n_blocks, id_col, vec_col)
-
-    left = blocks.select(
-        F.col("bid").alias("i"),
-        F.explode(F.sequence("bid", F.lit(n_blocks - 1))).alias("j"),
-        F.col("ids").alias("ids_a"),
-        F.col("dim").alias("dim_a"),
-        F.col("mat").alias("mat_a"),
+    cand = grouped_candidate_pairs(
+        emb.withColumn("_g", F.lit(0)),
+        threshold,
+        "_g",
+        id_col=id_col,
+        vec_col=vec_col,
+        margin=margin,
+        block_rows=block_rows,
     )
-    right = blocks.select(
-        F.explode(F.sequence(F.lit(0), "bid")).alias("i"),
-        F.col("bid").alias("j"),
-        F.col("ids").alias("ids_b"),
-        F.col("dim").alias("dim_b"),
-        F.col("mat").alias("mat_b"),
-    )
-    paired = left.join(right, ["i", "j"])
-    cut = threshold - margin
-
-    def gen(batches):
-        for pdf in batches:
-            for r in pdf.itertuples(index=False):
-                ids_a = np.asarray(r.ids_a, dtype=np.int64)
-                ids_b = np.asarray(r.ids_b, dtype=np.int64)
-                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(
-                    len(ids_a), r.dim_a
-                )
-                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(
-                    len(ids_b), r.dim_b
-                )
-                na = np.sqrt((ma * ma).sum(axis=1))
-                nb = np.sqrt((mb * mb).sum(axis=1))
-                cos = (ma @ mb.T) / np.outer(na, nb)
-                ii, jj = np.nonzero(cos >= cut)
-                a, b = ids_a[ii], ids_b[jj]
-                if r.i == r.j:
-                    keep = a < b
-                    yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
-                else:
-                    # blocks are hash-assigned, not id-ranged: a cross-block
-                    # hit can arrive in either id order — normalize to
-                    # (min, max); each unordered pair meets exactly once.
-                    lo = np.minimum(a, b)
-                    hi = np.maximum(a, b)
-                    keep = lo < hi
-                    yield pd.DataFrame({"id_a": lo[keep], "id_b": hi[keep]})
-
-    cand = paired.mapInPandas(gen, "id_a long, id_b long")
     ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
