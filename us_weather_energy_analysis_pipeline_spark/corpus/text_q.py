@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.functions.text import top_token_count
 
 # Tiny function-word inventory for the ratio heuristics; fixed and public.
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -252,20 +253,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (1 − distinct/total) and most-frequent-word share — the cheap
     repetition filters an LM data pipeline applies before the expensive
     dedup passes. Pure array expressions (split → array_distinct /
-    aggregate over token counts), zero shuffle: every ratio is computed
-    inside one codegen stage per row."""
+    sort + run-length fold for the top-word share), zero shuffle: every
+    ratio is computed inside one stage per row."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     total = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
-    # top word count: for each distinct token, count occurrences in the
-    # full array; take the max — O(distinct·total) per row, all in codegen
-    top_n = F.array_max(
-        F.transform(
-            F.array_distinct(toks),
-            lambda w: F.size(F.filter(toks, lambda t: t == w)),
-        )
-    )
+    top_n = top_token_count(toks)
     return d.select(
         "doc_id",
         r4(1.0 - n_distinct.cast("double") / total).alias("dup_word_ratio"),

@@ -1,0 +1,39 @@
+"""Array/text column helpers shared by the corpus-quality queries.
+
+Pure Column expressions — no shuffle, no Python execution. HOF lambdas
+(``transform``/``filter``/``aggregate``) evaluate interpreted per element
+in Spark, so per-row big-O matters more than it would in codegen: the
+helpers here pick the lowest-complexity formulation (measured, not
+assumed — see ``gopher_quality_filter``'s docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def top_token_count(toks: Column) -> Column:
+    """Count of the most frequent element in ``toks`` (int).
+
+    sort + run-length: one ``array_sort`` then a single aggregate fold
+    tracking (prev, current-run, best-run) — O(n log n) per row. The
+    naive per-distinct-token recount (``transform(array_distinct(t),
+    w -> size(filter(t, == w)))``) is O(n_distinct·n) with interpreted
+    lambdas and measured 2.6× slower on 54-word docs at sf0.1; the gap
+    widens with document length. Returns 0 for an empty array."""
+    acc0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+
+    def step(acc: Column, w: Column) -> Column:
+        run = F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            w.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(F.array_sort(toks), acc0, step, lambda a: a["best"])
