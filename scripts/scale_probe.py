@@ -80,15 +80,14 @@ def simhash_fp(df: DataFrame) -> DataFrame:
 
 
 def kmv_sketch(df: DataFrame) -> DataFrame:
-    """KMV distinct-count sketch over the scaled key space: TakeOrdered
-    keeps O(k) state regardless of volume — must be ~linear in scan cost."""
-    h = (
-        df.select(F.md5(F.col("l_orderkey").cast("string")).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(256)
+    """KMV distinct-count sketch over the scaled key space: the
+    TakeOrdered row prune (operators/sketch.kmv_k_smallest) never
+    shuffles the distinct-hash set — growth must track the md5 scan."""
+    from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+        kmv_k_smallest,
     )
-    return h.agg(F.max("h").alias("u_k"), F.count(F.lit(1)).alias("n"))
+
+    return kmv_k_smallest(df, "l_orderkey", k=256).select("u_k", "n_kept")
 
 
 def grid_range(df: DataFrame) -> DataFrame:

@@ -224,3 +224,58 @@ def test_video_frame_sample_paths(spark):
         return
     # codec present: undecodable payload yields zero rows, not a failure
     assert frame_sample_video(blobs).count() == 0
+
+
+class TestKMVSketch:
+    """kmv_k_smallest: the TakeOrdered row prune must be exact-or-loud."""
+
+    def test_matches_naive_distinct_path(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+            kmv_k_smallest,
+        )
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        got = kmv_k_smallest(li, "l_orderkey", k=16).collect()[0]
+        want = [
+            r["h"]
+            for r in li.select(
+                F.md5(F.col("l_orderkey").cast("string")).alias("h")
+            )
+            .distinct()
+            .orderBy("h")
+            .limit(16)
+            .collect()
+        ]
+        assert list(got["ks"]) == want
+        assert got["n_kept"] == 16 and got["u_k"] == want[-1]
+
+    def test_empty_and_underfull_inputs(self, spark):
+        from pyspark.sql import functions as F
+
+        from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+            kmv_k_smallest,
+        )
+
+        empty = spark.range(0).select(F.col("id").alias("k"))
+        r = kmv_k_smallest(empty, "k", k=4, over_factor=2).collect()[0]
+        assert r["n_kept"] == 0 and r["u_k"] is None and list(r["ks"]) == []
+        small = spark.range(3).select(F.col("id").alias("k"))
+        r = kmv_k_smallest(small, "k", k=4, over_factor=2).collect()[0]
+        assert r["n_kept"] == 3 and r["u_k"] == r["ks"][-1]
+
+    def test_guard_trips_on_pathological_duplication(self, spark):
+        import pytest
+        from pyspark.sql import functions as F
+
+        from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+            kmv_k_smallest,
+        )
+
+        # 1000 copies of ONE key with m = k*over_factor = 8: the 8 smallest
+        # rows are all the same value and the input is not exhausted — the
+        # sketch would be silently lossy, so the plan must raise instead.
+        skew = spark.range(1000).select(F.lit(7).alias("k"))
+        with pytest.raises(Exception, match="kmv_k_smallest"):
+            kmv_k_smallest(skew, "k", k=4, over_factor=2).collect()

@@ -55,23 +55,26 @@ _HEX12_DUCK = " + ".join(
 )
 def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct-count sketch over ``l_orderkey``: md5 each key, keep
-    the 256 smallest distinct hashes (TakeOrdered — per-partition partial
-    top-k folded, never a global sort), estimate (k-1)/u_k. Deterministic
+    the 256 smallest distinct hashes, estimate (k-1)/u_k. Deterministic
     md5 hashing means the sketch — and therefore the estimate — is
     bit-identical in the oracle, unlike engine-private HLL registers.
-    At 100 TB the sketch state is O(k) per partition and mergeable."""
-    li = load(spark, sf_dir, "lineitem")
-    h = (
-        li.select(F.md5(F.col("l_orderkey").cast("string")).alias("h"))
-        .distinct()
-        .orderBy("h")
-        .limit(KMV_K)
+
+    The sketch state comes from ``operators/sketch.kmv_k_smallest``: a
+    TakeOrdered(k·32) row prune + one bounded aggregate — the distinct
+    hash set is NEVER shuffled (the naive distinct→sort→limit exchange
+    was the whole cost at ×16 scale; the prune halves it and stays flat
+    as volume grows). The prune raises in-plan if key duplication could
+    make it lossy, so the estimate is exact-or-loud, never silently off."""
+    from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+        kmv_k_smallest,
     )
-    kth = h.agg(
-        F.max(F.conv(F.substring("h", 1, 12), 16, 10).cast("double") / 16**12).alias(
+
+    li = load(spark, sf_dir, "lineitem")
+    kth = kmv_k_smallest(li, "l_orderkey", k=KMV_K).select(
+        (F.conv(F.substring("u_k", 1, 12), 16, 10).cast("double") / 16**12).alias(
             "u_k"
         ),
-        F.count(F.lit(1)).alias("n_kept"),
+        "n_kept",
     )
     exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
     return kth.crossJoin(exact).select(
