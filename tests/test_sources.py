@@ -176,3 +176,78 @@ def test_malformed_landing_payloads(spark, tmp_path):
             r["period_str" if fname.startswith("eia") else "date_str"] is None
             for r in rows
         )
+
+
+class TestRecordedCassette:
+    """Recorded-fixture ("cassette") run of the full online path: canned
+    multi-page EIA + NOAA JSON served through the REAL pagination/backoff
+    loop (reference data_fetcher.py:69-121 semantics — count probe,
+    offset pages, asc period sort), then landed and stitched in-engine.
+    Asserts page stitching (every row exactly once, order re-imposed) and
+    the retry schedule (2·2^attempt backoff on a transient 500)."""
+
+    TOTAL, PAGE = 12, 5
+
+    def _cassette(self):
+        periods = [f"2025-07-0{1 + h // 24}T{h % 24:02d}" for h in range(self.TOTAL)]
+        pages = {
+            off: {
+                "response": {
+                    "total": self.TOTAL,
+                    "data": [
+                        {"period": p, "value": str(500 + i), "respondent": "NYIS"}
+                        for i, p in enumerate(
+                            periods[off : off + self.PAGE], start=off
+                        )
+                    ],
+                }
+            }
+            for off in range(0, self.TOTAL, self.PAGE)
+        }
+        return periods, pages
+
+    def test_eia_pagination_stitching_and_backoff(self, spark, tmp_path):
+        periods, pages = self._cassette()
+        slept, calls, failed_once = [], [], []
+
+        def server(url, params, headers):
+            calls.append(dict(params))
+            assert params["sort[0][column]"] == "period"
+            assert params["sort[0][direction]"] == "asc"
+            if params.get("length") == 0:  # count probe
+                return FakeResp({"response": {"total": self.TOTAL}})
+            off = params["offset"]
+            if off == self.PAGE and not failed_once:  # transient 500 on page 2
+                failed_once.append(True)
+                return FakeResp({}, status=500)
+            return FakeResp(pages[off])
+
+        got = fetch_eia_pages(
+            "key", "NYIS", "2025-07-01T00", "2025-07-01T23",
+            page_size=self.PAGE, http_get=server, sleep=slept.append,
+        )
+        # retry schedule: exactly one backoff sleep of 2.0 (= 2 * 2^0)
+        assert slept == [2.0]
+        # probe + 3 pages + 1 retry = 5 requests; offsets strictly paged
+        assert [c.get("offset") for c in calls] == [None, 0, self.PAGE,
+                                                   self.PAGE, 2 * self.PAGE]
+        # land each page verbatim, then stitch in-engine
+        for i, p in enumerate(got):
+            land_json(p, str(tmp_path / f"eia_page_{i}.json"))
+        stitched = read_eia_landing(spark, str(tmp_path / "eia_page_*.json"))
+        rows = stitched.orderBy("period_str").collect()
+        assert [r["period_str"] for r in rows] == sorted(periods)
+        assert {r["value_str"] for r in rows} == {str(500 + i)
+                                                  for i in range(self.TOTAL)}
+
+    def test_noaa_cassette_through_transform(self, spark, tmp_path):
+        def server(url, params, headers):
+            assert headers == {"token": "tok"} and params["datasetid"] == "GHCND"
+            return FakeResp(NOAA_PAYLOAD)
+
+        payload = fetch_noaa("tok", "GHCND:X", "2025-07-01", "2025-07-31",
+                             http_get=server)
+        land_json(payload, str(tmp_path / "noaa.json"))
+        landed = read_noaa_landing(spark, str(tmp_path / "noaa.json"))
+        got = {(r["datatype"], r["value_c"]) for r in landed.collect()}
+        assert got == {("TMAX", 36.1), ("TMIN", 25.6)}

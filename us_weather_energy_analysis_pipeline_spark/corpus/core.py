@@ -635,20 +635,26 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 THEN ROUND((l2.o_totalprice - l2.prev_price) / l2.prev_price * 100, 4)
                 ELSE 0 END AS pct_change,
            CASE WHEN l2.o_totalprice > s.med THEN 'red' ELSE 'green' END AS color,
-           ROUND(5 + (l2.o_totalprice - s.lo) / (s.hi - s.lo) * 25, 2) AS radius
+           ROUND(5 + (l2.o_totalprice - s.lo) / (s.hi - s.lo) * 25, 2) AS radius,
+           replace(replace(replace(replace(replace(
+             '<cust ' || l2.c_custkey || ' & "latest">',
+             '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+             '"', '&quot;'), '''', '&#x27;') AS tooltip_html
     FROM l2 CROSS JOIN stats s
     """,
-    tags=("P12", "P13", "P14", "A4", "map-view"),
+    tags=("P12", "P13", "P14", "P18", "A4", "map-view"),
 )
 def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's full map-view decoration (A4 latest-per-key + J3→lag
     prev value + P14 guarded pct-change + P12 number formatting + P13
-    median color split and min-max radius scaling) over the TPC-H analog.
-    Formatting happens AFTER DuckDB-exact rounding so printf('%.1f') emits
-    identical strings on both engines."""
+    median color split and min-max radius scaling, plus P18 HTML-escaped
+    tooltip text — reference `dashboards/app.py:490`) over the TPC-H
+    analog. Formatting happens AFTER DuckDB-exact rounding so
+    printf('%.1f') emits identical strings on both engines."""
     from pyspark.sql import Window
 
     from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
+    from us_weather_energy_analysis_pipeline_spark.functions.scalars import html_escape
 
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     o = load(spark, sf_dir, "orders")
@@ -677,6 +683,9 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("pct_change"),
         F.when(F.col("o_totalprice") > med, "red").otherwise("green").alias("color"),
         r2(5 + (F.col("o_totalprice") - lo) / (hi - lo) * 25).alias("radius"),
+        html_escape(
+            F.concat(F.lit("<cust "), F.col("c_custkey"), F.lit(' & "latest">'))
+        ).alias("tooltip_html"),
     )
 
 

@@ -75,3 +75,20 @@ def pct_change(cur: Column | str, prev: Column | str) -> Column:
     c = F.col(cur) if isinstance(cur, str) else cur
     p = F.col(prev) if isinstance(prev, str) else prev
     return F.when(p > 0, (c - p) / p * 100).otherwise(F.lit(0.0))
+
+
+def html_escape(col: Column | str) -> Column:
+    """HTML-escape a string column — Python ``html.escape(s, quote=True)``
+    semantics (reference P18 `dashboards/app.py:490`, escaping report-table
+    cell text). `&` is replaced first so entity ampersands are not
+    double-escaped; then the four markup-significant characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    for raw, ent in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('"', "&quot;"),
+        ("'", "&#x27;"),
+    ]:
+        c = F.replace(c, F.lit(raw), F.lit(ent))
+    return c

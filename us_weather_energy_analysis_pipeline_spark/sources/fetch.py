@@ -66,6 +66,7 @@ def fetch_noaa(
     start: str,
     end: str,
     http_get: HttpGet = _default_http_get,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> dict:
     """GHCND TMAX/TMIN, metric units, limit 1000 (reference
     data_fetcher.py:24-55, params at :35-43)."""
@@ -78,7 +79,9 @@ def fetch_noaa(
         "units": "metric",
         "limit": 1000,
     }
-    return fetch_with_retries(NOAA_URL, params, {"token": token}, http_get=http_get)
+    return fetch_with_retries(
+        NOAA_URL, params, {"token": token}, http_get=http_get, sleep=sleep
+    )
 
 
 def fetch_eia_pages(
@@ -88,6 +91,7 @@ def fetch_eia_pages(
     end: str,
     page_size: int = 5000,
     http_get: HttpGet = _default_http_get,
+    sleep: Callable[[float], None] = time.sleep,
 ) -> list[dict]:
     """Paginated hourly demand (reference data_fetcher.py:57-125): count
     probe with length=0 (:73-87), then offset pages of ``page_size``
@@ -103,7 +107,9 @@ def fetch_eia_pages(
         "sort[0][column]": "period",
         "sort[0][direction]": "asc",
     }
-    probe = fetch_with_retries(EIA_URL, {**base, "length": 0}, {}, http_get=http_get)
+    probe = fetch_with_retries(
+        EIA_URL, {**base, "length": 0}, {}, http_get=http_get, sleep=sleep
+    )
     total = int((probe.get("response") or {}).get("total") or 0)
     pages = []
     for offset in range(0, total, page_size):
@@ -113,6 +119,7 @@ def fetch_eia_pages(
                 {**base, "offset": offset, "length": page_size},
                 {},
                 http_get=http_get,
+                sleep=sleep,
             )
         )
     return pages
