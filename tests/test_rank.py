@@ -75,16 +75,6 @@ def test_ntile_matches_builtin(spark, n, k):
 def test_multi_ntile_matches_builtin(spark):
     rows = [(i, (i * 37) % 50, (i * 13) % 29) for i in range(60)]
     df = spark.createDataFrame(rows, "id long, a long, b long")
-    got = multi_global_ntile(
-        df,
-        [
-            OrderSpec("a", True, ("id",), "ta"),
-            OrderSpec("b", False, ("id",), "tb"),
-        ],
-        4,
-        num_bins=5,
-        persist=False,
-    )
     wa = Window.orderBy("a", "id")
     wb = Window.orderBy(F.col("b").desc(), "id")
     exp = {
@@ -93,7 +83,21 @@ def test_multi_ntile_matches_builtin(spark):
             "id", F.ntile(4).over(wa).alias("ta"), F.ntile(4).over(wb).alias("tb")
         ).collect()
     }
-    assert {r["id"]: (r["ta"], r["tb"]) for r in got.collect()} == exp
+    # gate=0 forces the distributed stacked-agg path; the default gate
+    # takes the bounded key-collect path — both must match the builtin
+    for gate in (0, 10**6):
+        got = multi_global_ntile(
+            df,
+            [
+                OrderSpec("a", True, ("id",), "ta"),
+                OrderSpec("b", False, ("id",), "tb"),
+            ],
+            4,
+            num_bins=5,
+            persist=False,
+            small_threshold=gate,
+        )
+        assert {r["id"]: (r["ta"], r["tb"]) for r in got.collect()} == exp, gate
 
 
 def test_constant_key_single_bin(spark):
@@ -127,7 +131,9 @@ def test_rank_property_random_distributions(spark):
     for vals in distributions:
         df = _df(spark, vals)
         for ascending in (True, False):
-            for nb in (2, 7):
+            for nb, gate in ((2, 0), (7, 0), (2, 10**6), (7, 10**6)):
+                # gate=0 forces the distributed approxQuantile+agg path;
+                # the large gate exercises the bounded key-collect path
                 got = global_order_stats(
                     df,
                     "v",
@@ -136,6 +142,7 @@ def test_rank_property_random_distributions(spark):
                     cum_cols=("v",),
                     num_bins=nb,
                     persist=False,
+                    small_threshold=gate,
                 )
                 order = F.col("v").asc() if ascending else F.col("v").desc()
                 w = Window.orderBy(order, F.col("id").asc())
@@ -150,4 +157,4 @@ def test_rank_property_random_distributions(spark):
                     r["id"]: (r["global_rn"], r["v_cum"]) for r in got.collect()
                 }
                 exp_m = {r["id"]: (r["rn"], r["cs"]) for r in exp.collect()}
-                assert got_m == exp_m, (vals[:5], ascending, nb)
+                assert got_m == exp_m, (vals[:5], ascending, nb, gate)

@@ -29,25 +29,28 @@ def connected_components(
     smallest node id reachable.
 
     Adaptive execution: LSH/Jaccard candidate graphs are usually TINY
-    relative to the corpus (that is the whole point of blocking), so when
-    the edge list is under ``driver_threshold`` rows it is collected and
-    solved with union-find on the driver — O(E α(E)) and zero extra Spark
-    rounds. Above the threshold, distributed min-label propagation runs:
-    ≤ diameter iterations of join + min-aggregate (bounded by
-    ``max_iter``; raises if not converged — at that scale, raise the
-    bound or move to star-contraction rather than silently stopping).
+    relative to the corpus (that is the whole point of blocking), so the
+    size probe IS the collect: ``limit(threshold+1).collect()`` runs the
+    upstream candidate-pair query exactly once — no persist fill, no
+    separate count action (the old persist→count→collect shape paid a
+    full cache materialization plus an extra job even on tiny graphs).
+    Under the threshold the collected edges feed driver union-find —
+    O(E α(E)) and zero extra Spark rounds. Above it, the probe rows are
+    discarded and distributed min-label propagation runs over the (now
+    persisted) edge list: ≤ diameter iterations of join + min-aggregate
+    (bounded by ``max_iter``; raises if not converged — at that scale,
+    raise the bound or move to star-contraction rather than silently
+    stopping).
     """
-    # cache: the size probe and the subsequent consumption (collect or
-    # symmetric expansion) must not re-execute the upstream candidate-pair
-    # query — it is usually the expensive part
-    edges = edges.select(src, dst).persist()
+    spark = edges.sparkSession
+    probe = edges.select(src, dst).limit(driver_threshold + 1).collect()
+    if len(probe) <= driver_threshold:
+        return _union_find_rows(spark, probe)
+    big = edges.select(src, dst).persist()
     try:
-        n_edges = edges.count()
-        if n_edges <= driver_threshold:
-            return _driver_union_find(edges, src, dst)
-        return _propagate(edges, src, dst, max_iter)
+        return _propagate(big, src, dst, max_iter)
     finally:
-        edges.unpersist()
+        big.unpersist()
 
 
 _HARD_ITER_BOUND = 64  # doubling covers diameter 2^64 — always enough
@@ -112,9 +115,10 @@ def _propagate(edges: DataFrame, src: str, dst: str, max_iter: int) -> DataFrame
     )
 
 
-def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
-    """Small-graph path: collect edges, path-compressed union-find, ship
-    the labeling back as a DataFrame. Component id = smallest member."""
+def _union_find_rows(spark, pairs) -> DataFrame:
+    """Small-graph path: path-compressed union-find over already-collected
+    edge rows, shipped back as a DataFrame. Component id = smallest
+    member."""
     parent: dict = {}
 
     def find(x):
@@ -125,7 +129,6 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    pairs = edges.select(src, dst).collect()
     for r in pairs:
         a, b = find(r[0]), find(r[1])
         if a != b:
@@ -137,7 +140,9 @@ def _driver_union_find(edges: DataFrame, src: str, dst: str) -> DataFrame:
         nodes.add(r[0])
         nodes.add(r[1])
     rows = [(n, find(n)) for n in sorted(nodes)]
-    return edges.sparkSession.createDataFrame(rows, "node long, comp long")
+    # one partition: the labeling is ≤ driver_threshold rows — scheduling
+    # 32 near-empty tasks costs more than the data
+    return spark.createDataFrame(rows, "node long, comp long").coalesce(1)
 
 
 def dedup_clusters(

@@ -77,21 +77,25 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     Returns (doc_id, sig array<bigint> ordered by seed); the oracle
     regenerates identical values from the same md5-derived constants.
     """
-    hv = (
-        F.conv(F.substring(F.md5(F.col("shingle")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hv")
+    # expressions are built as SQL strings (one JVM parse per select):
+    # the per-permutation Column-object arithmetic was ~1000 Py4J
+    # roundtrips per plan build — ~0.5 s of driver time per query call
+    per_row = shingles.selectExpr(
+        "doc_id",
+        "cast(conv(substring(md5(shingle), 1, 8), 16, 10) AS bigint) AS hv",
+    ).selectExpr(
+        "doc_id",
+        *[
+            f"(hv * {a}L + {b}L) % {MINHASH_P}L AS h{s}"
+            for s, (a, b) in enumerate(minhash_params(k))
+        ],
     )
-    perms = [
-        ((F.col("hv") * a + b) % MINHASH_P).alias(f"h{s}")
-        for s, (a, b) in enumerate(minhash_params(k))
-    ]
-    per_row = shingles.select("doc_id", hv).select("doc_id", *perms)
     return (
         per_row.groupBy("doc_id")
-        .agg(*[F.min(f"h{s}").alias(f"m{s}") for s in range(k)])
-        .select(
-            "doc_id", F.array(*[F.col(f"m{s}") for s in range(k)]).alias("sig")
+        .agg(*[F.expr(f"min(h{s}) AS m{s}") for s in range(k)])
+        .selectExpr(
+            "doc_id",
+            "array(" + ", ".join(f"m{s}" for s in range(k)) + ") AS sig",
         )
     )
 
@@ -111,15 +115,14 @@ def lsh_candidate_pairs(
     tuple, so candidate sets agree unless xxhash64 collides (~n²/2⁶⁵).
     """
     rows = k // bands
-    band_digest = [
-        F.xxhash64(*[F.col("sig")[b * rows + r] for r in range(rows)]).alias(
-            "digest"
-        )
+    digests = ", ".join(
+        "xxhash64("
+        + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        + ")"
         for b in range(bands)
-    ]
-    banded = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*band_digest)).alias("band", "digest"),
+    )
+    banded = sig.selectExpr(
+        "doc_id", f"posexplode(array({digests})) AS (band, digest)"
     )
     a, b = banded.alias("a"), banded.alias("b")
     return (
@@ -184,26 +187,29 @@ def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
     lambdas evaluate interpreted, outside codegen — the tiny post-combine
     shuffle is the cheaper currency.
     """
-    toks = F.explode(F.split(F.lower(F.trim(F.col(text_col))), " ")).alias("tok")
-    per_tok = df.select("doc_id", toks).select(
+    # SQL-string expression building (see minhash_signatures): the
+    # per-bit Column arithmetic was the single biggest Py4J plan-build
+    # cost in the corpus (~1.2 s per call)
+    per_tok = df.selectExpr(
+        "doc_id", f"explode(split(lower(trim({text_col})), ' ')) AS tok"
+    ).selectExpr(
+        "doc_id", "cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS hv"
+    )
+    voted = per_tok.selectExpr(
         "doc_id",
-        F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10)
-        .cast("long")
-        .alias("hv"),
+        *[
+            f"2 * cast(shiftright(hv, {p}) & 1 AS int) - 1 AS v{p}"
+            for p in range(SIMHASH_BITS)
+        ],
     )
-    votes = [
-        (2 * F.shiftright(F.col("hv"), p).bitwiseAND(F.lit(1)) - 1).alias(f"v{p}")
-        for p in range(SIMHASH_BITS)
-    ]
-    voted = per_tok.select("doc_id", *votes)
     sums = voted.groupBy("doc_id").agg(
-        *[F.sum(f"v{p}").alias(f"s{p}") for p in range(SIMHASH_BITS)]
+        *[F.expr(f"sum(v{p}) AS s{p}") for p in range(SIMHASH_BITS)]
     )
-    fingerprint = sum(
-        F.when(F.col(f"s{p}") >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    fingerprint = " + ".join(
+        f"(CASE WHEN s{p} >= 0 THEN {2**p}L ELSE 0L END)"
         for p in range(SIMHASH_BITS)
     )
-    return sums.select("doc_id", fingerprint.cast("bigint").alias("simhash"))
+    return sums.selectExpr("doc_id", f"cast({fingerprint} AS bigint) AS simhash")
 
 
 def simhash_near_dups(
@@ -213,17 +219,14 @@ def simhash_near_dups(
     join bucket-locally on any equal byte, then exact Hamming distance via
     bit_count(xor). Returns (doc_a, doc_b, hamming)."""
     sh = simhash32(df, text_col)
-    bytes_ = [
-        (F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255))).alias("chunk")
-        for b in range(4)
-    ]
-    banded = sh.select(
-        "doc_id", "simhash", F.posexplode(F.array(*bytes_)).alias("band", "chunk")
+    chunks = ", ".join(f"shiftright(simhash, {8 * b}) & 255" for b in range(4))
     # explicit exchange on the join key: simhash32 is a pure map stage, so
     # without it the self-join's two branches would each recompute the
     # fingerprint pass — the repartition gives ReuseExchange one shared
     # materialization (tiny shuffle: 4 rows per doc), and the join is then
     # already co-partitioned on (band, chunk)
+    banded = sh.selectExpr(
+        "doc_id", "simhash", f"posexplode(array({chunks})) AS (band, chunk)"
     ).repartition("band", "chunk")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(

@@ -27,10 +27,14 @@ rounded decimals to integer cents) so the bin-parallel partial sums are
 exactly associative — bit-identical to a sequential scan, no float
 reordering hazard.
 
-Cost model per call: two driver actions (boundary probe + bounded bin
-stats, both over the persisted keyed input) and one fully parallel final
-job. The input here is typically a small aggregate of a huge fact table
-(group totals, per-doc stats) — exactly what a production job persists.
+Cost model per call, adaptive like ``operators/quantile.py``: below
+``SMALL_KEY_THRESHOLD`` rows, ONE bounded driver action (a limit-probe
+Arrow collect of the sort keys + cum columns only) yields exact cuts,
+counts and sums in numpy — then one fully parallel final job. Above the
+gate, two driver actions (approxQuantile boundary probe + bounded bin
+stats, both over the persisted keyed input) replace it. The input here
+is typically a small aggregate of a huge fact table (group totals,
+per-doc stats) — exactly what a production job persists.
 
 Reference parity: the reference has no distribution profiler at all
 (``src/analysis.py:6-67`` stops at mean/median/OLS); these are the
@@ -50,6 +54,14 @@ from pyspark.sql import functions as F
 from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 DEFAULT_BINS = 32
+# Below this many rows the bin boundaries AND the per-bin stats come from
+# ONE bounded driver collect of the SORT KEYS ONLY (+ cum columns): ~24 B
+# per row per column, ≈ 50 MB at the gate — the same adaptive principle
+# as operators/quantile.py. Above it, the distributed two-action path
+# (approxQuantile probe + bin-stats job) runs — the only shape that
+# survives 100 TB.
+SMALL_KEY_THRESHOLD = 2_000_000
+_APPROX_EPS = 0.01  # bins only need rough balance; 0.001 measurably slower
 
 # Persisted inputs outlive the call on purpose: the returned plan still
 # reads them lazily, so eager unpersist here would force a recompute in
@@ -98,6 +110,55 @@ def _lookup(values: list[int], pid_col: str) -> Column:
     """Literal array lookup: values[pid] as a Column (1-based element_at)."""
     arr = F.array(*[F.lit(int(v)).cast("long") for v in values])
     return F.element_at(arr, F.col(pid_col) + 1)
+
+
+def _try_small_stats(
+    base: DataFrame,
+    sk_names: Sequence[str],
+    cum_cols: Sequence[str],
+    nb: int,
+    gate: int = SMALL_KEY_THRESHOLD,
+):
+    """Bounded small path: collect ONLY the sort keys (+ cum columns) via
+    a limit-probe (one Arrow job — no separate count), and derive exact
+    cuts, per-bin counts and per-bin sums in numpy/pandas. Returns
+    ``None`` when the input exceeds the gate (caller falls back to the
+    distributed probe+agg path); the probe pass then still served as the
+    persist fill. Cut literals are the collected float64 key values
+    themselves, so the JVM-side ``key > cut`` comparisons agree exactly
+    with the driver-side ``searchsorted``."""
+    import numpy as np
+
+    cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
+    pdf = base.select(*cols).limit(gate + 1).toPandas()
+    if len(pdf) > gate:
+        return None
+    out = []
+    for sk in sk_names:
+        keys = pdf[sk].to_numpy(dtype="float64")
+        n = len(keys)
+        srt = np.sort(keys)
+        cuts = (
+            sorted({float(srt[min(n - 1, (i * n) // nb)]) for i in range(1, nb)})
+            if n
+            else []
+        )
+        # pid = #cuts strictly below key  ⟺  Σ (key > cut), as _pid_expr
+        pid = np.searchsorted(np.asarray(cuts, dtype="float64"), keys, side="left")
+        n_pids = len(cuts) + 1
+        rows = []
+        for p in range(n_pids):
+            mask = pid == p
+            cnt = int(mask.sum())
+            if cnt == 0:
+                continue
+            r = {"_pid": p, "_cnt": cnt}
+            for c in cum_cols:
+                # int64 sum — exact, no float accumulation
+                r[f"_s_{c}"] = int(pdf[c].to_numpy(dtype="int64")[mask].sum())
+            rows.append(r)
+        out.append((cuts, _BinStats(n_pids, rows, cum_cols)))
+    return out
 
 
 class _BinStats:
@@ -177,6 +238,7 @@ def global_order_stats(
     n_col: str | None = None,
     totals: bool = False,
     persist: bool = True,
+    small_threshold: int = SMALL_KEY_THRESHOLD,
 ) -> DataFrame:
     """Append the exact global 1-based ``rank_col`` (ordered by ``key``
     in the given direction, then ``tiebreaks`` ascending) and, for each
@@ -190,16 +252,23 @@ def global_order_stats(
     if persist:
         base = cache.track(base)
     nb = max(2, num_bins)
-    cuts = base.stat.approxQuantile("_sk0", [i / nb for i in range(1, nb)], 0.001)
-    n_pids = len(sorted(set(cuts))) + 1
+    small = _try_small_stats(base, ["_sk0"], cum_cols, nb, gate=small_threshold)
+    if small is not None:
+        cuts, stats = small[0]
+    else:
+        cuts = base.stat.approxQuantile(
+            "_sk0", [i / nb for i in range(1, nb)], _APPROX_EPS
+        )
+        n_pids = len(sorted(set(cuts))) + 1
+        binned_probe = base.withColumn("_pid0", _pid_expr("_sk0", cuts))
+        aggs = [F.count(F.lit(1)).alias("_cnt")] + [
+            F.sum(F.col(c)).cast("long").alias(f"_s_{c}") for c in cum_cols
+        ]
+        rows = (
+            binned_probe.groupBy(F.col("_pid0").alias("_pid")).agg(*aggs).collect()
+        )
+        stats = _BinStats(n_pids, rows, cum_cols)
     binned = base.withColumn("_pid0", _pid_expr("_sk0", cuts))
-    aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-        F.sum(F.col(c)).cast("long").alias(f"_s_{c}") for c in cum_cols
-    ]
-    rows = (
-        binned.groupBy(F.col("_pid0").alias("_pid")).agg(*aggs).collect()
-    )
-    stats = _BinStats(n_pids, rows, cum_cols)
     out = _attach_rank(binned, 0, spec, stats, rank_col)
     if n_col:
         out = out.withColumn(n_col, F.lit(stats.n).cast("long"))
@@ -240,6 +309,7 @@ def multi_global_ntile(
     *,
     num_bins: int = DEFAULT_BINS,
     persist: bool = True,
+    small_threshold: int = SMALL_KEY_THRESHOLD,
 ) -> DataFrame:
     """Exact ``NTILE(k)`` for SEVERAL global orderings over the same
     frame (the RFM shape: recency/frequency/monetary quartiles) with TWO
@@ -254,33 +324,45 @@ def multi_global_ntile(
         base = cache.track(base)
     nb = max(2, num_bins)
     sk_names = [f"_sk{i}" for i in range(len(specs))]
-    all_cuts = base.stat.approxQuantile(
-        sk_names, [i / nb for i in range(1, nb)], 0.001
-    )
-    binned = base
-    n_pids = []
-    for i, cuts in enumerate(all_cuts):
-        binned = binned.withColumn(f"_pid{i}", _pid_expr(f"_sk{i}", cuts))
-        n_pids.append(len(sorted(set(cuts))) + 1)
-    # one job for ALL orderings' bin counts: stack (ordering, pid) pairs
-    stacked = binned.select(
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("_w"), F.col(f"_pid{i}").alias("_pid")
-                    )
-                    for i in range(len(specs))
-                ]
+    small = _try_small_stats(base, sk_names, (), nb, gate=small_threshold)
+    if small is not None:
+        per_ordering = small
+    else:
+        all_cuts = base.stat.approxQuantile(
+            sk_names, [i / nb for i in range(1, nb)], _APPROX_EPS
+        )
+        binned_probe = base
+        n_pids = []
+        for i, cuts in enumerate(all_cuts):
+            binned_probe = binned_probe.withColumn(
+                f"_pid{i}", _pid_expr(f"_sk{i}", cuts)
             )
-        ).alias("s")
-    ).select("s._w", "s._pid")
-    rows = stacked.groupBy("_w", "_pid").agg(
-        F.count(F.lit(1)).alias("_cnt")
-    ).collect()
-    out = binned
+            n_pids.append(len(sorted(set(cuts))) + 1)
+        # one job for ALL orderings' bin counts: stack (ordering, pid) pairs
+        stacked = binned_probe.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("_w"), F.col(f"_pid{i}").alias("_pid")
+                        )
+                        for i in range(len(specs))
+                    ]
+                )
+            ).alias("s")
+        ).select("s._w", "s._pid")
+        rows = stacked.groupBy("_w", "_pid").agg(
+            F.count(F.lit(1)).alias("_cnt")
+        ).collect()
+        per_ordering = [
+            (all_cuts[i], _BinStats(n_pids[i], [r for r in rows if r["_w"] == i], ()))
+            for i in range(len(specs))
+        ]
+    out = base
+    for i, (cuts, _) in enumerate(per_ordering):
+        out = out.withColumn(f"_pid{i}", _pid_expr(f"_sk{i}", cuts))
     for i, s in enumerate(specs):
-        stats = _BinStats(n_pids[i], [r for r in rows if r["_w"] == i], ())
+        stats = per_ordering[i][1]
         out = _attach_rank(out, i, s, stats, f"_gr{i}")
         out = out.withColumn(
             s.out_col, _ntile_from_rank(F.col(f"_gr{i}"), stats.n, k)

@@ -232,10 +232,19 @@ def grouped_candidate_pairs(
     pairs co-locate via one equi-join on ``(grp, i, j)``. A pathological
     bucket (everything hashed together) therefore degrades to more block
     pairs, not to one OOM-ing task. Candidates are approximate (BLAS
-    summation order); callers re-score exactly before acting on them."""
+    summation order); callers re-score exactly before acting on them.
+
+    The input (often a non-trivial upstream: LSH coding, projections) is
+    read by two plan branches (sizes agg + pack) and the packed blocks by
+    two more (left/right of the pair join) — both are persisted via
+    operators.cache so no branch re-executes the upstream subtree
+    (exchange reuse measurably does not collapse them)."""
     import numpy as np
     import pandas as pd
 
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    df = cache.track(df)
     sizes = df.groupBy(grp_col).agg(
         F.ceil(F.count(F.lit(1)) / F.lit(block_rows)).cast("int").alias("nb")
     )
@@ -249,7 +258,7 @@ def grouped_candidate_pairs(
             vec_col,
         )
     )
-    blocks = _pack_blocks(keyed, id_col, vec_col)
+    blocks = cache.track(_pack_blocks(keyed, id_col, vec_col))
     left = blocks.select(
         F.col("_grp"),
         F.col("bid").alias("i"),
