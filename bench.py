@@ -34,6 +34,15 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark("bench")
 
+    # Page-cache warmup: the host occasionally reclaims the guest's page
+    # cache (balloon), and a cold parquet read mid-sweep skews one query
+    # by disk latency. The whole sf dir is small; read it through once.
+    for fn in os.listdir(sf_dir):
+        if fn.endswith(".parquet"):
+            with open(os.path.join(sf_dir, fn), "rb") as f:
+                while f.read(1 << 22):
+                    pass
+
     # JVM/codegen warmup + Python-worker prewarm (Arrow workers cost a few
     # seconds to spawn once per session; on a long-lived cluster they're warm)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(

@@ -29,28 +29,30 @@ def connected_components(
     smallest node id reachable.
 
     Adaptive execution: LSH/Jaccard candidate graphs are usually TINY
-    relative to the corpus (that is the whole point of blocking), so the
-    size probe IS the collect: ``limit(threshold+1).collect()`` runs the
-    upstream candidate-pair query exactly once — no persist fill, no
-    separate count action (the old persist→count→collect shape paid a
-    full cache materialization plus an extra job even on tiny graphs).
-    Under the threshold the collected edges feed driver union-find —
-    O(E α(E)) and zero extra Spark rounds. Above it, the probe rows are
-    discarded and distributed min-label propagation runs over the (now
-    persisted) edge list: ≤ diameter iterations of join + min-aggregate
-    (bounded by ``max_iter``; raises if not converged — at that scale,
-    raise the bound or move to star-contraction rather than silently
-    stopping).
+    relative to the corpus (that is the whole point of blocking), so when
+    the edge list is under ``driver_threshold`` rows it is collected and
+    solved with union-find on the driver — O(E α(E)) and zero extra Spark
+    rounds. Above the threshold, distributed min-label propagation runs:
+    ≤ diameter iterations of join + min-aggregate (bounded by
+    ``max_iter``; raises if not converged — at that scale, raise the
+    bound or move to star-contraction rather than silently stopping).
+
+    The probe is persist→count, NOT ``limit(n).collect()``: candidate
+    edge lists sit on top of expensive FINAL stages (Levenshtein /
+    cosine refine joins), and CollectLimit executes such a stage in
+    incremental partition waves (1, 4, 16, …) — measured 3-4× the whole
+    query re-running the refine per wave. persist+count materializes the
+    pair query exactly once; the collect then reads cache.
     """
     spark = edges.sparkSession
-    probe = edges.select(src, dst).limit(driver_threshold + 1).collect()
-    if len(probe) <= driver_threshold:
-        return _union_find_rows(spark, probe)
-    big = edges.select(src, dst).persist()
+    edges = edges.select(src, dst).persist()
     try:
-        return _propagate(big, src, dst, max_iter)
+        n_edges = edges.count()
+        if n_edges <= driver_threshold:
+            return _union_find_rows(spark, edges.collect())
+        return _propagate(edges, src, dst, max_iter)
     finally:
-        big.unpersist()
+        edges.unpersist()
 
 
 _HARD_ITER_BOUND = 64  # doubling covers diameter 2^64 — always enough
@@ -140,9 +142,13 @@ def _union_find_rows(spark, pairs) -> DataFrame:
         nodes.add(r[0])
         nodes.add(r[1])
     rows = [(n, find(n)) for n in sorted(nodes)]
-    # one partition: the labeling is ≤ driver_threshold rows — scheduling
-    # 32 near-empty tasks costs more than the data
-    return spark.createDataFrame(rows, "node long, comp long").coalesce(1)
+    # broadcast-hinted: the labeling is ≤ driver_threshold rows and its
+    # typical consumer left-joins it against the full corpus. (A
+    # coalesce(1) here — tried for task-count reasons — HIDES the local
+    # relation's size statistics, demoting that join to a 10× slower
+    # sort-merge; the hint keeps it a broadcast join and is a no-op for
+    # standalone consumption.)
+    return F.broadcast(spark.createDataFrame(rows, "node long, comp long"))
 
 
 def dedup_clusters(

@@ -38,6 +38,20 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.files.maxPartitionBytes": "134217728",
     "spark.ui.showConsoleProgress": "false",
+    # Long-lived-session hygiene: the app-status store retains the FULL
+    # plan graph of the last 1000 SQL executions plus per-job/stage/task
+    # rows by default — over a many-query session (the corpus sweep is
+    # 118 queries × 2 runs × several jobs each) that is hundreds of MB of
+    # driver heap and measurable GC drag (queries late in a sweep ran
+    # 2-4× their standalone time before these caps). Batch drivers don't
+    # need the UI at all.
+    "spark.ui.enabled": "false",
+    "spark.sql.ui.retainedExecutions": "8",
+    "spark.ui.retainedJobs": "100",
+    "spark.ui.retainedStages": "100",
+    "spark.ui.retainedTasks": "2000",
+    # reclaim driver-held broadcast/persist refs promptly (default 30min)
+    "spark.cleaner.periodicGC.interval": "2min",
 }
 
 
