@@ -62,12 +62,13 @@ def main() -> None:
 
     rows = []
     for name, q in sorted(REGISTRY.items()):
-        # min of two runs on BOTH engines — warm-path, symmetric comparison
+        # min of three Spark runs (run 2 can still be JIT-cold for the
+        # big generated methods) vs two DuckDB runs (no JIT tier)
         def _run_spark(q=q):
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             cache.release_all()
 
-        t_spark = min(_timed(_run_spark) for _ in range(2))
+        t_spark = min(_timed(_run_spark) for _ in range(3))
         t_duck = None
         if q.oracle:
             t_duck = min(_timed(lambda: con.execute(q.oracle).fetchall()) for _ in range(2))
