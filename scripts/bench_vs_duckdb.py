@@ -60,8 +60,22 @@ def main() -> None:
         for _ in range(3)
     )
 
+    # Same execution discipline as bench.py: fixed seeded shuffle of the
+    # order (alphabetical runs the dedup_* family back-to-back and the
+    # GC/allocator pressure from one heavy query pollutes its successors)
+    # plus a System.gc() paydown every 10 queries so old-gen debt from a
+    # heavy sweep is not billed to whatever query runs next.
+    order = sorted(REGISTRY)
+    import random
+
+    random.Random(42).shuffle(order)
+
     rows = []
-    for name, q in sorted(REGISTRY.items()):
+    for qi, name in enumerate(order):
+        q = REGISTRY[name]
+        if qi and qi % 10 == 0:
+            spark.sparkContext._jvm.System.gc()
+
         # min of three Spark runs (run 2 can still be JIT-cold for the
         # big generated methods) vs two DuckDB runs (no JIT tier)
         def _run_spark(q=q):
@@ -75,6 +89,7 @@ def main() -> None:
         rows.append((name, t_spark, t_duck))
         print(f"{name:34s} spark={t_spark:6.2f}s duck={t_duck if t_duck is None else round(t_duck,2)}")
 
+    rows.sort()  # table stays alphabetical even though execution was shuffled
     total_s = sum(r[1] for r in rows)
     total_d = sum(r[2] for r in rows if r[2] is not None)
     adj = max(0.0, total_s - floor * len(rows))
