@@ -58,20 +58,33 @@ def main() -> None:
     # data volume; on a long-lived cluster it is amortized/overlapped.
     # Reported alongside the raw total so the data-bound cost is visible:
     # value_floor_adjusted = total − floor × n_queries.
-    def probe_floor(n: int = 3) -> float:
-        f = float("inf")
-        for _ in range(n):
+    tracker = spark.sparkContext.statusTracker()
+
+    def probe_floor(n: int = 3) -> tuple[float, int]:
+        """(best seconds, jobs) for the minimal probe query. The job count
+        divides the probe time into a per-JOB floor: multi-stage queries
+        (dedup pipelines are 9-18 jobs under AQE's stage-by-stage
+        materialization) pay the scheduling floor once per JOB, so a
+        per-query floor understates their fixed cost and a per-job floor
+        × measured job count is the honest decomposition."""
+        f, jobs = float("inf"), 1
+        for i in range(n):
+            grp = f"floor-probe:{time.time()}:{i}"
+            spark.sparkContext.setJobGroup(grp, "floor probe")
             t0 = time.time()
             spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count(
             ).write.format("noop").mode("overwrite").save()
-            f = min(f, time.time() - t0)
-        return f
+            dt = time.time() - t0
+            if dt < f:
+                f, jobs = dt, max(1, len(tracker.getJobIdsForGroup(grp)))
+        return f, jobs
 
     # The floor is re-probed every 20 queries: the host is multi-tenant
     # and its speed drifts 2-3× over minutes — the probe series is the
     # run's own machine-state record (floor_series below), and the
     # reported floor is the median of the series.
-    floor_series = [probe_floor()]
+    f0, probe_jobs = probe_floor()
+    floor_series = [f0]
 
     # FIXED seeded shuffle of the execution order: alphabetical order runs
     # the whole dedup_* family back-to-back, and the GC/allocator pressure
@@ -88,6 +101,7 @@ def main() -> None:
     # executes before C2 compilation lands (measured 2x their steady
     # state); run 3 is reliably steady.
     timings: dict[str, float] = {}
+    job_counts: dict[str, int] = {}
     wall0 = time.time()
     for qi, name in enumerate(order):
         if qi and qi % 10 == 0:
@@ -97,25 +111,38 @@ def main() -> None:
             # read 25-60% over their isolated time
             spark.sparkContext._jvm.System.gc()
         if qi and qi % 20 == 0:
-            floor_series.append(probe_floor(1))
+            floor_series.append(probe_floor(1)[0])
         q = REGISTRY[name]
-        best = float("inf")
-        for _ in range(3):
+        best, best_jobs = float("inf"), 0
+        for run in range(3):
+            grp = f"{name}:{run}"
+            spark.sparkContext.setJobGroup(grp, name)
             t0 = time.time()
             df = q.spark_fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
+            dt = time.time() - t0
+            if dt < best:
+                best = dt
+                best_jobs = len(tracker.getJobIdsForGroup(grp))
             # release operator-internal persists so every run pays its
             # own cache fill (honest accounting) and nothing leaks into
             # later queries' memory budget
             cache.release_all()
         timings[name] = round(best, 3)
+        job_counts[name] = best_jobs
     wall = round(time.time() - wall0, 3)
 
     total = round(sum(timings.values()), 3)
     floor_series = [round(f, 3) for f in floor_series]
     floor = sorted(floor_series)[len(floor_series) // 2]  # median
     floor_adj = round(max(0.0, total - floor * len(timings)), 3)
+    # Job-aware decomposition: the probe floor is per QUERY of probe_jobs
+    # jobs; a query scheduling J jobs pays ~J/probe_jobs × floor of pure
+    # per-job latency. Σ over queries gives the job-aware fixed cost —
+    # the sharper accounting for the multi-stage dedup pipelines.
+    per_job_floor = floor / max(1, probe_jobs)
+    total_jobs = sum(job_counts.values())
+    floor_adj_jobs = round(max(0.0, total - per_job_floor * total_jobs), 3)
     # Full per-query detail goes to a file; the printed line must stay SHORT
     # (the driver tail-captures stdout — a 106-key JSON line gets truncated
     # and recorded as parsed:null, which is what happened in round 1).
@@ -129,11 +156,16 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "job_counts": job_counts,
                 "sf": sf,
                 "n_queries": len(timings),
                 "floor_sec_per_query": floor,
                 "floor_series": floor_series,
+                "probe_jobs": probe_jobs,
+                "per_job_floor_sec": round(per_job_floor, 4),
+                "total_jobs": total_jobs,
                 "value_floor_adjusted": floor_adj,
+                "value_floor_adjusted_jobs": floor_adj_jobs,
                 "wall_sec_both_runs": wall,
             },
             f,
@@ -152,7 +184,10 @@ def main() -> None:
                 "n_queries": len(timings),
                 "floor_sec_per_query": floor,
                 "floor_series": floor_series,
+                "per_job_floor_sec": round(per_job_floor, 4),
+                "total_jobs": total_jobs,
                 "value_floor_adjusted": floor_adj,
+                "value_floor_adjusted_jobs": floor_adj_jobs,
                 "detail": "BENCH_DETAIL.json",
             }
         )

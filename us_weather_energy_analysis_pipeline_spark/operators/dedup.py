@@ -22,8 +22,6 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.operators import cache
-
 MINHASH_K = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 SIMHASH_BITS = 32
@@ -148,28 +146,56 @@ def minhash_near_dups(
     estimated Jaccard = fraction of agreeing signature positions; keep
     pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard).
 
-    The signature table feeds three plan branches (banding + both pair
-    lookups); it is persisted via operators.cache (k longs per doc) so
-    the shingle→md5→min pass runs once, not per branch."""
-    sig = cache.track(
-        minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
+    The signature array RIDES THROUGH the band explode instead of being
+    re-joined after the bucket join (the r3 shape): at web scale the sig
+    table is n_docs × k longs — far beyond broadcast — so two post-join
+    sig lookups are two more doc-keyed shuffles of it. Carrying sig costs
+    ``bands × k`` longs per doc through the ONE (band, digest) exchange,
+    after which the estimate is computed map-side on the matched rows and
+    the sigs are dropped BEFORE the pair-dedup groupBy — the pair
+    exchange ships (doc_a, doc_b, est) only. One shuffle family total,
+    no joins, no persist (the signature pass now feeds exactly one
+    consumer, so the cache bookkeeping disappears too)."""
+    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
+    rows = k // bands
+    digests = ", ".join(
+        "xxhash64("
+        + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
+        + ")"
+        for b in range(bands)
     )
-    cands = lsh_candidate_pairs(sig, bands, k)
-    sa, sb = sig.alias("sa"), sig.alias("sb")
+    banded = sig.selectExpr(
+        "doc_id", "sig", f"posexplode(array({digests})) AS (band, digest)"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     est = (
         F.size(
             F.filter(
-                F.zip_with("sa.sig", "sb.sig", lambda x, y: (x == y).cast("int")),
+                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
                 lambda v: v == 1,
             )
         ).cast("double")
         / k
     )
     return (
-        cands.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", "n_shared_bands", est.alias("est_jaccard"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            est.alias("est_jaccard"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_bands"),
+            F.first("est_jaccard").alias("est_jaccard"),
+        )
         .filter(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
     )
 
 

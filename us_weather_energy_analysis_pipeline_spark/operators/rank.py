@@ -46,8 +46,6 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 from dataclasses import dataclass, field
-from functools import reduce
-
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -99,17 +97,26 @@ class OrderSpec:
 
 
 def _pid_expr(sk_name: str, cuts: list[float]) -> Column:
-    return reduce(
-        lambda acc, b: acc + (F.col(sk_name) > F.lit(float(b))).cast("int"),
-        sorted(set(cuts)),
-        F.lit(0),
+    """Bin id = Σ (key > cut) over the sorted distinct cut literals.
+
+    Built as ONE SQL string parsed by a single ``F.expr`` — the previous
+    per-cut Column arithmetic was ~30 Py4J roundtrips per ordering
+    (~0.25 s of pure driver latency per call, ×3 for RFM). Cut doubles
+    go through ``CAST('<repr>' AS DOUBLE)``: Python ``repr`` round-trips
+    float64 exactly, so the JVM comparison sees bit-identical literals.
+    """
+    terms = " + ".join(
+        f"CAST({sk_name} > CAST('{float(b)!r}' AS DOUBLE) AS INT)"
+        for b in sorted(set(cuts))
     )
+    return F.expr(terms) if terms else F.lit(0)
 
 
 def _lookup(values: list[int], pid_col: str) -> Column:
-    """Literal array lookup: values[pid] as a Column (1-based element_at)."""
-    arr = F.array(*[F.lit(int(v)).cast("long") for v in values])
-    return F.element_at(arr, F.col(pid_col) + 1)
+    """Literal array lookup: values[pid] as a Column (1-based element_at).
+    One ``F.expr`` parse instead of per-element ``F.lit`` roundtrips."""
+    arr = ", ".join(f"{int(v)}L" for v in values)
+    return F.expr(f"element_at(array({arr}), {pid_col} + 1)")
 
 
 def _try_small_stats(

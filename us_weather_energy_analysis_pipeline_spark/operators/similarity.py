@@ -142,13 +142,33 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     ]
 
 
-def lsh_bucket_code(vec_col: Column | str, planes: list[list[float]]) -> Column:
-    """Σ 2^p · [dot(v, w_p) ≥ 0] — the P-bit hyperplane signature."""
-    code = F.lit(0)
-    for p, w in enumerate(planes):
-        d = dot(vec_col, F.array(*[F.lit(x) for x in w]))
-        code = code + F.when(d >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return code.cast("int")
+def _dot_sql(a: str, b: str) -> str:
+    """SQL text of the sequential-fold dot product — same expression tree
+    as ``dot()`` (CAST both sides to DOUBLE, left-to-right fold), but one
+    parser pass instead of per-element Py4J calls."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * "
+        f"CAST(y AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+
+
+def lsh_bucket_code(vec_col: str, planes: list[list[float]]) -> Column:
+    """Σ 2^p · [dot(v, w_p) ≥ 0] — the P-bit hyperplane signature.
+
+    Built as ONE ``F.expr`` SQL string: the per-plane Column arithmetic
+    (P × dim ``F.lit`` objects) was ~400 Py4J roundtrips ≈ 0.5 s of
+    driver latency per call site. Plane weights are exact in SQL text
+    (they are k − 127.5 halves, so ``repr`` round-trips them)."""
+    terms = " + ".join(
+        f"(CASE WHEN {_dot_sql(vec_col, _arr_sql(w))} >= CAST(0 AS DOUBLE) "
+        f"THEN {2**p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    return F.expr(f"CAST({terms} AS INT)")
+
+
+def _arr_sql(w: list[float]) -> str:
+    return "array(" + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in w) + ")"
 
 
 def lsh_topk(
