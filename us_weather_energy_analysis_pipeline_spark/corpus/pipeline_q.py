@@ -188,7 +188,6 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``block_rows``-row blocks regardless of bucket size — a pathological
     bucket (all-near-identical corpus, too few planes) degrades to more
     block-pair tasks, never to one OOM-ing task."""
-    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import cosine
     from us_weather_energy_analysis_pipeline_spark.operators.components import (
         connected_components,
     )
@@ -203,20 +202,17 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     coded = emb.select(
         "vec_id", "embedding", lsh_bucket_code("embedding", planes).alias("bucket")
     )
-    cand = grouped_candidate_pairs(
-        coded,
-        EMB_COS_THRESHOLD,
-        "bucket",
-        id_col="vec_id",
-        vec_col="embedding",
-    ).select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
-    ea = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    eb = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
     pairs = (
-        cand.join(ea, "ia")
-        .join(eb, "ib")
-        .filter(F.round(cosine("va", "vb"), 6) >= EMB_COS_THRESHOLD)
-        .select("ia", "ib")
+        grouped_candidate_pairs(
+            coded,
+            EMB_COS_THRESHOLD,
+            "bucket",
+            id_col="vec_id",
+            vec_col="embedding",
+            exact=True,
+        )
+        .filter(F.round(F.col("cosine"), 6) >= EMB_COS_THRESHOLD)
+        .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
     )
     comp = connected_components(pairs, "ia", "ib")
     return emb.select("vec_id").join(

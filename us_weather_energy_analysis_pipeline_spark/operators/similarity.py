@@ -233,6 +233,25 @@ def _pack_blocks(
     )
 
 
+def _seq_cosine(va, vb) -> float:
+    """Sequential-fold cosine in Python floats — bit-identical to the SQL
+    ``cosine()`` expression (aggregate/zip_with fold left-to-right over
+    doubles, Math.sqrt, dot / (norm_a · norm_b)), so an in-task refine
+    agrees exactly with a JVM-side re-score of the same pair."""
+    import math
+
+    d = 0.0
+    for x, y in zip(va, vb):
+        d = d + x * y
+    na = 0.0
+    for x in va:
+        na = na + x * x
+    nb = 0.0
+    for y in vb:
+        nb = nb + y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
 def grouped_candidate_pairs(
     df: DataFrame,
     threshold: float,
@@ -241,10 +260,21 @@ def grouped_candidate_pairs(
     vec_col: str = "embedding",
     margin: float = 1e-6,
     block_rows: int = 8192,
+    exact: bool = False,
 ) -> DataFrame:
     """Candidate pairs ``(id_a < id_b)`` with numpy-filtered cosine >=
     ``threshold - margin``, WITHIN each group of ``grp_col`` — the bounded
     in-bucket verifier for LSH pipelines.
+
+    With ``exact=True`` the survivors are re-scored IN-TASK with the
+    sequential fold formula (``_seq_cosine`` — the vectors are already in
+    the block payloads, so no join back to the source is needed) and the
+    output gains a ``cosine`` double column holding that exact value.
+    Rows are still kept down to ``threshold - margin``: the FINAL
+    decision (raw ``>= threshold``, or a rounded comparison) belongs to
+    the caller as a filter on the returned column — the exact value is
+    bit-identical to a JVM re-score, so the decision point is unchanged,
+    just without two extra joins in the plan.
 
     No task ever holds more than two ``block_rows``-row blocks, regardless
     of bucket size: group sizes are counted once (tiny agg, broadcast back),
@@ -319,16 +349,35 @@ def grouped_candidate_pairs(
                     # unordered pair twice ((x,y) and (y,x)) — keep the
                     # id-ordered orientation only
                     keep = a < b
-                    yield pd.DataFrame({"id_a": a[keep], "id_b": b[keep]})
+                    ii, jj, a, b = ii[keep], jj[keep], a[keep], b[keep]
+                    lo, hi = a, b
                 else:
                     # blocks are hash-assigned, not id-ranged: a cross-block
                     # hit arrives in one orientation only — normalize to
                     # (min, max)
                     lo = np.minimum(a, b)
                     hi = np.maximum(a, b)
+                if not exact:
                     yield pd.DataFrame({"id_a": lo, "id_b": hi})
+                    continue
+                # exact refine on the (few) survivors — vectors are in
+                # hand, so no join back to the source relation
+                keep_idx, cvals = [], []
+                for t, (bi, bj) in enumerate(zip(ii, jj)):
+                    c = _seq_cosine(ma[bi].tolist(), mb[bj].tolist())
+                    if c >= cut:  # caller applies the final threshold
+                        keep_idx.append(t)
+                        cvals.append(c)
+                yield pd.DataFrame(
+                    {
+                        "id_a": lo[keep_idx],
+                        "id_b": hi[keep_idx],
+                        "cosine": np.asarray(cvals, dtype=np.float64),
+                    }
+                )
 
-    return paired.mapInPandas(gen, "id_a long, id_b long")
+    schema = "id_a long, id_b long" + (", cosine double" if exact else "")
+    return paired.mapInPandas(gen, schema)
 
 
 def cosine_pairs_filter_refine(
@@ -365,9 +414,11 @@ def cosine_pairs_filter_refine(
 
     Implemented as ``grouped_candidate_pairs`` with one constant group —
     the same bounded block-pair machinery the LSH pipelines use per
-    bucket (no separate count action, no driver-held sizes).
+    bucket (no separate count action, no driver-held sizes). The exact
+    re-score happens IN-TASK (``exact=True`` — the block payloads hold
+    the vectors), so no join back to ``emb`` appears in the plan.
     """
-    cand = grouped_candidate_pairs(
+    return grouped_candidate_pairs(
         emb.withColumn("_g", F.lit(0)),
         threshold,
         "_g",
@@ -375,13 +426,5 @@ def cosine_pairs_filter_refine(
         vec_col=vec_col,
         margin=margin,
         block_rows=block_rows,
-    )
-    ea = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    eb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", cosine("_va", "_vb"))
-        .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
-    )
+        exact=True,
+    ).filter(F.col("cosine") >= threshold)
