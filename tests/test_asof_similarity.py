@@ -159,3 +159,31 @@ def test_grouped_pairs_pathological_bucket(emb):
     g7 = {ia for ia, _ in by_g[7]} if 7 in by_g else set()
     for a, b in got:
         assert (a in g7) == (b in g7)
+
+
+def test_seq_cosine_bit_identical_to_sql_fold(spark):
+    """The in-task exact refine (_seq_cosine) must agree BIT-FOR-BIT with
+    the SQL aggregate/zip_with fold it replaces — not approximately: the
+    kept-pair decision at the threshold boundary depends on the exact
+    double. Adversarial vectors: large magnitude spread so summation
+    order matters (pairwise/BLAS summation WOULD diverge here)."""
+    import struct
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        _seq_cosine,
+        cosine,
+    )
+
+    vecs = [
+        ([1e8, 1.0, -1e8, 1e-8, 3.0, 7.0], [2.0, 1e8, 5.0, -1e8, 1e-7, 1.0]),
+        ([0.1] * 64, [x * 0.003 - 0.09 for x in range(64)]),
+        ([float(x % 7 - 3) for x in range(64)], [float((x * 13) % 11 - 5) for x in range(64)]),
+    ]
+    df = spark.createDataFrame(
+        [(list(map(float, a)), list(map(float, b))) for a, b in vecs],
+        "a array<double>, b array<double>",
+    )
+    got_sql = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
+    for (a, b), s in zip(vecs, got_sql):
+        p = _seq_cosine([float(x) for x in a], [float(y) for y in b])
+        assert struct.pack("<d", p) == struct.pack("<d", s), (a, b, p, s)
