@@ -195,9 +195,8 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, e.g. by hash(doc_id) ranges, exactly like the range-binned
     rank in operators/rank.py). Returns per-pack audit counts."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
-    )
+    n_ws = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
+    toks = d.select("doc_id", "source", n_ws.alias("n_tokens"))
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
