@@ -327,10 +327,18 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint collides with a held-out eval set (here a deterministic
     1/97 slice standing in for the benchmark suite). The eval fingerprint
     set is tiny by construction → broadcast semi-join against the train
-    scan, no shuffle of the corpus; at 100 TB this is a map-only pass."""
+    scan, no shuffle of the corpus; at 100 TB this is a map-only pass.
+
+    The fingerprint projection feeds BOTH join branches; without a
+    materialization each branch re-decodes and re-hashes the full text
+    column (the modulo filter is not parquet-pushable, so the eval branch
+    pays the whole scan too). The fp table is ~40 B/doc — the standard
+    digest materialization — tracked via operators.cache."""
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
     d = load(spark, sf_dir, "documents")
-    fp = d.select(
-        "doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp")
+    fp = cache.track(
+        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
     )
     eval_set = fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
     train = fp.filter(F.col("doc_id") % 97 != 0)
