@@ -152,12 +152,23 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fail_length = (n_words < MIN_WORDS) | (n_words > MAX_WORDS)
     fail_rep = top_ratio > MAX_TOP_WORD_RATIO
     fail_alpha = alpha_ratio < MIN_ALPHA_RATIO
-    return d.select(
+    # keep derives from the FAIL COLUMNS, not from re-stating the fail
+    # expressions: inlining them would re-evaluate every feature —
+    # including the interpreted sort+fold of top_token_count — a second
+    # time per row (measured ~2× the whole map stage).
+    flags = d.select(
         "doc_id",
         fail_length.cast("int").alias("fail_length"),
         fail_rep.cast("int").alias("fail_repetition"),
         fail_alpha.cast("int").alias("fail_alpha"),
-        (~fail_length & ~fail_rep & ~fail_alpha).cast("int").alias("keep"),
+    )
+    return flags.withColumn(
+        "keep",
+        (
+            (F.col("fail_length") == 0)
+            & (F.col("fail_repetition") == 0)
+            & (F.col("fail_alpha") == 0)
+        ).cast("int"),
     )
 
 

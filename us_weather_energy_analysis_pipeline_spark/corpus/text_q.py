@@ -110,22 +110,34 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a pure columnar expression."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    n_tok = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    n_punct = F.regexp_count("text", F.lit("[^a-z0-9 ]"))
-    n_chars = F.length("text").cast("long")
-    stop_ratio = n_stop.cast("double") / n_tok
-    punct_ratio = n_punct.cast("double") / n_chars
-    return d.select(
+    # raw counts once per row; the ratios and keep_flag derive from the
+    # COLUMNS in a second projection — inlining them would re-evaluate
+    # the split and the interpreted stopword filter once per reference
+    feat = d.select(
         "doc_id",
         "lang",
-        n_chars.alias("n_chars"),
-        n_tok.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("_n_stop"),
+        F.regexp_count("text", F.lit("[^a-z0-9 ]")).alias("_n_punct"),
+    )
+    stop_ratio = F.col("_n_stop").cast("double") / F.col("n_tokens")
+    punct_ratio = F.col("_n_punct").cast("double") / F.col("n_chars")
+    return feat.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
         r4(stop_ratio).alias("stopword_ratio"),
         r4(punct_ratio).alias("punct_ratio"),
-        r4(n_chars.cast("double") / n_tok).alias("avg_token_len"),
+        r4(F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
+            "avg_token_len"
+        ),
         F.when(
-            (n_tok >= 20) & stop_ratio.between(0.01, 0.6) & (punct_ratio < 0.1), 1
+            (F.col("n_tokens") >= 20)
+            & stop_ratio.between(0.01, 0.6)
+            & (punct_ratio < 0.1),
+            1,
         )
         .otherwise(0)
         .alias("keep_flag"),
@@ -265,13 +277,19 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio is computed inside one stage per row."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    total = F.size(toks)
-    n_distinct = F.size(F.array_distinct(toks))
-    top_n = top_token_count(toks)
-    return d.select(
+    # counts once per row, ratios from the columns (each reference of a
+    # shared expression re-evaluates the split under interpreted HOFs)
+    feat = d.select(
         "doc_id",
-        r4(1.0 - n_distinct.cast("double") / total).alias("dup_word_ratio"),
-        r4(top_n.cast("double") / total).alias("top_word_ratio"),
+        F.size(toks).alias("_total"),
+        F.size(F.array_distinct(toks)).alias("_nd"),
+        top_token_count(toks).alias("_top"),
+    )
+    total = F.col("_total")
+    return feat.select(
+        "doc_id",
+        r4(1.0 - F.col("_nd").cast("double") / total).alias("dup_word_ratio"),
+        r4(F.col("_top").cast("double") / total).alias("top_word_ratio"),
         total.cast("long").alias("n_tokens"),
     )
 
