@@ -251,10 +251,20 @@ def union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dates_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set difference on date sets (reference O5 `pipeline.py:43,60`).
-    ``subtract`` is EXCEPT DISTINCT, matching the SQL EXCEPT oracle."""
-    o = load(spark, sf_dir, "orders").select(iso_day("o_orderdate").alias("day"))
-    li = load(spark, sf_dir, "lineitem").select(iso_day("l_shipdate").alias("day"))
-    return o.subtract(li)
+    ``subtract`` is EXCEPT DISTINCT, matching the SQL EXCEPT oracle.
+
+    Each side is pre-distincted so the partial aggregation compresses the
+    exchange to ~one row per distinct DAY per partition (the raw fact
+    rows never shuffle), the set op runs on 4-byte DATE values, and the
+    ISO string formatting happens once per RESULT row at the end — not
+    once per fact row before the exchange."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).distinct()
+    return o.subtract(li).select(iso_day("d").alias("day"))
 
 
 @register(
