@@ -222,9 +222,16 @@ def main() -> None:
     for factor in (1, 4, 16):
         df = scaled_lineitem(spark, sf_dir, factor)
         for name, fn in PROBES.items():
-            t0 = time.time()
-            fn(df).write.format("noop").mode("overwrite").save()
-            results[name][factor] = round(time.time() - t0, 2)
+            # min of 2: single-shot readings on the big generated methods
+            # (simhash's 33-agg groupBy) can execute before C2 compiles
+            # them — a single cold run once read 5× its steady state,
+            # which misreads as a growth-curve violation
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                fn(df).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results[name][factor] = round(best, 2)
             print(f"{name} x{factor}: {results[name][factor]}s")
 
     with open("SCALE_PROBE.md", "w") as f:
