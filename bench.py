@@ -38,8 +38,9 @@ def main() -> None:
     # cache (balloon), and a cold parquet read mid-sweep skews one query
     # by disk latency. The whole sf dir is small; read it through once.
     for fn in os.listdir(sf_dir):
-        if fn.endswith(".parquet"):
-            with open(os.path.join(sf_dir, fn), "rb") as f:
+        path = os.path.join(sf_dir, fn)
+        if fn.endswith(".parquet") and os.path.isfile(path):
+            with open(path, "rb") as f:
                 while f.read(1 << 22):
                     pass
 
@@ -166,7 +167,7 @@ def main() -> None:
                 "total_jobs": total_jobs,
                 "value_floor_adjusted": floor_adj,
                 "value_floor_adjusted_jobs": floor_adj_jobs,
-                "wall_sec_both_runs": wall,
+                "wall_sec_sweep": wall,  # all 3 runs/query + probes
             },
             f,
             indent=1,

@@ -86,16 +86,19 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
         # min of three Spark runs (run 2 can still be JIT-cold for the
-        # big generated methods) vs two DuckDB runs (no JIT tier)
+        # big generated methods) vs two DuckDB runs (no JIT tier).
+        # cache release happens OUTSIDE the timed window, matching
+        # bench.py — timing the unpersist would bill Spark (and not
+        # DuckDB) for harness bookkeeping.
         def _run_spark(q=q):
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            cache.release_all()
 
         t_spark, n_jobs = float("inf"), 0
         for run in range(3):
             grp = f"{name}:{run}"
             sc.setJobGroup(grp, name)
             t = _timed(_run_spark)
+            cache.release_all()
             if t < t_spark:
                 t_spark, n_jobs = t, len(tracker.getJobIdsForGroup(grp))
         t_duck = None

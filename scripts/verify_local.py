@@ -49,6 +49,10 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
+        finally:
+            # release on EVERY path — rows-only and failing queries must
+            # not leak their operator persists into later queries' memory
+            cache.release_all()
         if q.oracle is None:
             print(f"nosql {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) — rows-only check")
             n_nosql += 1
@@ -60,7 +64,6 @@ def main() -> int:
             traceback.print_exc()
             n_fail += 1
             continue
-        cache.release_all()
         msg = diff_report(sdf, odf)
         if msg is None:
             print(f"PASS  {name}: {len(sdf)} rows ({time.time()-t0:.1f}s)")

@@ -187,3 +187,29 @@ def test_seq_cosine_bit_identical_to_sql_fold(spark):
     for (a, b), s in zip(vecs, got_sql):
         p = _seq_cosine([float(x) for x in a], [float(y) for y in b])
         assert struct.pack("<d", p) == struct.pack("<d", s), (a, b, p, s)
+
+
+def test_grouped_pairs_string_group_key(emb):
+    """A string-typed bucket column (e.g. an md5-hex digest) must work —
+    the r4 regression was cast(key AS long) nulling every non-numeric
+    group so the null-unsafe pair join returned zero candidates
+    silently."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        grouped_candidate_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 30).select(
+        "vec_id",
+        "embedding",
+        F.when(F.col("vec_id") < 20, F.lit("bucket-a"))
+        .otherwise(F.lit("bucket-b"))
+        .alias("bkt"),
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in grouped_candidate_pairs(sub, 0.1, "bkt", block_rows=8).collect()
+    }
+    assert len(got) > 0  # silent-empty is the regression
+    # isolation still holds for string groups
+    for a, b in got:
+        assert (a < 20) == (b < 20)

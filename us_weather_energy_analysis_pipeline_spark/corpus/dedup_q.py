@@ -149,13 +149,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     previous windowed count (r2, commit e6a31cc), which concentrated
     every posting of a hot shingle on one partition just to count it.
     Exchange accounting (the r4 rewrite): per-doc shingle dedup is
-    map-side ``array_distinct`` (no distinct shuffle), and the index is
-    explicitly hash-partitioned ON THE JOIN KEY once —
-    ``repartition("shingle")`` — which every downstream consumer then
-    reuses with zero additional data-sized exchanges: the df-count
-    groupBy("shingle") sees its required distribution, the anti probe is
-    a broadcast, and BOTH self-join sides are already co-partitioned
-    (ReuseExchange collapses them onto the one materialized shuffle).
+    map-side ``array_distinct`` (no distinct shuffle); the df-count
+    groupBy runs on the UNpartitioned index (partial agg keeps it
+    skew-safe), the anti probe is a broadcast, and the CAPPED index —
+    hot keys already gone, so the exchange cannot concentrate a posting
+    list — is hash-partitioned ON THE JOIN KEY once
+    (``repartition("shingle")``), which both self-join sides then reuse
+    co-partitioned (ReuseExchange collapses them onto the one
+    materialized shuffle).
     The only other exchanges in the plan are bounded: per-doc sizes
     (combiner-compressed to ~one row per doc) and the pair groupBy.
     Sizes and intersections are both computed over the capped index,
@@ -167,8 +168,15 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     index is persisted via operators.cache — ~16 bytes/shingle, the
     standard materialization any production dedup pass makes."""
     d = load(spark, sf_dir, "documents")
+    # repartition AFTER the df-cap: repartitioning the raw index would
+    # concentrate a hot shingle's entire posting list on one partition —
+    # exactly the skew the cap exists to prevent. The df-count groupBy
+    # runs on the unpartitioned index (partial agg ships ~one combiner
+    # row per hot key per partition — skew-safe), the broadcast anti
+    # drops hot rows map-side, and only the capped, skew-free index is
+    # hash-partitioned on the join key for the self-join to reuse.
     sh = cache.track(
-        capped_shingles(word_shingles(d).repartition("shingle"), NGRAM_DF_CAP)
+        capped_shingles(word_shingles(d), NGRAM_DF_CAP).repartition("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.alias("a")

@@ -98,20 +98,17 @@ def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(
-    sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+def banded_digests(
+    sig: DataFrame, bands: int, k: int, carry_sig: bool = False
 ) -> DataFrame:
-    """Band the signatures and emit candidate pairs sharing ≥1 band digest.
-
-    The ONLY join is on (band, digest) — the O(n²) pair space never forms.
-    Returns (doc_a, doc_b, n_shared_bands).
-
-    The digest is XXHASH64 over the band's signature values — an 8-byte
-    join key instead of the r3 32-char md5 hex string, so the one
+    """Explode each signature into (band, digest) rows — the LSH bucketing
+    key. The digest is XXHASH64 over the band's signature values: an
+    8-byte join key instead of the r3 32-char md5 hex string, so the one
     pair-producing exchange ships fixed-width ints. The DuckDB oracle
     keeps md5-string digests: both bucketings group by the same value
     tuple, so candidate sets agree unless xxhash64 collides (~n²/2⁶⁵).
-    """
+    ``carry_sig=True`` keeps the signature array on the banded rows (for
+    pipelines that estimate Jaccard right after the bucket join)."""
     rows = k // bands
     digests = ", ".join(
         "xxhash64("
@@ -119,9 +116,21 @@ def lsh_candidate_pairs(
         + ")"
         for b in range(bands)
     )
-    banded = sig.selectExpr(
-        "doc_id", f"posexplode(array({digests})) AS (band, digest)"
+    cols = ["doc_id"] + (["sig"] if carry_sig else [])
+    return sig.selectExpr(
+        *cols, f"posexplode(array({digests})) AS (band, digest)"
     )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, bands: int = LSH_BANDS, k: int = MINHASH_K
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing ≥1 band digest.
+
+    The ONLY join is on (band, digest) — the O(n²) pair space never forms.
+    Returns (doc_a, doc_b, n_shared_bands).
+    """
+    banded = banded_digests(sig, bands, k)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -157,16 +166,7 @@ def minhash_near_dups(
     no joins, no persist (the signature pass now feeds exactly one
     consumer, so the cache bookkeeping disappears too)."""
     sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
-    rows = k // bands
-    digests = ", ".join(
-        "xxhash64("
-        + ", ".join(f"sig[{b * rows + r}]" for r in range(rows))
-        + ")"
-        for b in range(bands)
-    )
-    banded = sig.selectExpr(
-        "doc_id", "sig", f"posexplode(array({digests})) AS (band, digest)"
-    )
+    banded = banded_digests(sig, bands, k, carry_sig=True)
     a, b = banded.alias("a"), banded.alias("b")
     est = (
         F.size(

@@ -57,28 +57,29 @@ def exact_quantiles(
     vals = df.select(F.col(value_col).cast("double").alias("v")).filter(
         F.col("v").isNotNull()
     )
-    n = vals.count()
-    if n == 0:
+    # Small path: LIMIT-probe Arrow-collect of the single projected column
+    # (one job — no separate count() scan; the limit is the gate itself)
+    # and numpy's linear-interpolation quantiles — the same formula as
+    # Spark `percentile` / DuckDB quantile_cont, bit-identical (pure
+    # element selection + one multiply-add, no summation order). Driver
+    # memory is BOUNDED BY THE GATE (≤ small_threshold + 1 doubles, ~16 MB
+    # at the default), unlike an ungated collect; it is ~10× faster than
+    # the `percentile` aggregate, whose single buffer sorts on one task
+    # anyway — when the data is below driver scale, single-node is the
+    # right plan, which is exactly what the DuckDB-class engines do.
+    pdf = vals.limit(small_threshold + 1).toPandas()
+    if len(pdf) == 0:
         return spark.createDataFrame([], "f double, q double")
-    if n <= small_threshold:
-        # Small path: Arrow-collect the single projected column and take
-        # numpy's linear-interpolation quantiles — the same formula as
-        # Spark `percentile` / DuckDB quantile_cont, bit-identical (pure
-        # element selection + one multiply-add, no summation order).
-        # Driver memory is BOUNDED BY THE GATE (≤ small_threshold doubles,
-        # ~16 MB at the default), unlike an ungated collect; it is ~10×
-        # faster than the `percentile` aggregate, whose single buffer
-        # sorts on one task anyway — when the data is below driver scale,
-        # single-node is the right plan, which is exactly what the
-        # DuckDB-class engines do.
+    if len(pdf) <= small_threshold:
         import numpy as np
 
-        arr = vals.toPandas()["v"].to_numpy(dtype="float64")
+        arr = pdf["v"].to_numpy(dtype="float64")
         fl = [float(f) for f in fractions]
         qs = np.quantile(arr, fl, method="linear")
         return spark.createDataFrame(
             [(f, float(q)) for f, q in zip(fl, qs)], "f double, q double"
         )
+    n = vals.count()
 
     # ---- distributed exact path -------------------------------------------
     # Literal bin boundaries: computed ONCE driver-side, so `pid` below is a

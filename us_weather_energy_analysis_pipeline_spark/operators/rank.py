@@ -153,17 +153,33 @@ def _try_small_stats(
         # pid = #cuts strictly below key  ⟺  Σ (key > cut), as _pid_expr
         pid = np.searchsorted(np.asarray(cuts, dtype="float64"), keys, side="left")
         n_pids = len(cuts) + 1
-        rows = []
-        for p in range(n_pids):
-            mask = pid == p
-            cnt = int(mask.sum())
-            if cnt == 0:
-                continue
-            r = {"_pid": p, "_cnt": cnt}
-            for c in cum_cols:
-                # int64 sum — exact, no float accumulation
-                r[f"_s_{c}"] = int(pdf[c].to_numpy(dtype="int64")[mask].sum())
-            rows.append(r)
+        cnts = np.bincount(pid, minlength=n_pids) if n else np.zeros(n_pids, int)
+        col_sums = {}
+        for c in cum_cols:
+            # int64 accumulation via add.at — exact, no float reordering.
+            # The column must already BE integer-typed (the documented
+            # contract: callers pre-scale to integer cents); a float
+            # column would silently produce path-dependent results
+            # (per-element truncation here vs post-sum truncation on the
+            # distributed path), so violations fail loudly instead.
+            vals = pdf[c].to_numpy()
+            if not np.issubdtype(vals.dtype, np.integer):
+                raise TypeError(
+                    f"cum column {c!r} must be integer-typed (got "
+                    f"{vals.dtype}); pre-scale to integer units"
+                )
+            s = np.zeros(n_pids, dtype=np.int64)
+            np.add.at(s, pid, vals.astype(np.int64))
+            col_sums[c] = s
+        rows = [
+            {
+                "_pid": p,
+                "_cnt": int(cnts[p]),
+                **{f"_s_{c}": int(col_sums[c][p]) for c in cum_cols},
+            }
+            for p in range(n_pids)
+            if cnts[p]
+        ]
         out.append((cuts, _BinStats(n_pids, rows, cum_cols)))
     return out
 

@@ -321,7 +321,13 @@ def grouped_candidate_pairs(
     keyed = (
         df.join(F.broadcast(sizes), grp_col)
         .select(
-            F.col(grp_col).cast("long").alias("_grp"),
+            # xxhash64 of the group key, NOT cast(key as long): a cast
+            # nulls out any non-numeric group (e.g. a hex-digest string
+            # bucket) and the null-unsafe pair join would then silently
+            # return ZERO candidates. The hash accepts any type; a 2^-64
+            # collision merely co-blocks two buckets, whose cross pairs
+            # the cosine threshold still filters.
+            F.xxhash64(F.col(grp_col)).alias("_grp"),
             "nb",
             F.pmod(F.xxhash64(F.col(id_col)), F.col("nb")).cast("int").alias("bid"),
             id_col,
