@@ -11,29 +11,19 @@ live in ``operators/similarity.py`` and appear below as
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+    cosine,  # noqa: F401 — re-exported: the corpus-level vector helpers
+    dot,
+    norm,
+)
 
 N_QUERIES = 10
 TOP_K = 5
-
-
-def dot(a: Column | str, b: Column | str) -> Column:
-    """Σ aᵢ·bᵢ via zip_with + aggregate — stays in codegen, no UDF."""
-    prod = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
-    return F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
-
-
-def norm(a: Column | str) -> Column:
-    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
-    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
-
-
-def cosine(a: Column | str, b: Column | str) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
 
 
 @register(
