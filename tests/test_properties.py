@@ -115,3 +115,25 @@ def test_ewma_matches_pandas(spark):
     got = [r["e"] for r in seq.select(ewma.alias("e")).orderBy("t").collect()]
     want = pd.Series(xs).ewm(alpha=alpha, adjust=True).mean().tolist()
     assert got == pytest.approx(want, rel=1e-12)
+
+
+def test_ws_token_count_identity_on_edge_strings(spark):
+    """ws_token_count's length arithmetic must equal size(split(col,' '))
+    on every edge shape: empty string, single token, leading/trailing/
+    consecutive spaces, all-spaces — the cases where split's
+    keep-empties semantics are easy to get wrong."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ws_token_count,
+    )
+
+    cases = ["", "a", "a ", " a", "a b", "a  b", "   ", "a b c ", " ", "ab"]
+    df = spark.createDataFrame([(s,) for s in cases], "s string")
+    rows = df.select(
+        "s",
+        ws_token_count("s").alias("fast"),
+        F.size(F.split("s", " ")).alias("ref"),
+    ).collect()
+    for r in rows:
+        assert r["fast"] == r["ref"], (repr(r["s"]), r["fast"], r["ref"])

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import top_token_count
+from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    top_token_count,
+    ws_token_count,
+)
 
 # per-language sampling percentage (0-100): the mix-weighting table a
 # blend job derives from corpus_mix_summary
@@ -206,8 +209,7 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     first, e.g. by hash(doc_id) ranges, exactly like the range-binned
     rank in operators/rank.py). Returns per-pack audit counts."""
     d = load(spark, sf_dir, "documents")
-    n_ws = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
-    toks = d.select("doc_id", "source", n_ws.alias("n_tokens"))
+    toks = d.select("doc_id", "source", ws_token_count("text").alias("n_tokens"))
     w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

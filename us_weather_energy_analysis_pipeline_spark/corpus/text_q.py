@@ -13,7 +13,10 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import top_token_count
+from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    top_token_count,
+    ws_token_count,
+)
 
 # Tiny function-word inventory for the ratio heuristics; fixed and public.
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
@@ -42,10 +45,9 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     row (measured ~3× on the map stage; at corpus scale the array
     allocation is the dominant GC pressure of this pass)."""
     d = load(spark, sf_dir, "documents")
-    n_ws = F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
     return d.select(
         "doc_id",
-        n_ws.cast("long").alias("n_tokens_ws"),
+        ws_token_count("text").cast("long").alias("n_tokens_ws"),
         F.regexp_count("text", F.lit("[a-z]+")).cast("long").alias("n_words_alpha"),
         F.length("text").cast("long").alias("n_chars_measured"),
         F.col("n_chars").alias("n_chars_meta"),
@@ -315,9 +317,7 @@ def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(
-            F.length("text") - F.length(F.replace(F.col("text"), F.lit(" "))) + 1
-        ).cast("long").alias("n_tokens"),
+        F.sum(ws_token_count("text")).cast("long").alias("n_tokens"),
         F.min("n_chars").cast("long").alias("min_chars"),
         F.max("n_chars").cast("long").alias("max_chars"),
         r2(F.avg("n_chars")).alias("avg_chars"),

@@ -37,3 +37,13 @@ def top_token_count(toks: Column) -> Column:
         )
 
     return F.aggregate(F.array_sort(toks), acc0, step, lambda a: a["best"])
+
+
+def ws_token_count(col: Column | str) -> Column:
+    """``size(split(col, ' '))`` as pure length arithmetic — a
+    single-space split yields exactly (#spaces + 1) elements (empties
+    included, identical in Spark's split(-1) and DuckDB's string_split),
+    so the count needs no token-array materialization:
+    ``length(col) − length(replace(col, ' ', '')) + 1``. Returns int."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.length(c) - F.length(F.replace(c, F.lit(" "))) + 1
