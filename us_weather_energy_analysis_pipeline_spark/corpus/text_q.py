@@ -171,12 +171,19 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark↔oracle agreement), not real LID accuracy."""
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    n_tok = F.size(toks)
-    n_en = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    return d.select(
+    # counts in one projection, the decision from the columns (each
+    # reference of a shared expression re-evaluates the split under
+    # interpreted HOFs — same fix as text_quality_score)
+    feat = d.select(
         "doc_id",
         F.col("lang").alias("lang_meta"),
-        F.when(n_en.cast("double") / n_tok >= 0.08, "en")
+        F.size(toks).alias("_n_tok"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("_n_en"),
+    )
+    return feat.select(
+        "doc_id",
+        "lang_meta",
+        F.when(F.col("_n_en").cast("double") / F.col("_n_tok") >= 0.08, "en")
         .otherwise("other")
         .alias("lang_pred"),
     )
