@@ -161,32 +161,46 @@ def test_grouped_pairs_pathological_bucket(emb):
         assert (a in g7) == (b in g7)
 
 
-def test_seq_cosine_bit_identical_to_sql_fold(spark):
-    """The in-task exact refine (_seq_cosine) must agree BIT-FOR-BIT with
-    the SQL aggregate/zip_with fold it replaces — not approximately: the
+def test_exact_refine_bit_identical_to_sql_fold(spark):
+    """The in-task exact refine (the nested sequential fold inside
+    grouped_candidate_pairs) must agree BIT-FOR-BIT with the SQL
+    aggregate/zip_with fold it replaces — not approximately: the
     kept-pair decision at the threshold boundary depends on the exact
     double. Adversarial vectors: large magnitude spread so summation
-    order matters (pairwise/BLAS summation WOULD diverge here)."""
+    order matters (pairwise/BLAS summation WOULD diverge here). Tested
+    THROUGH the operator so the covered code is the code that ships."""
     import struct
 
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
-        _seq_cosine,
         cosine,
+        cosine_pairs_filter_refine,
     )
 
     vecs = [
-        ([1e8, 1.0, -1e8, 1e-8, 3.0, 7.0], [2.0, 1e8, 5.0, -1e8, 1e-7, 1.0]),
-        ([0.1] * 64, [x * 0.003 - 0.09 for x in range(64)]),
-        ([float(x % 7 - 3) for x in range(64)], [float((x * 13) % 11 - 5) for x in range(64)]),
+        [1e8, 1.0, -1e8, 1e-8, 3.0, 7.0],
+        [2.0, 1e8, 5.0, -1e8, 1e-7, 1.0],
+        [0.1, 0.2, 0.3, -0.4, 0.5, -0.6],
+        [float(x % 7 - 3) for x in range(6)],
     ]
     df = spark.createDataFrame(
-        [(list(map(float, a)), list(map(float, b))) for a, b in vecs],
-        "a array<double>, b array<double>",
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
     )
-    got_sql = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
-    for (a, b), s in zip(vecs, got_sql):
-        p = _seq_cosine([float(x) for x in a], [float(y) for y in b])
-        assert struct.pack("<d", p) == struct.pack("<d", s), (a, b, p, s)
+    got = {
+        (r["id_a"], r["id_b"]): struct.pack("<d", r["cosine"])
+        for r in cosine_pairs_filter_refine(df, -1.0, block_rows=2).collect()
+    }
+    a = df.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    want = {
+        (r["id_a"], r["id_b"]): struct.pack("<d", r["c"])
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine("_va", "_vb").alias("c"))
+        .collect()
+    }
+    assert set(got) == set(want) and len(want) == 6
+    for k in want:
+        assert got[k] == want[k], (k, got[k], want[k])
 
 
 def test_grouped_pairs_string_group_key(emb):

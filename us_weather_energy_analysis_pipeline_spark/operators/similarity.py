@@ -253,25 +253,6 @@ def _pack_blocks(
     )
 
 
-def _seq_cosine(va, vb) -> float:
-    """Sequential-fold cosine in Python floats — bit-identical to the SQL
-    ``cosine()`` expression (aggregate/zip_with fold left-to-right over
-    doubles, Math.sqrt, dot / (norm_a · norm_b)), so an in-task refine
-    agrees exactly with a JVM-side re-score of the same pair."""
-    import math
-
-    d = 0.0
-    for x, y in zip(va, vb):
-        d = d + x * y
-    na = 0.0
-    for x in va:
-        na = na + x * x
-    nb = 0.0
-    for y in vb:
-        nb = nb + y * y
-    return d / (math.sqrt(na) * math.sqrt(nb))
-
-
 def grouped_candidate_pairs(
     df: DataFrame,
     threshold: float,
@@ -354,6 +335,30 @@ def grouped_candidate_pairs(
     paired = left.join(right, ["_grp", "i", "j"])
     cut = threshold - margin
 
+    def seq_cosine(va, vb) -> float:
+        """Sequential-fold cosine in Python floats — bit-identical to the
+        SQL ``cosine()`` expression (aggregate/zip_with fold left-to-right
+        over doubles, Math.sqrt, dot / (norm_a · norm_b)), so the in-task
+        refine agrees exactly with a JVM-side re-score of the same pair.
+
+        Defined NESTED (closure) on purpose: a module-level helper would
+        be cloudpickled BY REFERENCE, and the Python workers of a driver
+        that merely added this repo to ITS OWN sys.path cannot import the
+        package — the task would die with ModuleNotFoundError. Closures
+        serialize by value and carry no package dependency."""
+        import math
+
+        d = 0.0
+        for x, y in zip(va, vb):
+            d = d + x * y
+        na = 0.0
+        for x in va:
+            na = na + x * x
+        nb2 = 0.0
+        for y in vb:
+            nb2 = nb2 + y * y
+        return d / (math.sqrt(na) * math.sqrt(nb2))
+
     def gen(batches):
         for pdf in batches:
             for r in pdf.itertuples(index=False):
@@ -390,7 +395,7 @@ def grouped_candidate_pairs(
                 # hand, so no join back to the source relation
                 keep_idx, cvals = [], []
                 for t, (bi, bj) in enumerate(zip(ii, jj)):
-                    c = _seq_cosine(ma[bi].tolist(), mb[bj].tolist())
+                    c = seq_cosine(ma[bi].tolist(), mb[bj].tolist())
                     if c >= cut:  # caller applies the final threshold
                         keep_idx.append(t)
                         cvals.append(c)

@@ -176,25 +176,30 @@ RUNNING_TOTAL_SCHEMA = "user_id bigint, ts timestamp, running_total double"
 _STATE_SCHEMA = "total double"
 
 
-def _running_total_fn(
-    key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    (total,) = state.get if state.exists else (0.0,)
-    for pdf in pdfs:
-        pdf = pdf.sort_values("ts")
-        csum = pdf["value"].cumsum() + total
-        total = float(csum.iloc[-1]) if len(csum) else total
-        yield pd.DataFrame(
-            {"user_id": pdf["user_id"], "ts": pdf["ts"], "running_total": csum}
-        )
-    state.update((total,))
-
-
 def stateful_running_total(df: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
     running total that persists across micro-batches. This is the pattern
     for semantics session_window/window can't express (decayed counters,
-    custom eviction); on batch inputs use a window cumsum instead."""
+    custom eviction); on batch inputs use a window cumsum instead.
+
+    The state function is NESTED (closure) on purpose: a module-level
+    function would be cloudpickled by reference to this package, which
+    the Python workers of an embedding driver (repo on the driver's
+    sys.path only, not installed) cannot import."""
+
+    def _running_total_fn(
+        key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (total,) = state.get if state.exists else (0.0,)
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            csum = pdf["value"].cumsum() + total
+            total = float(csum.iloc[-1]) if len(csum) else total
+            yield pd.DataFrame(
+                {"user_id": pdf["user_id"], "ts": pdf["ts"], "running_total": csum}
+            )
+        state.update((total,))
+
     return df.groupBy("user_id").applyInPandasWithState(
         _running_total_fn,
         outputStructType=RUNNING_TOTAL_SCHEMA,
