@@ -74,10 +74,18 @@ def ts_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-cities daily time series (reference A3 `app.py:701-704`):
     mean measure + summed measure per day."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy(iso_day("l_shipdate").alias("ship_day")).agg(
-        r4(F.avg("l_quantity")).alias("avg_qty"),
-        r2(F.sum("l_extendedprice")).alias("total_price"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        # native-date group key; ISO formatting deferred to the ~2.5k
+        # post-agg rows
+        li.groupBy(F.to_date("l_shipdate").alias("_d"))
+        .agg(
+            r4(F.avg("l_quantity")).alias("avg_qty"),
+            r2(F.sum("l_extendedprice")).alias("total_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            iso_day("_d").alias("ship_day"), "avg_qty", "total_price", "n_rows"
+        )
     )
 
 
@@ -871,10 +879,19 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines; the month key doubles as a natural partition key for
     long-horizon fact tables."""
     o = load(spark, sf_dir, "orders")
-    return o.groupBy(
-        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        r2(F.sum("o_totalprice")).alias("revenue"),
-        r4(F.avg("o_totalprice")).alias("avg_order"),
+    return (
+        # truncate to a native month-start date for the group key; format
+        # the handful of post-agg rows
+        o.groupBy(F.trunc("o_orderdate", "month").alias("_m"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            r2(F.sum("o_totalprice")).alias("revenue"),
+            r4(F.avg("o_totalprice")).alias("avg_order"),
+        )
+        .select(
+            F.date_format("_m", "yyyy-MM").alias("month"),
+            "n_orders",
+            "revenue",
+            "avg_order",
+        )
     )

@@ -107,18 +107,26 @@ def heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(q >= 10, "10-20")
         .otherwise("<10")
     )
+    # pivot on the 1-7 dayofweek int (no per-row EEEE formatting); the
+    # int pivot columns are renamed to day names on the 5 post-agg rows.
+    # Monday..Sunday in Spark dayofweek numbering (Sunday=1).
+    dow_ints = [2, 3, 4, 5, 6, 7, 1]
     piv = (
         li.select(
             qty_bin.alias("qty_bin"),
-            F.date_format("l_shipdate", "EEEE").alias("dow"),
+            F.dayofweek("l_shipdate").alias("dow"),
             F.col("l_extendedprice").alias("price"),
         )
         .groupBy("qty_bin")
-        .pivot("dow", list(DAY_ORDER))
+        .pivot("dow", dow_ints)
         .agg(F.avg("price"))
     )
     return piv.select(
-        "qty_bin", *[r4(F.coalesce(F.col(d), F.lit(0.0))).alias(d) for d in DAY_ORDER]
+        "qty_bin",
+        *[
+            r4(F.coalesce(F.col(str(i)), F.lit(0.0))).alias(d)
+            for i, d in zip(dow_ints, DAY_ORDER)
+        ],
     )
 
 
@@ -167,19 +175,27 @@ def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     DataFrame.unpivot — one pass emits all measure rows (no self-union
     rescans), then a long-form aggregate."""
     li = load(spark, sf_dir, "lineitem")
-    long = li.unpivot(
-        ids=["l_returnflag"],
-        values=["l_quantity", "l_extendedprice", "l_discount"],
-        variableColumnName="measure",
-        valueColumnName="val",
-    ).withColumn(
-        "measure", F.regexp_replace("measure", "^l_", "")
-    )
-    return long.groupBy("l_returnflag", "measure").agg(
+    # aggregate FIRST (one scan, no 3× row expansion through the
+    # exchange), then unpivot the 3-row wide result to long — the long
+    # aggregate is algebraically identical because every measure sees the
+    # same row set (sum/avg ignore nulls identically in both forms)
+    wide = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        r2(F.sum("val")).alias("total"),
-        r4(F.avg("val")).alias("mean"),
+        r2(F.sum("l_quantity")).alias("tq"),
+        r4(F.avg("l_quantity")).alias("mq"),
+        r2(F.sum("l_extendedprice")).alias("te"),
+        r4(F.avg("l_extendedprice")).alias("me"),
+        r2(F.sum("l_discount")).alias("td"),
+        r4(F.avg("l_discount")).alias("md"),
     )
+    return wide.select(
+        "l_returnflag",
+        F.expr(
+            "stack(3, 'quantity', tq, mq, 'extendedprice', te, me, "
+            "'discount', td, md) AS (measure, total, mean)"
+        ),
+        "n",
+    ).select("l_returnflag", "measure", "n", "total", "mean")
 
 
 @register(

@@ -85,11 +85,24 @@ def quality_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily quality rollup (reference A7 `compute_quality_timeseries`
     `app.py:453-468`): per-day sums of the three flag columns."""
     e = _flags(load(spark, sf_dir, "events"))
-    return e.groupBy(iso_day("ts").alias("day")).agg(
-        F.sum("missing_flag").cast("long").alias("missing_count"),
-        F.sum("outlier_flag").cast("long").alias("outlier_count"),
-        F.sum("negative_flag").cast("long").alias("negative_count"),
-        F.count(F.lit(1)).alias("n_rows"),
+    return (
+        # group on the native 4-byte date (map-side combine + narrow
+        # shuffle key); the ISO string is formatted on the few hundred
+        # post-agg rows, not per input row
+        e.groupBy(F.to_date("ts").alias("_d"))
+        .agg(
+            F.sum("missing_flag").cast("long").alias("missing_count"),
+            F.sum("outlier_flag").cast("long").alias("outlier_count"),
+            F.sum("negative_flag").cast("long").alias("negative_count"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            iso_day("_d").alias("day"),
+            "missing_count",
+            "outlier_count",
+            "negative_count",
+            "n_rows",
+        )
     )
 
 

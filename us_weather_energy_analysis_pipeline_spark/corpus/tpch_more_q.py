@@ -153,20 +153,25 @@ def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated scalar subquery (per-part average
-    quantity) decorrelated into an aggregate + join — the rewrite every
-    modern optimizer performs. Both the AVG groupBy and the join shuffle on
-    l_partkey, so the exchange is planned once and reused; the brand/type
-    filter prunes `part` before it joins."""
-    li = load(spark, sf_dir, "lineitem")
+    quantity) decorrelated — but NOT into the textbook aggregate+join:
+    the brand/type filter prunes `lineitem` FIRST (semi-equivalent inner
+    join against the filtered `part`, broadcast-able), so the per-part
+    AVG is computed only for surviving parts instead of the whole fact
+    table (Catalyst cannot infer that pruning through an aggregate), and
+    the threshold is a window AVG over the already-shuffled partkey
+    partitions — one exchange total, no second join."""
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
     p = load(spark, sf_dir, "part").filter(
         (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
     ).select("p_partkey")
-    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
-        r6(F.lit(0.5) * F.avg("l_quantity")).alias("qty_thresh")
-    )
+    pruned = li.join(p, li.l_partkey == p.p_partkey)
+    thresh = r6(F.lit(0.5) * F.avg("l_quantity").over(Window.partitionBy("l_partkey")))
     return (
-        li.join(p, li.l_partkey == p.p_partkey)
-        .join(avg_qty, li.l_partkey == avg_qty.a_partkey)
+        pruned.withColumn("qty_thresh", thresh)
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
         .agg(
             r2(F.sum("l_extendedprice") / 7.0).alias("avg_yearly"),

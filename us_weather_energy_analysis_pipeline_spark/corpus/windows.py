@@ -163,12 +163,31 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     Monday=0/Saturday=5, Spark dayofweek Sunday=1/Saturday=7, DuckDB
     dayofweek Sunday=0/Saturday=6 (SURVEY §7.3)."""
     li = load(spark, sf_dir, "lineitem")
+    names = F.array(
+        *[
+            F.lit(d)
+            for d in (
+                "Sunday",
+                "Monday",
+                "Tuesday",
+                "Wednesday",
+                "Thursday",
+                "Friday",
+                "Saturday",
+            )
+        ]
+    )
     return (
-        li.groupBy(
-            F.date_format("l_shipdate", "EEEE").alias("day_of_week"),
-            F.when(F.dayofweek("l_shipdate") == 7, 1).otherwise(0).alias("is_saturday"),
-        )
+        # group on the 1-7 dayofweek int (no per-row EEEE formatting);
+        # name lookup + Saturday flag derive from the 7 post-agg rows
+        li.groupBy(F.dayofweek("l_shipdate").alias("_dw"))
         .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("l_quantity")).alias("avg_qty"))
+        .select(
+            F.element_at(names, F.col("_dw")).alias("day_of_week"),
+            F.when(F.col("_dw") == 7, 1).otherwise(0).alias("is_saturday"),
+            "n",
+            "avg_qty",
+        )
     )
 
 

@@ -224,19 +224,30 @@ def lsh_topk(
 
 
 def _pack_blocks(
-    emb: DataFrame, id_col: str, vec_col: str, grp_col: str = "_grp"
+    emb: DataFrame, id_col: str, vec_col: str, grp_col: str = "_grp", fp32: bool = False
 ) -> DataFrame:
     """Pack each ``(grp, bid)`` block into ONE row
     ``(grp, bid, nb, ids array<bigint>, mat binary)`` — the matrix
-    serialized as contiguous float64 (``numpy.tobytes``), so a block-pair
-    task reconstructs both operands with a zero-copy ``frombuffer``.
+    serialized contiguous (``numpy.tobytes``), so a block-pair task
+    reconstructs both operands with a zero-copy ``frombuffer``.
+    ``fp32=True`` serializes float32 — LOSSLESS when the source column is
+    ``array<float>`` (the caller checks), and it halves the shuffled bytes
+    while letting the block matmul run in sgemm (~2× dgemm).
     Expects ``bid``/``nb`` columns already assigned (hash-block id and the
     group's block count)."""
     import numpy as np
     import pandas as pd
 
+    dtype = np.float32 if fp32 else np.float64
+
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        mat = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+        vals = pdf[vec_col].to_numpy()
+        try:
+            # Arrow hands list<float/double> back as per-row numpy arrays:
+            # vstack is C-speed; fall back for plain-list rows.
+            mat = np.vstack(vals).astype(dtype, copy=False)
+        except (ValueError, TypeError):
+            mat = np.array([list(v) for v in vals], dtype=dtype)
         return pd.DataFrame(
             {
                 grp_col: [pdf[grp_col].iloc[0]],
@@ -293,7 +304,20 @@ def grouped_candidate_pairs(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import types as T
+
     from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    # float32 fast path: when the source vectors are array<float>, packing
+    # float32 is LOSSLESS (the refine casts back to float64 exactly), the
+    # shuffled matrix bytes halve, and the block matmul runs in sgemm.
+    # The fp32 pre-filter widens the cut by an accumulation-error slack and
+    # every survivor is re-scored in float64 before it is emitted, so the
+    # output contract (float64 cosine >= cut) is unchanged.
+    vec_field = df.schema[vec_col].dataType
+    fp32 = isinstance(vec_field, T.ArrayType) and isinstance(
+        vec_field.elementType, T.FloatType
+    )
 
     df = cache.track(df)
     sizes = df.groupBy(grp_col).agg(
@@ -315,7 +339,7 @@ def grouped_candidate_pairs(
             vec_col,
         )
     )
-    blocks = cache.track(_pack_blocks(keyed, id_col, vec_col))
+    blocks = cache.track(_pack_blocks(keyed, id_col, vec_col, fp32=fp32))
     left = blocks.select(
         F.col("_grp"),
         F.col("bid").alias("i"),
@@ -359,21 +383,30 @@ def grouped_candidate_pairs(
             nb2 = nb2 + y * y
         return d / (math.sqrt(na) * math.sqrt(nb2))
 
+    np_dtype = np.float32 if fp32 else np.float64
+
     def gen(batches):
         for pdf in batches:
             for r in pdf.itertuples(index=False):
                 ids_a = np.asarray(r.ids_a, dtype=np.int64)
                 ids_b = np.asarray(r.ids_b, dtype=np.int64)
-                ma = np.frombuffer(r.mat_a, dtype=np.float64).reshape(
+                ma = np.frombuffer(r.mat_a, dtype=np_dtype).reshape(
                     len(ids_a), r.dim_a
                 )
-                mb = np.frombuffer(r.mat_b, dtype=np.float64).reshape(
+                mb = np.frombuffer(r.mat_b, dtype=np_dtype).reshape(
                     len(ids_b), r.dim_b
                 )
                 na = np.sqrt((ma * ma).sum(axis=1))
                 nb = np.sqrt((mb * mb).sum(axis=1))
                 cos = (ma @ mb.T) / np.outer(na, nb)
-                ii, jj = np.nonzero(cos >= cut)
+                if fp32:
+                    # widen the cut by the sgemm accumulation-error bound
+                    # (~dim·eps32 relative, padded); float64 re-score of the
+                    # survivors below restores the exact decision boundary
+                    slack = 4.0 * r.dim_a * 1.2e-7 + 1e-6
+                    ii, jj = np.nonzero(cos >= cut - slack)
+                else:
+                    ii, jj = np.nonzero(cos >= cut)
                 a, b = ids_a[ii], ids_b[jj]
                 if r.i == r.j:
                     # same block on both sides: the full matrix holds each
@@ -389,6 +422,19 @@ def grouped_candidate_pairs(
                     lo = np.minimum(a, b)
                     hi = np.maximum(a, b)
                 if not exact:
+                    if fp32:
+                        # float64 re-score of the survivors (exact cast from
+                        # float32), so candidates carry the same
+                        # ``float64 cosine >= cut`` guarantee as the fp64 path
+                        a64 = ma[ii].astype(np.float64)
+                        b64 = mb[jj].astype(np.float64)
+                        num = np.einsum("ij,ij->i", a64, b64)
+                        den = np.sqrt(np.einsum("ij,ij->i", a64, a64)) * np.sqrt(
+                            np.einsum("ij,ij->i", b64, b64)
+                        )
+                        with np.errstate(divide="ignore", invalid="ignore"):
+                            keep = num / den >= cut
+                        lo, hi = lo[keep], hi[keep]
                     yield pd.DataFrame({"id_a": lo, "id_b": hi})
                     continue
                 # exact refine on the (few) survivors — vectors are in
@@ -424,7 +470,9 @@ def cosine_pairs_filter_refine(
     full-matrix broadcast (both were the round-1 scale ceiling).
 
     Stage 1 (pack): rows are hashed into B = ceil(n / block_rows) blocks;
-    each block becomes one (ids, float64-bytes) row (~block_rows·dim·8 B).
+    each block becomes one (ids, matrix-bytes) row (~block_rows·dim·8 B —
+    half that for array<float> input, which packs lossless float32 and
+    runs the block product in sgemm with a float64 survivor re-score).
     Stage 2 (pair): block i is exploded to pair keys (i, j≥i) on one side
     and (i≤j, j) on the other; an equi-join on (i, j) co-locates every
     block pair with ONE hash shuffle — each block is replicated ~B/2×,
