@@ -478,25 +478,55 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     with GROUPING() provenance flags distinguishing 'null because
     aggregated' from 'null in the data'. SQL form: grouping-set layout is a
     planner concern, identical in the DataFrame API."""
-    e = load(spark, sf_dir, "lineitem")
-    e.createOrReplaceTempView("lineitem")
-    return e.sparkSession.sql(
-        """
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
-               CAST(GROUPING(l_linestatus) AS INT) AS g_status,
-               COUNT(*) AS n,
-               SUM(l_extendedprice) AS revenue
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
-        """
-    ).select(
+    # A literal GROUPING SETS plan runs Expand (3× every input row)
+    # BEFORE the partial aggregate. count/sum are re-aggregatable, so
+    # aggregate the FINEST set once (one scan, map-side combine to ~6
+    # rows) and derive the coarser sets from that tiny result — the
+    # GROUPING() flags are literals per level. Finest-level NULL group
+    # keys stay distinguishable via the flags, same as GROUPING SETS.
+    li = load(spark, sf_dir, "lineitem")
+    fin = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("revenue")
+    )
+    lvl0 = fin.select(
         "l_returnflag",
         "l_linestatus",
-        "g_flag",
-        "g_status",
+        F.lit(0).alias("g_flag"),
+        F.lit(0).alias("g_status"),
         "n",
-        r2(F.col("revenue")).alias("revenue"),
+        "revenue",
+    )
+    lvl1 = fin.groupBy("l_returnflag").agg(
+        F.sum("n").alias("n"), F.sum("revenue").alias("revenue")
+    ).select(
+        "l_returnflag",
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(0).alias("g_flag"),
+        F.lit(1).alias("g_status"),
+        "n",
+        "revenue",
+    )
+    lvl2 = fin.agg(
+        F.sum("n").alias("n"), F.sum("revenue").alias("revenue")
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(1).alias("g_flag"),
+        F.lit(1).alias("g_status"),
+        "n",
+        "revenue",
+    )
+    return (
+        lvl0.unionByName(lvl1)
+        .unionByName(lvl2)
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "g_flag",
+            "g_status",
+            "n",
+            r2(F.col("revenue")).alias("revenue"),
+        )
     )
 
 

@@ -91,24 +91,41 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     first subsequent purchase within 24 h. Stage anchors are per-user MIN
     aggregates (map-side combinable); the conditional conversion count is a
     filtered aggregate over one left join — no per-user subqueries."""
+    from pyspark.sql import Window
+
     e = load(spark, sf_dir, "events")
-    v = (
-        e.filter(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("vts"))
+    # ONE scan + ONE user_id exchange: the first-view anchor is a window
+    # min over the user partition, and the per-user aggregate reuses the
+    # same partitioning (no second exchange, no v⨝p join branches that
+    # each re-scanned events)
+    w_u = Window.partitionBy("user_id")
+    anno = (
+        e.filter(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", "ts", "event_type")
+        .withColumn(
+            "vts",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_u),
+        )
     )
-    p = (
-        e.filter(F.col("event_type") == "purchase")
-        .join(v, "user_id")
-        .filter(F.col("ts") >= F.col("vts"))
+    per_user = (
+        anno.filter(F.col("vts").isNotNull())
         .groupBy("user_id")
-        .agg(F.min("ts").alias("pts"))
+        .agg(
+            F.min("vts").alias("vts"),
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts") >= F.col("vts")),
+                    F.col("ts"),
+                )
+            ).alias("pts"),
+        )
     )
     converted = F.col("pts").isNotNull() & (
         F.col("pts") <= F.col("vts") + F.expr("INTERVAL 24 HOURS")
     )
     return (
-        v.join(p, "user_id", "left")
+        per_user
         .groupBy(iso_day(F.to_date("vts")).alias("first_view_day"))
         .agg(
             F.count(F.lit(1)).alias("n_viewers"),

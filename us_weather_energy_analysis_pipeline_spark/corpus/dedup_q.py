@@ -162,28 +162,44 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sizes and intersections are both computed over the capped index,
     mirrored exactly in the oracle.
 
-    The capped index feeds FOUR plan branches (both self-join sides +
-    two size lookups); exchange reuse measurably does NOT collapse them
-    (each branch re-ran the tokenize→hash→repartition subtree), so the
-    index is persisted via operators.cache — ~16 bytes/shingle, the
-    standard materialization any production dedup pass makes."""
+    The intersection counts come from POSTING-LIST pair generation, not
+    an index self-join: the capped index groups by shingle into a
+    ≤cap-doc sorted posting list (collect_list is bounded by the df-cap,
+    so no group exceeds ``cap`` rows — skew-safe by construction), and
+    the ≤C(cap,2) ordered pairs per shingle are generated MAP-SIDE with
+    nested array transforms. That removes the self-join and its
+    hash-partitioned exchange from the plan entirely — one groupBy on
+    shingle replaces repartition + join — while shuffling the same
+    fixed-width int64 keys.
+
+    The capped index feeds TWO plan branches (posting lists + sizes);
+    exchange reuse measurably does NOT collapse them (each branch re-ran
+    the tokenize→hash subtree), so the index is persisted via
+    operators.cache — ~16 bytes/shingle, the standard materialization
+    any production dedup pass makes."""
     d = load(spark, sf_dir, "documents")
-    # repartition AFTER the df-cap: repartitioning the raw index would
-    # concentrate a hot shingle's entire posting list on one partition —
-    # exactly the skew the cap exists to prevent. The df-count groupBy
-    # runs on the unpartitioned index (partial agg ships ~one combiner
-    # row per hot key per partition — skew-safe), the broadcast anti
-    # drops hot rows map-side, and only the capped, skew-free index is
-    # hash-partitioned on the join key for the self-join to reuse.
-    sh = cache.track(
-        capped_shingles(word_shingles(d), NGRAM_DF_CAP).repartition("shingle")
-    )
+    # The df-count groupBy runs on the unpartitioned index (partial agg
+    # ships ~one combiner row per hot key per partition — skew-safe),
+    # and the broadcast anti drops hot rows map-side, so only capped,
+    # bounded posting lists ever reach the shingle groupBy below.
+    sh = cache.track(capped_shingles(word_shingles(d), NGRAM_DF_CAP))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    posts = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        posts.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) -> "
+                    "transform(slice(ds, i + 2, size(ds)), "
+                    "y -> struct(x AS doc_a, y AS doc_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.alias("sa")

@@ -229,24 +229,28 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    dl = tf.groupBy("doc_id").agg(F.sum("cnt").alias("doclen"))
     dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("docfreq"))
-    n_docs = d.count()  # scalar; at scale use a broadcast single-row agg
-    scored = (
-        tf.join(dl, "doc_id")
-        .join(dfreq, "tok")
-        .select(
-            "doc_id",
-            "tok",
+    # corpus size as a broadcast 1-row aggregate inside the plan — no
+    # eager count() action; doc length as a window sum over the SAME
+    # doc_id partitioning the rank needs, so one exchange serves both
+    # (replaces a separate doclen aggregate + equi-join branch)
+    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w_doc = Window.partitionBy("doc_id")
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("tok").asc()
+    )
+    return (
+        tf.join(dfreq, "tok")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("doclen", F.sum("cnt").over(w_doc))
+        .withColumn(
+            "tfidf",
             r6(
                 (F.col("cnt").cast("double") / F.col("doclen"))
-                * F.log(F.lit(float(n_docs)) / F.col("docfreq"))
-            ).alias("tfidf"),
+                * F.log(F.col("n_docs") / F.col("docfreq"))
+            ),
         )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        .withColumn("rnk", F.row_number().over(w_rank))
         .filter(F.col("rnk") <= 3)
         .select("doc_id", "tok", "tfidf", "rnk")
     )
