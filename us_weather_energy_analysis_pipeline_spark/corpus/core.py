@@ -614,8 +614,8 @@ def sample_hash_mod(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact multi-quantile profile (linear interpolation — DuckDB
     quantile_cont semantics, SURVEY §7.3 A10). Adaptive via
-    operators/quantile.py: below the 2M-value gate the built-in
-    ``percentile`` aggregate (one pass — the right plan at this sf);
+    operators/quantile.py: below the 2M-value gate a count-gated parallel
+    Arrow collect + numpy interpolation (the right plan at this sf);
     above it, literal-boundary range binning + partition-offset ranks so
     the sort parallelizes over value-range bins instead of percentile()'s
     single aggregation buffer — the only shape that survives 100 TB."""

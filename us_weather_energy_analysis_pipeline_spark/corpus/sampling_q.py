@@ -144,22 +144,41 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform×filter O(n_distinct·n_words) — HOF lambdas evaluate
     interpreted, so dropping the quadratic term measured 2.6× faster at
     sf0.1 and matters more as documents lengthen."""
+    import string as _string
+
     d = load(spark, sf_dir, "documents")
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
-    n_words = F.size(toks)
-    top_n = top_token_count(toks)
-    top_ratio = top_n.cast("double") / n_words
-    alpha_ratio = F.length(
-        F.regexp_replace("text", "[^a-zA-Z ]", "")
-    ).cast("double") / F.greatest(F.length("text"), F.lit(1))
-    fail_length = (n_words < MIN_WORDS) | (n_words > MAX_WORDS)
-    fail_rep = top_ratio > MAX_TOP_WORD_RATIO
-    fail_alpha = alpha_ratio < MIN_ALPHA_RATIO
+    # Layered projections so each expensive expression evaluates ONCE:
+    # CollapseProject refuses to inline a non-cheap alias referenced more
+    # than once, so `t` (the split) and `n_words` become attributes — the
+    # previous single-select form re-ran the split for every reference
+    # (fail_length's two comparisons + the repetition denominator).
+    base = d.select("doc_id", "text", toks.alias("t"))
+    # alpha chars counted via translate (plain char mapping), not a
+    # regexp_replace scan — same [a-zA-Z ] class, measured cheaper
+    alpha_sp = _string.ascii_lowercase + _string.ascii_uppercase + " "
+    feat = base.select(
+        "doc_id",
+        F.size("t").alias("n_words"),
+        top_token_count(F.col("t")).alias("top_n"),
+        (
+            F.length("text") - F.length(F.translate("text", alpha_sp, ""))
+        ).alias("alpha_len"),
+        F.length("text").alias("len_all"),
+    )
+    fail_length = (F.col("n_words") < MIN_WORDS) | (F.col("n_words") > MAX_WORDS)
+    fail_rep = (
+        F.col("top_n").cast("double") / F.col("n_words") > MAX_TOP_WORD_RATIO
+    )
+    fail_alpha = (
+        F.col("alpha_len").cast("double") / F.greatest(F.col("len_all"), F.lit(1))
+        < MIN_ALPHA_RATIO
+    )
     # keep derives from the FAIL COLUMNS, not from re-stating the fail
     # expressions: inlining them would re-evaluate every feature —
     # including the interpreted sort+fold of top_token_count — a second
     # time per row (measured ~2× the whole map stage).
-    flags = d.select(
+    flags = feat.select(
         "doc_id",
         fail_length.cast("int").alias("fail_length"),
         fail_rep.cast("int").alias("fail_repetition"),

@@ -126,20 +126,24 @@ def _try_small_stats(
     nb: int,
     gate: int = SMALL_KEY_THRESHOLD,
 ):
-    """Bounded small path: collect ONLY the sort keys (+ cum columns) via
-    a limit-probe (one Arrow job — no separate count), and derive exact
-    cuts, per-bin counts and per-bin sums in numpy/pandas. Returns
-    ``None`` when the input exceeds the gate (caller falls back to the
-    distributed probe+agg path); the probe pass then still served as the
-    persist fill. Cut literals are the collected float64 key values
-    themselves, so the JVM-side ``key > cut`` comparisons agree exactly
-    with the driver-side ``searchsorted``."""
+    """Bounded small path: count-gate, then a PARALLEL Arrow collect of
+    ONLY the sort keys (+ cum columns), deriving exact cuts, per-bin
+    counts and per-bin sums in numpy/pandas. Returns ``None`` when the
+    input exceeds the gate (caller falls back to the distributed
+    probe+agg path); the count then still served as the persist fill.
+    The gate is a count(), not a ``limit(gate+1)`` probe: CollectLimit
+    funnels every row through a single-task GlobalLimit before
+    serializing (measured ~1.5× the count+parallel-collect pair on 600k
+    rows), and on the persisted input the count is a cache-fill scan.
+    Cut literals are the collected float64 key values themselves, so the
+    JVM-side ``key > cut`` comparisons agree exactly with the
+    driver-side ``searchsorted``."""
     import numpy as np
 
-    cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
-    pdf = base.select(*cols).limit(gate + 1).toPandas()
-    if len(pdf) > gate:
+    if base.count() > gate:
         return None
+    cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
+    pdf = base.select(*cols).toPandas()
     out = []
     for sk in sk_names:
         keys = pdf[sk].to_numpy(dtype="float64")
