@@ -227,3 +227,48 @@ def test_grouped_pairs_string_group_key(emb):
     # isolation still holds for string groups
     for a, b in got:
         assert (a < 20) == (b < 20)
+
+
+def test_fp32_pack_path_matches_fp64(emb):
+    """array<float> input routes the block-pair machinery through the
+    lossless float32 pack (sgemm filter + widened cut + float64 survivor
+    re-score). The result must be IDENTICAL — pair set and bit-level
+    cosines — to feeding the same values as array<double>, which takes
+    the float64 pack path. float→double casts are exact, so any
+    difference would be a bug in the fp32 slack/refine logic."""
+    import struct
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        cosine_pairs_filter_refine,
+        grouped_candidate_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 80).select("vec_id", "embedding")
+    as64 = sub.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # exact mode: bit-identical cosines required
+    got32 = {
+        (r["id_a"], r["id_b"]): struct.pack("<d", r["cosine"])
+        for r in cosine_pairs_filter_refine(sub, 0.2, block_rows=9).collect()
+    }
+    got64 = {
+        (r["id_a"], r["id_b"]): struct.pack("<d", r["cosine"])
+        for r in cosine_pairs_filter_refine(as64, 0.2, block_rows=9).collect()
+    }
+    assert got32 == got64 and len(got32) > 0
+    # candidate mode (grouped, non-exact): identical pair sets
+    g = F.pmod(F.col("vec_id"), F.lit(3)).alias("bkt")
+    c32 = {
+        (r["id_a"], r["id_b"])
+        for r in grouped_candidate_pairs(
+            sub.select("vec_id", "embedding", g), 0.15, "bkt", block_rows=7
+        ).collect()
+    }
+    c64 = {
+        (r["id_a"], r["id_b"])
+        for r in grouped_candidate_pairs(
+            as64.select("vec_id", "embedding", g), 0.15, "bkt", block_rows=7
+        ).collect()
+    }
+    assert c32 == c64 and len(c32) > 0
