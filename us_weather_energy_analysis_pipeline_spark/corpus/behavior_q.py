@@ -158,20 +158,29 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: unordered pairs of event types that
-    appear for the same user on the same day. Dedup to (user, day, type)
-    grain first — the self-join then explodes only the per-key type set
-    (≤ |types|² rows per key), not raw events; both sides share one
-    (user_id, day) shuffle partitioning so the join is co-located."""
+    appear for the same user on the same day. ONE (user, day) shuffle:
+    collect_set gathers each key's distinct types (bounded by the tiny
+    type domain — the partial agg dedups map-side), and the ordered pairs
+    expand from the sorted set with nested array transforms — no
+    distinct-then-self-join, no second exchange over the key grain."""
     e = load(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.to_date("ts").alias("day"), "event_type"
-    ).distinct()
-    a = ud.select("user_id", "day", F.col("event_type").alias("type_a"))
-    b = ud.select("user_id", "day", F.col("event_type").alias("type_b"))
+    sets = (
+        e.select("user_id", F.to_date("ts").alias("day"), "event_type")
+        .groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts_"))
+        .filter(F.size("ts_") >= 2)
+    )
     return (
-        a.join(b, ["user_id", "day"])
-        .filter(F.col("type_a") < F.col("type_b"))
-        .groupBy("type_a", "type_b")
+        sets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ts_, (x, i) -> "
+                    "transform(slice(ts_, i + 2, size(ts_)), "
+                    "y -> struct(x AS type_a, y AS type_b))))"
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
