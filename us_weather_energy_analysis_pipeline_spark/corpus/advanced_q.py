@@ -506,9 +506,13 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "revenue",
     )
-    lvl2 = fin.agg(
+    # groupBy on a constant, NOT an ungrouped agg: GROUPING SETS yields
+    # ZERO rows on empty input, and an ungrouped aggregate would emit a
+    # phantom (NULL, NULL) grand-total row there; a constant-key groupBy
+    # returns no rows on empty input, matching the literal form exactly.
+    lvl2 = fin.groupBy(F.lit(1).alias("_g")).agg(
         F.sum("n").alias("n"), F.sum("revenue").alias("revenue")
-    ).select(
+    ).drop("_g").select(
         F.lit(None).cast("string").alias("l_returnflag"),
         F.lit(None).cast("string").alias("l_linestatus"),
         F.lit(1).alias("g_flag"),

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.functions.text import ordered_pairs
 
 
 # ---------------------------------------------------------------------------
@@ -88,9 +89,14 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage funnel: per first-view day, how many viewers made their
-    first subsequent purchase within 24 h. Stage anchors are per-user MIN
-    aggregates (map-side combinable); the conditional conversion count is a
-    filtered aggregate over one left join — no per-user subqueries."""
+    first subsequent purchase within 24 h. One events scan, one user_id
+    exchange: the first-view anchor is a window min over the user
+    partition and the per-user aggregate reuses the same partitioning.
+    Skew note: the window buffers one user's view/purchase rows in a
+    task (same per-key locality every partitioned window in the corpus
+    has); under a pathologically hot user, split the anchor back into a
+    separate min-aggregate + join (map-side combinable) at the cost of a
+    second exchange — the two shapes are algebraically identical."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -171,15 +177,7 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ts_") >= 2)
     )
     return (
-        sets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(ts_, (x, i) -> "
-                    "transform(slice(ts_, i + 2, size(ts_)), "
-                    "y -> struct(x AS type_a, y AS type_b))))"
-                )
-            ).alias("p")
-        )
+        sets.select(F.explode(ordered_pairs("ts_", "type_a", "type_b")).alias("p"))
         .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -162,21 +162,13 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     P9 `app.py:739`). Convention trap handled deliberately: pandas dayofweek
     Monday=0/Saturday=5, Spark dayofweek Sunday=1/Saturday=7, DuckDB
     dayofweek Sunday=0/Saturday=6 (SURVEY §7.3)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.pivot_q import DAY_ORDER
+
     li = load(spark, sf_dir, "lineitem")
-    names = F.array(
-        *[
-            F.lit(d)
-            for d in (
-                "Sunday",
-                "Monday",
-                "Tuesday",
-                "Wednesday",
-                "Thursday",
-                "Friday",
-                "Saturday",
-            )
-        ]
-    )
+    # Sunday-first rotation of the canonical Monday-first DAY_ORDER, so
+    # index (Spark dayofweek, Sunday=1) maps straight into element_at —
+    # derived, not a third hand-maintained day list
+    names = F.array(*[F.lit(d) for d in (DAY_ORDER[-1],) + DAY_ORDER[:-1]])
     return (
         # group on the 1-7 dayofweek int (no per-row EEEE formatting);
         # name lookup + Saturday flag derive from the 7 post-agg rows

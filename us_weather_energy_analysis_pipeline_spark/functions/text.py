@@ -55,3 +55,21 @@ def ws_token_count(col: Column | str) -> Column:
     ``length(col) − length(replace(col, ' ', '')) + 1``. Returns int."""
     c = F.col(col) if isinstance(col, str) else col
     return F.length(c) - F.length(F.replace(c, F.lit(" "))) + 1
+
+
+def ordered_pairs(arr_col: str, a_name: str, b_name: str) -> Column:
+    """All ordered pairs (arr[i], arr[j]) with i < j from a SORTED,
+    duplicate-free array column, as an array of structs
+    ``(a_name, b_name)`` — expand with ``explode``.
+
+    This is the map-side pair generation both posting-list dedup plans
+    use (ngram inverted index, co-occurrence sets): nested transforms
+    over ``slice(arr, i + 2, size(arr))`` (1-based slice start = the
+    elements AFTER position i; an over-long slice length clamps). The
+    caller guarantees sortedness (e.g. ``sort_array``) so the emitted
+    pairs are already (smaller, larger)-oriented."""
+    return F.expr(
+        f"flatten(transform({arr_col}, (x, i) -> "
+        f"transform(slice({arr_col}, i + 2, size({arr_col})), "
+        f"y -> struct(x AS {a_name}, y AS {b_name}))))"
+    )

@@ -72,6 +72,13 @@ def exact_quantiles(
     # ~6× faster than the `percentile` aggregate, whose single buffer
     # sorts on one task anyway — when the data is below driver scale,
     # single-node is the right plan, exactly what DuckDB-class engines do.
+    # vals is persisted across the gate probe and whichever path follows:
+    # without it, count + collect (or count + the distributed stages)
+    # would execute an expensive upstream plan twice. Released by the
+    # caller's loop via operators.cache.release_all, same as rank.py.
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    vals = cache.track(vals)
     n = vals.count()
     if n == 0:
         return spark.createDataFrame([], "f double, q double")

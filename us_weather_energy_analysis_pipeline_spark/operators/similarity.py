@@ -425,7 +425,11 @@ def grouped_candidate_pairs(
                     if fp32:
                         # float64 re-score of the survivors (exact cast from
                         # float32), so candidates carry the same
-                        # ``float64 cosine >= cut`` guarantee as the fp64 path
+                        # ``float64 cosine >= cut`` guarantee as the fp64
+                        # path — up to ~1e-15 summation-order noise (einsum
+                        # here vs BLAS matmul there), which the margin
+                        # semantics already absorb: callers re-score exactly
+                        # before acting on candidates
                         a64 = ma[ii].astype(np.float64)
                         b64 = mb[jj].astype(np.float64)
                         num = np.einsum("ij,ij->i", a64, b64)
