@@ -125,3 +125,26 @@ def test_grid_range_join_matches_inequality_join(spark):
             ).collect()
         }
         assert got == want, bc
+
+
+def test_ordered_pairs_helper(spark):
+    """ordered_pairs must emit exactly the i<j combinations of a sorted
+    array (the shared posting-list pair expansion): C(n,2) pairs, none
+    reversed, empty below 2 elements."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ordered_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [10, 20, 30]), (2, [7]), (3, []), (4, [1, 2])],
+        "k long, arr array<bigint>",
+    )
+    rows = (
+        df.select("k", F.explode(ordered_pairs("arr", "a", "b")).alias("p"))
+        .select("k", "p.a", "p.b")
+        .collect()
+    )
+    got = {(r["k"], r["a"], r["b"]) for r in rows}
+    assert got == {(1, 10, 20), (1, 10, 30), (1, 20, 30), (4, 1, 2)}
