@@ -12,13 +12,18 @@ from __future__ import annotations
 
 import json
 import os
-import random
 import re
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from us_weather_energy_analysis_pipeline_spark.benchlib import (
+    gc_paydown,
+    probe_floor,
+    shuffled_order,
+    timed_best,
+)
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
@@ -53,82 +58,45 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    # Empirical per-query scheduling FLOOR: a minimal-but-real query
-    # (tiny scan → agg → noop) through the same plan/schedule/execute
+    # Empirical per-query scheduling FLOOR (benchlib.probe_floor): a
+    # minimal-but-real query through the same plan/schedule/execute
     # path. In local mode every query pays this fixed cost regardless of
     # data volume; on a long-lived cluster it is amortized/overlapped.
     # Reported alongside the raw total so the data-bound cost is visible:
-    # value_floor_adjusted = total − floor × n_queries.
+    # value_floor_adjusted = total − floor × n_queries; the probe's job
+    # count further divides it into a per-JOB floor (multi-stage dedup
+    # pipelines are 9-18 jobs under AQE's stage-by-stage
+    # materialization, so per-query alone understates their fixed cost).
     tracker = spark.sparkContext.statusTracker()
-
-    def probe_floor(n: int = 3) -> tuple[float, int]:
-        """(best seconds, jobs) for the minimal probe query. The job count
-        divides the probe time into a per-JOB floor: multi-stage queries
-        (dedup pipelines are 9-18 jobs under AQE's stage-by-stage
-        materialization) pay the scheduling floor once per JOB, so a
-        per-query floor understates their fixed cost and a per-job floor
-        × measured job count is the honest decomposition."""
-        f, jobs = float("inf"), 1
-        for i in range(n):
-            grp = f"floor-probe:{time.time()}:{i}"
-            spark.sparkContext.setJobGroup(grp, "floor probe")
-            t0 = time.time()
-            spark.read.parquet(f"{sf_dir}/region.parquet").groupBy().count(
-            ).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if dt < f:
-                f, jobs = dt, max(1, len(tracker.getJobIdsForGroup(grp)))
-        return f, jobs
 
     # The floor is re-probed every 20 queries: the host is multi-tenant
     # and its speed drifts 2-3× over minutes — the probe series is the
     # run's own machine-state record (floor_series below), and the
     # reported floor is the median of the series.
-    f0, probe_jobs = probe_floor()
+    f0, probe_jobs = probe_floor(spark, tracker, sf_dir)
     floor_series = [f0]
 
-    # FIXED seeded shuffle of the execution order: alphabetical order runs
-    # the whole dedup_* family back-to-back, and the GC/allocator pressure
-    # from one heavy query measurably pollutes its successors (r03: two
-    # unchanged queries read 2-5x their warm time purely from ordering).
-    # A deterministic interleave spreads the heavy hitters; the seed is
-    # fixed so rounds stay comparable.
-    order = sorted(REGISTRY)
-    random.Random(42).shuffle(order)
+    order = shuffled_order(REGISTRY)
 
-    # three runs per query, keep the min — measures the warm
-    # (cluster-like) cost instead of JIT noise. Two is not enough: the
-    # compound dedup queries generate methods big enough that run 2 still
-    # executes before C2 compilation lands (measured 2x their steady
-    # state); run 3 is reliably steady.
+    # min-of-3 per query with cache release outside the timed window
+    # (benchlib.timed_best), so every run pays its own cache fill
+    # (honest accounting) and nothing leaks into later queries' budget
     timings: dict[str, float] = {}
     job_counts: dict[str, int] = {}
     wall0 = time.time()
     for qi, name in enumerate(order):
         if qi and qi % 10 == 0:
-            # pay down JVM GC debt between queries, not inside a timing:
-            # a heavy sweep accumulates old-gen garbage (shuffle buffers,
-            # released caches) and queries measured mid-sweep otherwise
-            # read 25-60% over their isolated time
-            spark.sparkContext._jvm.System.gc()
+            gc_paydown(spark)
         if qi and qi % 20 == 0:
-            floor_series.append(probe_floor(1)[0])
+            floor_series.append(probe_floor(spark, tracker, sf_dir, n=1)[0])
         q = REGISTRY[name]
-        best, best_jobs = float("inf"), 0
-        for run in range(3):
-            grp = f"{name}:{run}"
-            spark.sparkContext.setJobGroup(grp, name)
-            t0 = time.time()
-            df = q.spark_fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            if dt < best:
-                best = dt
-                best_jobs = len(tracker.getJobIdsForGroup(grp))
-            # release operator-internal persists so every run pays its
-            # own cache fill (honest accounting) and nothing leaks into
-            # later queries' memory budget
-            cache.release_all()
+
+        def _run(q=q):
+            q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+        best, best_jobs = timed_best(
+            spark, tracker, name, _run, after_run=cache.release_all
+        )
         timings[name] = round(best, 3)
         job_counts[name] = best_jobs
     wall = round(time.time() - wall0, 3)

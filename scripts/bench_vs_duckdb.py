@@ -19,6 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 
+from us_weather_energy_analysis_pipeline_spark.benchlib import (
+    gc_paydown,
+    probe_floor,
+    shuffled_order,
+    timed_best,
+)
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
@@ -44,63 +50,32 @@ def main() -> None:
     con = duckdb.connect()
     register_views(con, sf_dir)
 
-    # Per-query scheduling floor, measured the same way bench.py does: a
-    # minimal-but-real query (tiny scan → agg → noop) through the full
-    # plan/schedule/execute path. Every Spark query pays it regardless of
-    # data volume; a long-lived cluster amortizes it. The probe's JOB
-    # count turns it into a per-JOB floor — multi-stage plans (AQE
-    # materializes each exchange as its own job) pay the floor per job,
-    # so per-query data-bound time = spark − n_jobs × per_job_floor.
+    # Per-query scheduling floor + per-JOB decomposition, via the same
+    # benchlib primitives bench.py uses (one methodology, one place).
     sc = spark.sparkContext
     tracker = sc.statusTracker()
-    floor, probe_jobs = float("inf"), 1
-    for i in range(3):
-        grp = f"floor-probe:{i}"
-        sc.setJobGroup(grp, "floor probe")
-        t = _timed(
-            lambda: spark.read.parquet(f"{sf_dir}/region.parquet")
-            .groupBy()
-            .count()
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
-        if t < floor:
-            floor, probe_jobs = t, max(1, len(tracker.getJobIdsForGroup(grp)))
+    floor, probe_jobs = probe_floor(spark, tracker, sf_dir)
     per_job_floor = floor / probe_jobs
 
-    # Same execution discipline as bench.py: fixed seeded shuffle of the
-    # order (alphabetical runs the dedup_* family back-to-back and the
-    # GC/allocator pressure from one heavy query pollutes its successors)
-    # plus a System.gc() paydown every 10 queries so old-gen debt from a
-    # heavy sweep is not billed to whatever query runs next.
-    order = sorted(REGISTRY)
-    import random
-
-    random.Random(42).shuffle(order)
+    # Same execution discipline as bench.py: seeded shuffle + periodic
+    # GC paydown (benchlib) so one heavy query's allocator pressure is
+    # not billed to its successors.
+    order = shuffled_order(REGISTRY)
 
     rows = []
     for qi, name in enumerate(order):
         q = REGISTRY[name]
         if qi and qi % 10 == 0:
-            spark.sparkContext._jvm.System.gc()
+            gc_paydown(spark)
 
-        # min of three Spark runs (run 2 can still be JIT-cold for the
-        # big generated methods) vs two DuckDB runs (no JIT tier).
-        # cache release happens OUTSIDE the timed window, matching
-        # bench.py — timing the unpersist would bill Spark (and not
-        # DuckDB) for harness bookkeeping.
+        # min of three Spark runs vs two DuckDB runs (no JIT tier);
+        # cache release outside the timed window (benchlib.timed_best).
         def _run_spark(q=q):
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-        t_spark, n_jobs = float("inf"), 0
-        for run in range(3):
-            grp = f"{name}:{run}"
-            sc.setJobGroup(grp, name)
-            t = _timed(_run_spark)
-            cache.release_all()
-            if t < t_spark:
-                t_spark, n_jobs = t, len(tracker.getJobIdsForGroup(grp))
+        t_spark, n_jobs = timed_best(
+            spark, tracker, name, _run_spark, after_run=cache.release_all
+        )
         t_duck = None
         if q.oracle:
             t_duck = min(_timed(lambda: con.execute(q.oracle).fetchall()) for _ in range(2))

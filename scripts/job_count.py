@@ -10,10 +10,10 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from us_weather_energy_analysis_pipeline_spark.benchlib import timed_best
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     _ensure_loaded,
@@ -37,17 +37,13 @@ def main() -> None:
     print(f"{'query':34s} {'jobs':>4s} {'sec':>6s}")
     for name in names:
         q = REGISTRY[name]
-        best, jobs = float("inf"), 0
-        for run in range(3):
-            grp = f"{name}:{run}"
-            sc.setJobGroup(grp, name)
-            t0 = time.time()
+
+        def _run(q=q):
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            nj = len(tracker.getJobIdsForGroup(grp))
-            if dt < best:
-                best, jobs = dt, nj
-            cache.release_all()
+
+        best, jobs = timed_best(
+            spark, tracker, name, _run, after_run=cache.release_all
+        )
         print(f"{name:34s} {jobs:4d} {best:6.2f}")
     spark.stop()
 

@@ -17,6 +17,9 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, regi
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 DAY_ORDER = ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
+# Spark dayofweek() ints (Sunday=1 convention) aligned with DAY_ORDER —
+# derived once here so the Sunday=1 convention lives in one place
+DOW_INTS = tuple((i + 1) % 7 + 1 for i in range(7))  # (2,3,4,5,6,7,1)
 
 
 @register(
@@ -108,9 +111,9 @@ def heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("<10")
     )
     # pivot on the 1-7 dayofweek int (no per-row EEEE formatting); the
-    # int pivot columns are renamed to day names on the 5 post-agg rows.
-    # Monday..Sunday in Spark dayofweek numbering (Sunday=1).
-    dow_ints = [2, 3, 4, 5, 6, 7, 1]
+    # int pivot columns are renamed to day names on the 5 post-agg rows
+    # via the shared DOW_INTS ↔ DAY_ORDER alignment.
+    dow_ints = list(DOW_INTS)
     piv = (
         li.select(
             qty_bin.alias("qty_bin"),

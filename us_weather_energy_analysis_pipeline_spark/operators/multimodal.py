@@ -208,6 +208,8 @@ def frame_sample_video(blobs: DataFrame, every_n: int = 4) -> DataFrame:
 
         # Only decode/IO failures mean "skip this payload"; logic bugs
         # (e.g. a bad argument) must still surface as task errors.
+        # IndexError is a decode failure here: a well-formed container
+        # with NO video stream raises it from decode(video=0).
         codec_errors = tuple(
             e
             for e in (
@@ -215,6 +217,7 @@ def frame_sample_video(blobs: DataFrame, every_n: int = 4) -> DataFrame:
                 getattr(getattr(_av, "error", None), "FFmpegError", None),
                 OSError,
                 EOFError,
+                IndexError,
             )
             if isinstance(e, type)
         )

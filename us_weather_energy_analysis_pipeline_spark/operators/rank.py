@@ -166,6 +166,16 @@ def _try_small_stats(
             # column would silently produce path-dependent results
             # (per-element truncation here vs post-sum truncation on the
             # distributed path), so violations fail loudly instead.
+            if pdf[c].isna().any():
+                # a NULL would silently float-promote the column (pandas
+                # nullable int64 → float64) and poison the exact int64
+                # accumulation; the distributed path's sum() would skip
+                # it silently instead — fail loudly and consistently
+                raise TypeError(
+                    f"cum column {c!r} contains NULLs; the exact integer "
+                    "cumsum contract requires non-null values — coalesce "
+                    "before calling"
+                )
             vals = pdf[c].to_numpy()
             if not np.issubdtype(vals.dtype, np.integer):
                 raise TypeError(
