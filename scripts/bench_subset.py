@@ -60,15 +60,17 @@ def main() -> None:
     spark.range(100).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    from us_weather_energy_analysis_pipeline_spark.benchlib import timed_best
+
+    tracker = spark.sparkContext.statusTracker()
     timings: dict[str, float] = {}
     for name in subset:
         q = REGISTRY[name]
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
+
+        def _run(q=q):
             q.spark_fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-            cache.release_all()
+
+        best, _ = timed_best(spark, tracker, name, _run, after_run=cache.release_all)
         timings[name] = round(best, 3)
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         print(f"{sec:7.3f}  {name}")

@@ -146,6 +146,61 @@ def scaled_embeddings(spark, sf_dir: str, factor: int) -> DataFrame:
     return out
 
 
+def scaled_documents(spark, sf_dir: str, factor: int) -> DataFrame:
+    """factor copies of documents with disjoint doc_ids AND mostly
+    disjoint token spaces: each copy rotates vowels via translate (cheap,
+    in-plan), so shingle document frequencies stay realistic instead of
+    multiplying by ``factor`` and tripping the df-cap on everything."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    shift = 10_000_000
+    vowels = "aeiou"
+    parts = []
+    for i in range(factor):
+        rot = vowels[i % 5:] + vowels[: i % 5]
+        parts.append(
+            d.select(
+                (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
+                F.translate("text", vowels, rot).alias("text"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def ngram_probe(spark, sf_dir: str) -> list[str]:
+    """Growth curve of the posting-list ngram-Jaccard plan (the r4
+    rewrite: df-cap → bounded collect_list → map-side pair expansion).
+    Shingle volume grows linearly with documents and every exchange key
+    is bounded (cap-row posting lists), so the curve must stay
+    ≲linear."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.dedup_q import (
+        ngram_jaccard_pairs,
+    )
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    lines = [
+        "\n## N-gram Jaccard posting-list plan (documents ×1/×4/×16, "
+        "vowel-rotated copies)\n\n",
+        "| scale | sec | vs ×1 |\n|---|---|---|\n",
+    ]
+    base = None
+    for factor in (1, 4, 16):
+        d = scaled_documents(spark, sf_dir, factor)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            ngram_jaccard_pairs(d).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+            cache.release_all()
+        if base is None:
+            base = best
+        lines.append(f"| ×{factor} | {best:.2f} | {best / base:.1f}× |\n")
+        print(f"ngram_posting x{factor}: {round(best, 2)}s")
+    return lines
+
+
 def block_pair_probes(spark, sf_dir: str) -> list[str]:
     """Two experiments on cosine_pairs_filter_refine (the exact all-pairs
     verifier):
@@ -244,6 +299,7 @@ def main() -> None:
         for name, r in results.items():
             ratio = round(r[16] / r[1], 1) if r[1] else float("nan")
             f.write(f"| {name} | {r[1]} | {r[4]} | {r[16]} | {ratio}× |\n")
+        f.writelines(ngram_probe(spark, sf_dir))
         f.writelines(block_pair_probes(spark, sf_dir))
     print("wrote SCALE_PROBE.md")
     spark.stop()

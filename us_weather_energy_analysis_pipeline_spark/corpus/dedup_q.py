@@ -152,16 +152,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange accounting (the r4 rewrite): per-doc shingle dedup is
     map-side ``array_distinct`` (no distinct shuffle); the df-count
     groupBy runs on the UNpartitioned index (partial agg keeps it
-    skew-safe), the anti probe is a broadcast, and the CAPPED index —
-    hot keys already gone, so the exchange cannot concentrate a posting
-    list — is hash-partitioned ON THE JOIN KEY once
-    (``repartition("shingle")``), which both self-join sides then reuse
-    co-partitioned (ReuseExchange collapses them onto the one
-    materialized shuffle).
-    The only other exchanges in the plan are bounded: per-doc sizes
-    (combiner-compressed to ~one row per doc) and the pair groupBy.
-    Sizes and intersections are both computed over the capped index,
-    mirrored exactly in the oracle.
+    skew-safe), and the anti probe is a broadcast. The only other
+    exchanges in the plan are bounded: the shingle groupBy (≤cap-row
+    posting lists), per-doc sizes (combiner-compressed to ~one row per
+    doc) and the pair groupBy. Sizes and intersections are both
+    computed over the capped index, mirrored exactly in the oracle.
 
     The intersection counts come from POSTING-LIST pair generation, not
     an index self-join: the capped index groups by shingle into a
@@ -178,12 +173,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tokenize→hash subtree), so the index is persisted via
     operators.cache — ~16 bytes/shingle, the standard materialization
     any production dedup pass makes."""
-    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
+
+
+def ngram_jaccard_pairs(
+    d: DataFrame,
+    cap: int = NGRAM_DF_CAP,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """The ngram-Jaccard plan over an arbitrary documents frame
+    (doc_id, text) — shared by the corpus query and the scale probe.
+    See :func:`dedup_ngram_jaccard` for the full plan narrative."""
     # The df-count groupBy runs on the unpartitioned index (partial agg
     # ships ~one combiner row per hot key per partition — skew-safe),
     # and the broadcast anti drops hot rows map-side, so only capped,
     # bounded posting lists ever reach the shingle groupBy below.
-    sh = cache.track(capped_shingles(word_shingles(d), NGRAM_DF_CAP))
+    sh = cache.track(capped_shingles(word_shingles(d), cap))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         sh.groupBy("shingle")
@@ -201,7 +206,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
 
