@@ -160,7 +160,7 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.user_id = b.user_id AND a.day = b.day AND a.event_type < b.event_type
     GROUP BY 1, 2
     """,
-    tags=("behavioral", "self-join", "market-basket"),
+    tags=("behavioral", "posting-list", "market-basket"),
 )
 def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: unordered pairs of event types that

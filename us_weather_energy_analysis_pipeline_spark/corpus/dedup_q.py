@@ -4,8 +4,9 @@ Training-data dedup at 100 TB is shuffle-dominated; each variant here is
 built around ONE well-chosen shuffle key:
 
 - exact:       hash of normalized content (one groupBy on the digest);
-- n-gram Jaccard: shingle-inverted-index self-join (shuffle on shingle,
-  never on the doc pair space);
+- n-gram Jaccard: shingle inverted index with df-capped posting lists
+  (shuffle on shingle, never on the doc pair space; pairs expand
+  map-side from ≤cap-row lists);
 - MinHash/LSH:  band-bucket join (shuffle on (band, bucket-hash)) so the
   candidate pair space collapses from O(n²) to bucket-local pairs.
 
@@ -25,7 +26,7 @@ from us_weather_energy_analysis_pipeline_spark.operators import cache
 SHINGLE_K = 3  # words per shingle
 JACCARD_THRESHOLD = 0.2
 # Shingle document-frequency cap (CCNet/Gopher-style): a shingle shared by k
-# docs emits k² bucket-local pairs in the inverted-index self-join, so one
+# docs emits k² bucket-local pairs in the inverted-index pair expansion, so one
 # boilerplate shingle at web scale is a quadratic blowup + a hot shuffle key.
 # Both engines drop shingles with df > cap BEFORE the join — the Jaccard is
 # defined over discriminative shingles, identically on both sides, at any sf.
