@@ -137,3 +137,29 @@ def test_ws_token_count_identity_on_edge_strings(spark):
     ).collect()
     for r in rows:
         assert r["fast"] == r["ref"], (repr(r["s"]), r["fast"], r["ref"])
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(-1000, 1000), min_size=0, max_size=12, unique=True))
+def test_ordered_pairs_matches_combinations(spark, xs):
+    """ordered_pairs over a sorted duplicate-free array must equal
+    itertools.combinations(sorted(xs), 2) — the invariant both
+    posting-list dedup plans (ngram inverted index, co-occurrence)
+    build their pair spaces on."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ordered_pairs,
+    )
+
+    df = spark.createDataFrame([(sorted(xs),)], "arr array<bigint>")
+    rows = (
+        df.select(F.explode(ordered_pairs("arr", "a", "b")).alias("p"))
+        .select("p.a", "p.b")
+        .collect()
+    )
+    got = [(r["a"], r["b"]) for r in rows]
+    want = list(itertools.combinations(sorted(xs), 2))
+    assert got == want
