@@ -15,12 +15,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.functions.scalars import (
+    DAY_ORDER,
     day_name,
     pct_change,
     temp_range_bin,
 )
-
-DAY_ORDER = ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
 
 
 def filter_view(

@@ -16,10 +16,10 @@ from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, 
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
-DAY_ORDER = ("Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday")
-# Spark dayofweek() ints (Sunday=1 convention) aligned with DAY_ORDER —
-# derived once here so the Sunday=1 convention lives in one place
-DOW_INTS = tuple((i + 1) % 7 + 1 for i in range(7))  # (2,3,4,5,6,7,1)
+from us_weather_energy_analysis_pipeline_spark.functions.scalars import (  # noqa: F401
+    DAY_ORDER,  # re-export: windows.py and tests import it from here
+    DOW_INTS,
+)
 
 
 @register(

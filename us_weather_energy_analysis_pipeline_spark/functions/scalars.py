@@ -57,6 +57,21 @@ def temp_range_bin(
     return out.otherwise(expr)
 
 
+# Canonical weekday ordering (pandas/reference convention, Monday first)
+# and the matching Spark dayofweek() ints (Sunday=1 convention) — the
+# single source both pivot layouts and name lookups derive from.
+DAY_ORDER = (
+    "Monday",
+    "Tuesday",
+    "Wednesday",
+    "Thursday",
+    "Friday",
+    "Saturday",
+    "Sunday",
+)
+DOW_INTS = tuple((i + 1) % 7 + 1 for i in range(7))  # (2,3,4,5,6,7,1)
+
+
 def day_name(col: Column | str) -> Column:
     """Full weekday name (reference P8 `analysis.py:55` dt.day_name())."""
     return F.date_format(col, "EEEE")
