@@ -1,0 +1,117 @@
+"""Perturbation fuzz over the oracle gate: the 118-query corpus is
+verified against DuckDB on FIXED driver-generated parquet — this test
+re-runs a representative query slice on randomly perturbed copies of
+those tables (row subsampling, within-column value permutation, plus an
+empty-documents edge), so semantics that only hold on the fixed
+distribution (tie layouts, group occupancy, every-group-nonempty) get
+exercised too. The comparison is the driver's own normalize/diff gate.
+"""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+    REGISTRY,
+    TABLES,
+    _ensure_loaded,
+)
+from us_weather_energy_analysis_pipeline_spark.operators import cache
+from us_weather_energy_analysis_pipeline_spark.testing import (
+    diff_report,
+    register_views,
+)
+
+# Queries spanning the plan families (agg, window, pivot, join, dedup,
+# posting-list, grouping-sets, decorrelation) whose semantics carry no
+# fixed-dataset assumption. Heavier pipelines (components, LSH e2e) are
+# excluded for runtime, not safety — their building blocks appear here.
+FUZZ_QUERIES = [
+    "ts_daily_rollup",
+    "quality_daily",
+    "weekday_profile",
+    "heatmap_pivot",
+    "unpivot_measures",
+    "grouping_sets_flags",
+    "funnel_conversion",
+    "cooccurrence_pairs",
+    "tpch_q17_small_qty_revenue",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "text_tfidf_topk",
+]
+
+
+def _perturb(tbl: pa.Table, rng: random.Random, frac: float) -> pa.Table:
+    """Random row subsample (possibly very small) + a cyclic shift of one
+    value column within itself — types and schema preserved exactly
+    (including events' TIMESTAMP(NANOS))."""
+    n = tbl.num_rows
+    keep = sorted(rng.sample(range(n), max(1, int(n * frac)))) if n else []
+    sub = tbl.take(keep) if keep else tbl.slice(0, 0)
+    if sub.num_rows > 1:
+        # rotate one non-key column so value↔row associations change
+        cols = [
+            i
+            for i, f in enumerate(sub.schema)
+            if f.name not in ("doc_id", "vec_id", "event_id")
+        ]
+        if cols:
+            i = rng.choice(cols)
+            k = rng.randrange(1, sub.num_rows)
+            col = sub.column(i).combine_chunks()
+            rotated = pa.concat_arrays(
+                [col.slice(k), col.slice(0, k)]
+            )
+            sub = sub.set_column(i, sub.schema.field(i), rotated)
+    return sub
+
+
+def _make_dir(tmp_path, seed: int, frac: float, empty: tuple[str, ...] = ()) -> str:
+    rng = random.Random(seed)
+    out = tmp_path / f"fuzz{seed}"
+    out.mkdir()
+    for t in TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        if t in empty:
+            tbl = tbl.slice(0, 0)
+        else:
+            tbl = _perturb(tbl, rng, frac)
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    return str(out)
+
+
+def _check(spark, sf_dir: str, names: list[str]) -> list[str]:
+    _ensure_loaded()
+    con = duckdb.connect()
+    register_views(con, sf_dir)
+    failures = []
+    for name in names:
+        q = REGISTRY[name]
+        sdf = q.spark_fn(spark, sf_dir).toPandas()
+        odf = con.execute(q.oracle).fetchdf()
+        cache.release_all()
+        msg = diff_report(sdf, odf)
+        if msg is not None:
+            failures.append(f"{name}: {msg}")
+    return failures
+
+
+@pytest.mark.parametrize("seed,frac", [(7, 0.6), (23, 0.15)])
+def test_fuzzed_tables_match_oracle(spark, tmp_path, seed, frac):
+    sf_dir = _make_dir(tmp_path, seed, frac)
+    assert _check(spark, sf_dir, FUZZ_QUERIES) == []
+
+
+def test_empty_documents_table_matches_oracle(spark, tmp_path):
+    """Empty-input parity for the documents family — the grouping-sets
+    phantom-row class of bug (fixed in r4) but for the text pipeline."""
+    sf_dir = _make_dir(tmp_path, 99, 0.5, empty=("documents",))
+    names = ["dedup_exact", "dedup_ngram_jaccard", "text_tfidf_topk",
+             "grouping_sets_flags"]
+    assert _check(spark, sf_dir, names) == []
