@@ -108,6 +108,48 @@ def test_fuzzed_tables_match_oracle(spark, tmp_path, seed, frac):
     assert _check(spark, sf_dir, FUZZ_QUERIES) == []
 
 
+NULL_COLS = {
+    "events": ["value"],
+    "lineitem": ["l_quantity", "l_discount"],
+    "documents": ["text"],
+    "orders": ["o_totalprice"],
+}
+
+
+def test_null_injected_tables_match_oracle(spark, tmp_path):
+    """10% NULLs into measure/text columns the fixed dataset never nulls:
+    sum/avg null-skipping, size(split(NULL)) = -1 vs unnest-of-NULL, and
+    null group keys must agree across engines. (This fuzz found the
+    gopher_quality_filter NULL-text divergence, fixed with an explicit
+    both-sides not-null contract.)"""
+    import pyarrow.compute as pc
+
+    rng = random.Random(5)
+    out = tmp_path / "nullfuzz"
+    out.mkdir()
+    for t in TABLES:
+        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        for cname in NULL_COLS.get(t, []):
+            i = tbl.schema.get_field_index(cname)
+            col = tbl.column(i).combine_chunks()
+            mask = pa.array([rng.random() < 0.1 for _ in range(len(col))])
+            tbl = tbl.set_column(
+                i,
+                tbl.schema.field(i),
+                pc.if_else(mask, pa.nulls(len(col), col.type), col),
+            )
+        pq.write_table(tbl, str(out / f"{t}.parquet"))
+    names = FUZZ_QUERIES + [
+        "gopher_quality_filter",
+        "quantiles_exact",
+        "mean_impute_group",
+        "problem_rows",
+        "text_token_count",
+        "monthly_rollup",
+    ]
+    assert _check(spark, str(out), names) == []
+
+
 def test_empty_documents_table_matches_oracle(spark, tmp_path):
     """Empty-input parity for the documents family — the grouping-sets
     phantom-row class of bug (fixed in r4) but for the text pipeline."""

@@ -146,7 +146,12 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf0.1 and matters more as documents lengthen."""
     import string as _string
 
-    d = load(spark, sf_dir, "documents")
+    # NULL text is out of scope, explicitly on BOTH engines: the oracle's
+    # inner join against the per-doc token aggregate drops such docs
+    # (unnest of a NULL split emits no rows), while Spark's
+    # size(split(NULL)) = -1 would silently flag them fail_length —
+    # a pushed-down not-null filter aligns the row sets.
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     # Layered projections so each expensive expression evaluates ONCE:
     # CollapseProject refuses to inline a non-cheap alias referenced more
