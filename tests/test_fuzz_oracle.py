@@ -116,14 +116,18 @@ NULL_COLS = {
 }
 
 
-def test_null_injected_tables_match_oracle(spark, tmp_path):
-    """10% NULLs into measure/text columns the fixed dataset never nulls:
-    sum/avg null-skipping, size(split(NULL)) = -1 vs unnest-of-NULL, and
-    null group keys must agree across engines. (This fuzz found the
-    gopher_quality_filter NULL-text divergence, fixed with an explicit
-    both-sides not-null contract.)"""
+def test_null_injected_tables_match_oracle_full_corpus(spark, tmp_path):
+    """10% NULLs into measure/text columns the fixed dataset never nulls,
+    then the ENTIRE 118-query corpus against its oracles: sum/avg
+    null-skipping, size(split(NULL)) = -1 vs unnest-of-NULL, null group
+    and sort keys, formatter null rendering — all must agree across
+    engines. This fuzz found and drove the round-4 null-contract fixes:
+    gopher/repetition NULL text, OLS complete-case, ntile/rank non-null
+    keys, the asof row-wise carry, printf null rendering, and the
+    multimodal null-payload crash."""
     import pyarrow.compute as pc
 
+    _ensure_loaded()
     rng = random.Random(5)
     out = tmp_path / "nullfuzz"
     out.mkdir()
@@ -139,15 +143,7 @@ def test_null_injected_tables_match_oracle(spark, tmp_path):
                 pc.if_else(mask, pa.nulls(len(col), col.type), col),
             )
         pq.write_table(tbl, str(out / f"{t}.parquet"))
-    names = FUZZ_QUERIES + [
-        "gopher_quality_filter",
-        "quantiles_exact",
-        "mean_impute_group",
-        "problem_rows",
-        "text_token_count",
-        "monthly_rollup",
-    ]
-    assert _check(spark, str(out), names) == []
+    assert _check(spark, str(out), sorted(REGISTRY)) == []
 
 
 def test_empty_documents_table_matches_oracle(spark, tmp_path):

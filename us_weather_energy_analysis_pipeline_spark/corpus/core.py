@@ -695,7 +695,12 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.col("prev_price")
     return l2.select(
         "c_custkey",
-        F.format_string("%.1f", dround(F.col("o_totalprice"), 1)).alias("price_label"),
+        # null-guarded: java.util.Formatter renders a NULL arg as the
+        # string 'null' while DuckDB printf propagates NULL
+        F.when(
+            F.col("o_totalprice").isNotNull(),
+            F.format_string("%.1f", dround(F.col("o_totalprice"), 1)),
+        ).alias("price_label"),
         F.when(prev > 0, r4((F.col("o_totalprice") - prev) / prev * 100))
         .otherwise(F.lit(0.0))
         .alias("pct_change"),
@@ -718,6 +723,7 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT o_totalprice,
              NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
       FROM orders
+      WHERE o_totalprice IS NOT NULL
     )
     GROUP BY decile
     """,
@@ -731,12 +737,18 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     over literal-boundary bins, not a single-partition window (the input
     is the full fact table, so the one-task sort would be the straggler
     at scale). Columns are pruned before the rank so the persisted probe
-    input carries 2 columns, not the whole table."""
+    input carries 2 columns, not the whole table. Null prices are
+    excluded on BOTH engines (rank.py's documented non-null-key
+    contract; SQL NTILE would otherwise place them per NULLS LAST)."""
     from us_weather_energy_analysis_pipeline_spark.operators.rank import (
         global_ntile,
     )
 
-    o = load(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderkey")
+        .filter(F.col("o_totalprice").isNotNull())
+    )
     return (
         global_ntile(
             o, "o_totalprice", 10, tiebreaks=("o_orderkey",), out_col="decile"

@@ -39,6 +39,7 @@ from us_weather_energy_analysis_pipeline_spark.operators.rank import (
       SELECT l_partkey,
              ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
       FROM lineitem GROUP BY l_partkey
+      HAVING revenue IS NOT NULL
     ),
     cents AS (
       SELECT revenue, l_partkey,
@@ -66,11 +67,14 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan. The 0.8 × total threshold is baked as a literal (the grand
     total falls out of the bounded per-bin stats for free)."""
     li = load(spark, sf_dir, "lineitem")
+    # non-null sort-key contract (operators/rank.py): a part whose every
+    # revenue term is NULL aggregates to NULL and is out of scope on
+    # BOTH engines
     rev = li.groupBy("l_partkey").agg(
         r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
             "revenue"
         )
-    )
+    ).filter(F.col("revenue").isNotNull())
     cents = rev.withColumn(
         "rev_cents", F.round(F.col("revenue") * 100).cast("long")
     )
@@ -134,6 +138,7 @@ def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH rev AS (
       SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
       FROM orders GROUP BY o_custkey
+      HAVING revenue IS NOT NULL
     ),
     ranked AS (
       SELECT revenue,
@@ -157,7 +162,10 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallelizes over value-range bins instead of one task. ``n`` rides
     along as a broadcast single-row cross join, not a global window."""
     o = load(spark, sf_dir, "orders")
-    rev = o.groupBy("o_custkey").agg(r2(F.sum("o_totalprice")).alias("revenue"))
+    # non-null sort-key contract (operators/rank.py), both engines
+    rev = o.groupBy("o_custkey").agg(
+        r2(F.sum("o_totalprice")).alias("revenue")
+    ).filter(F.col("revenue").isNotNull())
     ranked = global_order_stats(
         rev,
         "revenue",
@@ -225,6 +233,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
              COUNT(*) AS freq,
              ROUND(SUM(o_totalprice), 2) AS monetary
       FROM orders GROUP BY o_custkey
+      HAVING monetary IS NOT NULL
     ),
     scored AS (
       SELECT CAST(NTILE(4) OVER (ORDER BY last_order DESC, o_custkey) AS INTEGER) AS r,
@@ -255,11 +264,12 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_weather_energy_analysis_pipeline_spark.operators.rank import OrderSpec
 
     o = load(spark, sf_dir, "orders")
+    # non-null sort-key contract (operators/rank.py), both engines
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         r2(F.sum("o_totalprice")).alias("monetary"),
-    )
+    ).filter(F.col("monetary").isNotNull())
     scored = multi_global_ntile(
         rfm,
         [

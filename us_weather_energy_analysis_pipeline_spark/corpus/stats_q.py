@@ -52,6 +52,7 @@ def corr_pearson(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(corr(l_quantity, l_extendedprice), 6)           AS r_value,
            COUNT(*) AS n
     FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     """,
     tags=("stats", "A13"),
 )
@@ -60,8 +61,11 @@ def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference A13 `analysis.py:17-19` scipy.linregress → cov/var identity).
     One aggregation pass; the DuckDB oracle uses its native regr_* family —
     numerically the same estimator."""
-    li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # complete-case contract, explicit on BOTH engines: avg/count over
+    # rows where either variable is NULL would diverge from the
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
+    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
     agg = li.agg(
         F.covar_samp(x, y).alias("sxy"),
         F.var_samp(x).alias("sxx"),
@@ -94,6 +98,7 @@ def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / regr_sxx(l_extendedprice, l_quantity))
              / (COUNT(*) - 2)                            AS mse
       FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     ),
     pts AS (SELECT UNNEST([10.0, 20.0, 30.0, 40.0, 50.0]) AS x0)
     SELECT pts.x0,
@@ -112,8 +117,11 @@ def ols_ci_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-prediction confidence band (reference A13 `analysis.py:24-37`
     statsmodels get_prediction summary_frame): ŷ ± t·√(MSE·(1/n + (x₀−x̄)²/Sxx)),
     computed from ONE aggregation pass joined to a literal evaluation grid."""
-    li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # complete-case contract, explicit on BOTH engines: avg/count over
+    # rows where either variable is NULL would diverge from the
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
+    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
     nm1 = F.count(F.lit(1)) - 1
     fit = li.agg(
         F.covar_samp(x, y).alias("sxy_n"),
@@ -161,6 +169,7 @@ def ols_ci_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(regr_r2(l_extendedprice, l_quantity), 6)        AS r_squared,
            COUNT(*) AS n
     FROM lineitem
+    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
     GROUP BY l_returnflag
     """,
     tags=("stats", "A13", "grouped"),
@@ -170,8 +179,11 @@ def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference fits per-city via a Python loop, `app.py:780`; here
     every group's covariance aggregates ride the same shuffle). This is
     the pattern that fits millions of per-entity models at 100 TB."""
-    li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    # complete-case contract, explicit on BOTH engines: avg/count over
+    # rows where either variable is NULL would diverge from the
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
+    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
     agg = li.groupBy("l_returnflag").agg(
         F.covar_samp(x, y).alias("sxy"),
         F.var_samp(x).alias("sxx"),

@@ -287,8 +287,13 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetition filters an LM data pipeline applies before the expensive
     dedup passes. Pure array expressions (split → array_distinct /
     sort + run-length fold for the top-word share), zero shuffle: every
-    ratio is computed inside one stage per row."""
-    d = load(spark, sf_dir, "documents")
+    ratio is computed inside one stage per row.
+
+    NULL text is out of scope on BOTH engines: the oracle's per-token
+    aggregate emits no rows for it (unnest of a NULL split), while
+    Spark's size(split(NULL)) = -1 would fabricate ratios — the
+    pushed-down not-null filter aligns the row sets."""
+    d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(F.lower(F.trim(F.col("text"))), " ")
     # counts once per row, ratios from the columns (each reference of a
     # shared expression re-evaluates the split under interpreted HOFs)

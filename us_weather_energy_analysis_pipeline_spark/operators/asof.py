@@ -54,13 +54,27 @@ def asof_join_backward(
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Carry ONE struct per right ROW, not per-column lasts: a right row
+    # whose value column is NULL must still be "the most recent right
+    # row" (ASOF matches rows, values ride along) — per-column
+    # last(ignorenulls) would skip it and stitch together values from
+    # DIFFERENT right rows. The struct is non-null exactly for
+    # right-side rows, so ignorenulls keys on row presence alone.
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+            F.col("__r_ts").alias("__ts"),
+        ),
+    )
     carried = unioned.select(
         *lcols,
         "__side",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in right_value_cols
-        ],
-        F.last("__r_ts", ignorenulls=True).over(w).alias(f"{ts_col}{suffix}"),
+        F.last(payload, ignorenulls=True).over(w).alias("__car"),
+    ).select(
+        *lcols,
+        "__side",
+        *[F.col("__car")[c].alias(f"{c}{suffix}") for c in right_value_cols],
+        F.col("__car")["__ts"].alias(f"{ts_col}{suffix}"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side")

@@ -50,14 +50,42 @@ def fake_decode_meta(blobs: DataFrame) -> DataFrame:
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hexes = [hashlib.md5(p).hexdigest() for p in pdf["payload"]]
+            # NULL payload → NULL meta fields, row preserved — the same
+            # "undecodable yields nulls, never crashes the task" contract
+            # decode_image has (and what the oracle's md5(NULL) emits);
+            # nullable Int64 arrays keep the Arrow schema integral.
+            hexes = [
+                None if p is None else hashlib.md5(p).hexdigest()
+                for p in pdf["payload"]
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                    "width": [64 + int(h[0:4], 16) % 960 for h in hexes],
-                    "height": [64 + int(h[4:8], 16) % 960 for h in hexes],
-                    "n_frames": [1 + int(h[8:10], 16) % 30 for h in hexes],
+                    "n_bytes": pd.array(
+                        [None if p is None else len(p) for p in pdf["payload"]],
+                        dtype="Int64",
+                    ),
+                    "width": pd.array(
+                        [
+                            None if h is None else 64 + int(h[0:4], 16) % 960
+                            for h in hexes
+                        ],
+                        dtype="Int64",
+                    ),
+                    "height": pd.array(
+                        [
+                            None if h is None else 64 + int(h[4:8], 16) % 960
+                            for h in hexes
+                        ],
+                        dtype="Int64",
+                    ),
+                    "n_frames": pd.array(
+                        [
+                            None if h is None else 1 + int(h[8:10], 16) % 30
+                            for h in hexes
+                        ],
+                        dtype="Int64",
+                    ),
                 }
             )
 
