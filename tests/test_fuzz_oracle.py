@@ -146,6 +146,46 @@ def test_null_injected_tables_match_oracle_full_corpus(spark, tmp_path):
     assert _check(spark, str(out), sorted(REGISTRY)) == []
 
 
+UNICODE_TEXTS = [
+    "İstanbul LIKES capital İ and dotless ı",
+    "straße STRASSE ß sharp s",
+    "emoji 🎉 mixed with ascii words",
+    "ΣΙΣΥΦΟΣ greek final sigma ς σ",
+    "café CAFÉ composed é combining",
+    "ＦＵＬＬＷＩＤＴＨ latin",
+    "tab\tand  double  space edge",
+    "plain ascii words repeated words repeated",
+]
+
+
+def test_unicode_text_matches_oracle_full_corpus(spark, tmp_path):
+    """Adversarial Unicode in documents.text, then the ENTIRE corpus
+    against its oracles. Engine-native lower() makes fingerprints
+    ENGINE-SPECIFIC (JVM maps 'İ' to i+combining-dot and final Σ
+    contextually; DuckDB's utf8proc does neither) — this fuzz drove the
+    round-4 switch to ascii_lower (translate over [A-Z], bit-identical
+    everywhere), the encode() BLOB oracles, and the ASCII guard on
+    levenshtein (whose unit is engine-defined for non-ASCII)."""
+    _ensure_loaded()
+    out = tmp_path / "unifuzz"
+    out.mkdir()
+    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    pdf = base.to_pandas()
+    for i, t in enumerate(UNICODE_TEXTS):
+        pdf.loc[i % len(pdf), "text"] = t
+    pq.write_table(
+        pa.Table.from_pandas(pdf, schema=base.schema, preserve_index=False),
+        str(out / "documents.parquet"),
+    )
+    for t in TABLES:
+        if t != "documents":
+            pq.write_table(
+                pq.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+                str(out / f"{t}.parquet"),
+            )
+    assert _check(spark, str(out), sorted(REGISTRY)) == []
+
+
 def test_empty_documents_table_matches_oracle(spark, tmp_path):
     """Empty-input parity for the documents family — the grouping-sets
     phantom-row class of bug (fixed in r4) but for the text pipeline."""

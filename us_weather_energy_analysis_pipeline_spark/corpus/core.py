@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+
 from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
@@ -795,9 +797,9 @@ def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "regexp_normalize",
     oracle="""
     SELECT doc_id,
-           regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', '', 'g')      AS text_clean,
-           regexp_replace(lower(trim(text)), ' +', ' ', 'g')              AS text_onespace,
-           md5(regexp_replace(lower(trim(text)), '[^a-z0-9 ]+', '', 'g')) AS clean_fp
+           regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]+', '', 'g')      AS text_clean,
+           regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' +', ' ', 'g')              AS text_onespace,
+           md5(regexp_replace(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), '[^a-z0-9 ]+', '', 'g')) AS clean_fp
     FROM documents
     """,
     tags=("text", "regexp", "normalize"),
@@ -807,7 +809,7 @@ def regexp_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace) + normalized fingerprint — the canonicalization step ahead
     of exact dedup; pure codegen regexp_replace."""
     d = load(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    norm = ascii_lower(F.trim(F.col("text")))
     clean = F.regexp_replace(norm, "[^a-z0-9 ]+", "")
     return d.select(
         "doc_id",

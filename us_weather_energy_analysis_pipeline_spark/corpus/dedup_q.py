@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import ordered_pairs
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower, ordered_pairs
 from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 SHINGLE_K = 3  # words per shingle
@@ -48,7 +48,7 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
     Per-doc dedup is ``array_distinct`` MAP-SIDE (every doc's shingles
     sit in one row pre-explode), not a ``.distinct()`` — that removes an
     entire shingle-index exchange from the plan."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col(text_col))), " ")
     base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
     idx = F.sequence(F.lit(0), F.size("t") - k)
     shingles = F.array_distinct(
@@ -80,7 +80,7 @@ def capped_shingles(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
     "dedup_exact",
     oracle="""
     WITH fp AS (
-      SELECT doc_id, md5(lower(trim(text))) AS fingerprint FROM documents
+      SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fingerprint FROM documents
     )
     SELECT fingerprint,
            MIN(doc_id) AS canonical_doc_id,
@@ -95,7 +95,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest. One shuffle on the digest; at scale the digest groupBy is
     near-perfectly distributed (hash keys)."""
     d = load(spark, sf_dir, "documents")
-    fp = d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    fp = d.select("doc_id", F.md5(ascii_lower(F.trim(F.col("text")))).alias("fingerprint"))
     return fp.groupBy("fingerprint").agg(
         F.min("doc_id").alias("canonical_doc_id"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -107,7 +107,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_ngram_jaccard",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t FROM documents
     ),
     all_shingles AS (
       SELECT DISTINCT doc_id,
@@ -241,7 +241,7 @@ def _minhash_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> st
     )
     return f"""
     toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t FROM documents
     ),
     shingles AS (
       SELECT doc_id, array_to_string(t[i:i+{shingle_k - 1}], ' ') AS shingle
@@ -319,7 +319,7 @@ def _simhash_sql_core() -> str:
     fp = " + ".join(f"(CASE WHEN s{p} >= 0 THEN {2**p} ELSE 0 END)" for p in range(32))
     return f"""
     toks AS (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok FROM documents
+      SELECT doc_id, unnest(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok FROM documents
     ),
     hashed AS (SELECT doc_id, CAST({hv} AS BIGINT) AS hv
                FROM (SELECT doc_id, md5(tok) AS h FROM toks)),
@@ -376,7 +376,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_assign",
     oracle=f"""
     WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(lower(trim(text)), ' ') AS t FROM documents
+      SELECT doc_id, string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t FROM documents
     ),
     all_shingles AS (
       SELECT DISTINCT doc_id,
@@ -441,12 +441,16 @@ def dedup_cluster_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_edit_distance",
     oracle="""
     WITH docs AS (
-      SELECT doc_id, substr(lower(trim(text)), 1, 80) AS head
+      SELECT doc_id, substr(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, 80) AS head
       FROM documents WHERE doc_id < 30
-    )
+    ),
+    -- ASCII guard: levenshtein units are engine-defined for non-ASCII
+    -- (DuckDB counts BYTES, Spark counts UTF-16 units); restrict to
+    -- heads where they provably agree, identically on both engines
+    ascii AS (SELECT * FROM docs WHERE octet_length(encode(head)) = length(head))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.head, b.head) AS BIGINT) AS edit_dist
-    FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+    FROM ascii a JOIN ascii b ON a.doc_id < b.doc_id
     WHERE levenshtein(a.head, b.head) <= 40
     """,
     tags=("dedup", "edit-distance", "levenshtein"),
@@ -455,11 +459,15 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup detection on document heads (bounded slice —
     Levenshtein is O(len²) per pair, so at scale it is the VERIFY step on
     LSH candidates, never a full pairwise pass; the bounded head is the
-    standard trick to cap the cost)."""
+    standard trick to cap the cost). Non-ASCII heads are excluded on
+    BOTH engines — levenshtein's unit is engine-defined there (DuckDB
+    bytes, Spark UTF-16 units), so cross-engine distances only agree on
+    single-byte text."""
     d = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < 30)
-        .select("doc_id", F.substring(F.lower(F.trim(F.col("text"))), 1, 80).alias("head"))
+        .select("doc_id", F.substring(ascii_lower(F.trim(F.col("text"))), 1, 80).alias("head"))
+        .filter(F.octet_length("head") == F.length("head"))
     )
     a, b = d.alias("a"), d.alias("b")
     dist = F.levenshtein(F.col("a.head"), F.col("b.head")).cast("long")

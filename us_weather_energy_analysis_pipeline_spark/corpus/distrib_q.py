@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.operators.rank import (
@@ -355,7 +357,7 @@ def chi2_weekday_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH words AS (
       SELECT doc_id,
              list_filter(string_split_regex(
-               lower(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g')), ' +'),
+               translate(regexp_replace(text, '[^a-zA-Z ]', ' ', 'g'), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' +'),
                w -> w <> '') AS ws
       FROM documents
     ),
@@ -387,7 +389,7 @@ def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     final top-k is a TakeOrdered (no global sort materialization)."""
     d = load(spark, sf_dir, "documents")
     ws = F.filter(
-        F.split(F.lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " +"),
+        F.split(ascii_lower(F.regexp_replace("text", "[^a-zA-Z ]", " ")), " +"),
         lambda w: w != "",
     )
     # adjacent pairs zipped from the array itself: ws[i] + ' ' + ws[i+1]

@@ -37,7 +37,7 @@ def _hex2(start: int) -> str:
     "multimodal_blob_stats",
     oracle="""
     SELECT doc_id,
-           octet_length(CAST(text AS BLOB)) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            md5(text)                        AS payload_md5,
            'application/octet-stream'       AS mime
     FROM documents
@@ -64,7 +64,7 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_fake_decode",
     oracle=f"""
-    WITH h AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n_bytes,
+    WITH h AS (SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                       md5(text) AS h FROM documents)
     SELECT doc_id, n_bytes,
            CAST(64 + {_hex4(1)} % 960 AS INTEGER)  AS width,
@@ -168,7 +168,7 @@ def tumbling_window_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT doc_id, text AS p FROM documents
-      WHERE octet_length(CAST(text AS BLOB)) = length(text)  -- ASCII guard:
+      WHERE octet_length(encode(text)) = length(text)  -- ASCII guard:
         -- the oracle slices VARCHAR (DuckDB has no BLOB substring), which is
         -- byte-identical only for 1-byte chars; both engines apply the guard
     ),

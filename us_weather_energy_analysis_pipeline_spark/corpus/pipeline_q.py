@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+
 from us_weather_energy_analysis_pipeline_spark.corpus.dedup_q import _minhash_ctes
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
@@ -33,7 +35,7 @@ EDIT_MAX = 40
 
 def _pipeline_oracle() -> str:
     k = 12
-    head = f"substr(lower(trim(text)), 1, {HEAD_CHARS})"
+    head = f"substr(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), 1, {HEAD_CHARS})"
     return f"""
     WITH RECURSIVE {_minhash_ctes()},
     scored AS (
@@ -92,7 +94,7 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = minhash_near_dups(d, threshold=EST_JACCARD_MIN).select("doc_a", "doc_b")
     heads = d.select(
         "doc_id",
-        F.substring(F.lower(F.trim(F.col("text"))), 1, HEAD_CHARS).alias("head"),
+        F.substring(ascii_lower(F.trim(F.col("text"))), 1, HEAD_CHARS).alias("head"),
     )
     ha, hb = heads.alias("ha"), heads.alias("hb")
     verified = (

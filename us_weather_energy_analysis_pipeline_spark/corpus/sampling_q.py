@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    ascii_lower,
     top_token_count,
     ws_token_count,
 )
@@ -105,8 +106,8 @@ MIN_ALPHA_RATIO = 0.6
     oracle=f"""
     WITH m AS (
       SELECT doc_id,
-             len(string_split(lower(trim(text)), ' ')) AS n_words,
-             len(list_distinct(string_split(lower(trim(text)), ' '))) AS n_distinct,
+             len(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n_words,
+             len(list_distinct(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))) AS n_distinct,
              length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) * 1.0
                / GREATEST(length(text), 1) AS alpha_ratio
       FROM documents
@@ -115,7 +116,7 @@ MIN_ALPHA_RATIO = 0.6
       SELECT doc_id, MAX(cnt) * 1.0 / SUM(cnt) AS top_ratio
       FROM (
         SELECT doc_id, word, COUNT(*) AS cnt
-        FROM (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS word
+        FROM (SELECT doc_id, unnest(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS word
               FROM documents)
         GROUP BY doc_id, word
       ) GROUP BY doc_id
@@ -152,7 +153,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # size(split(NULL)) = -1 would silently flag them fail_length —
     # a pushed-down not-null filter aligns the row sets.
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     # Layered projections so each expensive expression evaluates ONCE:
     # CollapseProject refuses to inline a non-cheap alias referenced more
     # than once, so `t` (the split) and `n_words` become attributes — the

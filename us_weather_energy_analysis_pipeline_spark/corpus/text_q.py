@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    ascii_lower,
     top_token_count,
     ws_token_count,
 )
@@ -58,8 +59,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(text)))                            AS fp_full,
-           md5(array_to_string(list_sort(list_distinct(string_split(lower(trim(text)), ' '))), ' '))
+           md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'))                            AS fp_full,
+           md5(array_to_string(list_sort(list_distinct(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '))), ' '))
                                                              AS fp_bag,
            length(text)                                      AS n_chars
     FROM documents
@@ -71,7 +72,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     bag-of-words hash (sorted distinct tokens) — the cheap first pass of a
     dedup cascade."""
     d = load(spark, sf_dir, "documents")
-    norm = F.lower(F.trim(F.col("text")))
+    norm = ascii_lower(F.trim(F.col("text")))
     bag = F.array_join(F.array_sort(F.array_distinct(F.split(norm, " "))), " ")
     return d.select(
         "doc_id",
@@ -87,8 +88,8 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH feat AS (
       SELECT doc_id, lang,
              length(text) AS n_chars,
-             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
-             len(list_filter(string_split(lower(trim(text)), ' '),
+             len(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n_tokens,
+             len(list_filter(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                  t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
                AS n_stop,
              len(regexp_extract_all(text, '[^a-z0-9 ]')) AS n_punct
@@ -111,7 +112,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios) with a keep/drop flag — the standard pre-training corpus filter,
     as a pure columnar expression."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     # raw counts once per row; the ratios and keep_flag derive from the
     # COLUMNS in a second projection — inlining them would re-evaluate
     # the split and the interpreted stopword filter once per reference
@@ -151,8 +152,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH feat AS (
       SELECT doc_id, lang,
-             len(string_split(lower(trim(text)), ' ')) AS n_tokens,
-             len(list_filter(string_split(lower(trim(text)), ' '),
+             len(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS n_tokens,
+             len(list_filter(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' '),
                  t -> list_contains(['the','a','of','to','and','in','is','it'], t)))
                AS n_en
       FROM documents
@@ -170,7 +171,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     On the synthetic corpus it demonstrates the machinery (deterministic
     Spark↔oracle agreement), not real LID accuracy."""
     d = load(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     # counts in one projection, the decision from the columns (each
     # reference of a shared expression re-evaluates the split under
     # interpreted HOFs — same fix as text_quality_score)
@@ -193,7 +194,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_tfidf_topk",
     oracle="""
     WITH tok AS (
-      SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS tok
+      SELECT doc_id, unnest(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
       FROM documents
     ),
     tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
@@ -226,7 +227,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), " ")).alias("tok"),
+        F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok"),
     )
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("docfreq"))
@@ -261,7 +262,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(text)), ' ') AS t
+             string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ') AS t
       FROM documents
     ),
     counted AS (
@@ -294,7 +295,7 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's size(split(NULL)) = -1 would fabricate ratios — the
     pushed-down not-null filter aligns the row sets."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     # counts once per row, ratios from the columns (each reference of a
     # shared expression re-evaluates the split under interpreted HOFs)
     feat = d.select(
@@ -344,7 +345,7 @@ def corpus_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontamination_check",
     oracle="""
     WITH fp AS (
-      SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents
+      SELECT doc_id, md5(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz')) AS fp FROM documents
     ),
     eval_set AS (SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0),
     train AS (SELECT doc_id, fp FROM fp WHERE doc_id % 97 <> 0)
@@ -372,7 +373,7 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     fp = cache.track(
-        d.select("doc_id", F.md5(F.lower(F.trim(F.col("text")))).alias("fp"))
+        d.select("doc_id", F.md5(ascii_lower(F.trim(F.col("text")))).alias("fp"))
     )
     eval_set = fp.filter(F.col("doc_id") % 97 == 0).select("fp").distinct()
     train = fp.filter(F.col("doc_id") % 97 != 0)

@@ -73,3 +73,26 @@ def ordered_pairs(arr_col: str, a_name: str, b_name: str) -> Column:
         f"transform(slice({arr_col}, i + 2, size({arr_col})), "
         f"y -> struct(x AS {a_name}, y AS {b_name}))))"
     )
+
+
+ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col: Column) -> Column:
+    """ASCII-only lowercasing for dedup/fingerprint normalization.
+
+    Full Unicode case folding is locale- and engine-dependent (JVM maps
+    'İ' to 'i'+combining-dot and final 'Σ' context-sensitively;
+    DuckDB's utf8proc does neither), so engine-native lower() makes
+    content fingerprints ENGINE-SPECIFIC — found by the unicode fuzz.
+    A translate over [A-Z] is bit-identical everywhere, and leaving
+    non-ASCII untouched is the conventional choice for cross-system
+    dedup normalization. SQL twin: :func:`ascii_lower_sql`."""
+    return F.translate(col, ASCII_UP, ASCII_LO)
+
+
+def ascii_lower_sql(expr: str) -> str:
+    """The exact SQL twin of :func:`ascii_lower` — valid in both Spark
+    SQL and DuckDB (same translate signature)."""
+    return f"translate({expr}, '{ASCII_UP}', '{ASCII_LO}')"

@@ -22,6 +22,8 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+
 MINHASH_K = 12
 LSH_BANDS = 4  # 4 bands × 3 rows
 SIMHASH_BITS = 32
@@ -54,7 +56,7 @@ def word_shingles(
     """(doc_id, shingle) pairs — k-word shingles of lowercased text.
     ``dedupe=False`` skips the distinct (a full shuffle): correct whenever
     the consumer is duplicate-insensitive, e.g. MinHash's min()."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), " ")
+    toks = F.split(ascii_lower(F.trim(F.col(text_col))), " ")
     base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
     idx = F.sequence(F.lit(0), F.size("t") - k)
     shingles = F.transform(idx, lambda i: F.array_join(F.slice("t", i + 1, k), " "))
@@ -223,7 +225,7 @@ def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
     # sf0.1 (1.55 s → 0.53 s for the full pass) — the projection feeding
     # the hash-agg is a plain `& 1` mask instead of an affine map.
     per_tok = df.selectExpr(
-        "doc_id", f"explode(split(lower(trim({text_col})), ' ')) AS tok"
+        "doc_id", f"explode(split(translate(trim({text_col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok"
     ).selectExpr(
         "doc_id", "cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS hv"
     )
