@@ -192,8 +192,12 @@ def ngram_jaccard_pairs(
     sh = cache.track(capped_shingles(word_shingles(d), cap))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
+        # collect_set, not collect_list: (doc, shingle) rows are unique
+        # by construction (per-doc array_distinct + unique doc_ids), but
+        # a duplicate slipping through a changed upstream would turn
+        # into a nonsense self-pair — the set dedup is free at ≤cap rows
         sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = (
