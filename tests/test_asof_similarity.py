@@ -272,3 +272,27 @@ def test_fp32_pack_path_matches_fp64(emb):
         ).collect()
     }
     assert c32 == c64 and len(c32) > 0
+
+
+def test_asof_null_right_ts_never_matches(spark):
+    """A right row with NULL ts can never satisfy r.ts <= l.ts (SQL ASOF
+    never matches it), but an ASC sort would place it NULLS FIRST ahead
+    of every left row — the operator must drop it, not adopt it as the
+    'most recent' match (found by review after the null fuzz)."""
+    import datetime as dt
+
+    T = dt.datetime
+    left = spark.createDataFrame(
+        [(1, 10, T(2024, 1, 1, 9, 0))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(10, None, 5.0), (10, T(2024, 1, 1, 8, 0), 7.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    rows = asof_join_backward(left, right, ["user_id"], "ts", ["value"]).collect()
+    assert len(rows) == 1
+    assert rows[0]["value_asof"] == 7.0  # the real prior row, not the NULL-ts one
+    # and with ONLY a NULL-ts right row: no match at all
+    only_null = right.filter(F.col("ts").isNull())
+    rows2 = asof_join_backward(left, only_null, ["user_id"], "ts", ["value"]).collect()
+    assert rows2[0]["value_asof"] is None and rows2[0]["ts_asof"] is None

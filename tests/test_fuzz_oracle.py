@@ -16,6 +16,8 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
+from conftest import SF_DIR
+
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
     TABLES,
@@ -77,7 +79,7 @@ def _make_dir(tmp_path, seed: int, frac: float, empty: tuple[str, ...] = ()) -> 
     out = tmp_path / f"fuzz{seed}"
     out.mkdir()
     for t in TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
         if t in empty:
             tbl = tbl.slice(0, 0)
         else:
@@ -132,7 +134,7 @@ def test_null_injected_tables_match_oracle_full_corpus(spark, tmp_path):
     out = tmp_path / "nullfuzz"
     out.mkdir()
     for t in TABLES:
-        tbl = pq.read_table(f"/root/testdata/sf0.001/{t}.parquet")
+        tbl = pq.read_table(f"{SF_DIR}/{t}.parquet")
         for cname in NULL_COLS.get(t, []):
             i = tbl.schema.get_field_index(cname)
             col = tbl.column(i).combine_chunks()
@@ -169,7 +171,7 @@ def test_unicode_text_matches_oracle_full_corpus(spark, tmp_path):
     _ensure_loaded()
     out = tmp_path / "unifuzz"
     out.mkdir()
-    base = pq.read_table("/root/testdata/sf0.001/documents.parquet")
+    base = pq.read_table(f"{SF_DIR}/documents.parquet")
     pdf = base.to_pandas()
     for i, t in enumerate(UNICODE_TEXTS):
         pdf.loc[i % len(pdf), "text"] = t
@@ -180,7 +182,7 @@ def test_unicode_text_matches_oracle_full_corpus(spark, tmp_path):
     for t in TABLES:
         if t != "documents":
             pq.write_table(
-                pq.read_table(f"/root/testdata/sf0.001/{t}.parquet"),
+                pq.read_table(f"{SF_DIR}/{t}.parquet"),
                 str(out / f"{t}.parquet"),
             )
     assert _check(spark, str(out), sorted(REGISTRY)) == []

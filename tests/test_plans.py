@@ -275,3 +275,29 @@ def test_cosine_pair_dedup_no_driver_collect(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "FlatMapGroupsInPandas" in plan  # the block packer
     assert "CollectLimit" not in plan
+
+
+def test_ascii_fold_literals_match_canonical():
+    """Every hand-inlined translate(..., 'A..Z', 'a..z') fold in the
+    corpus/operator sources (oracle SQL strings can't call the helper)
+    must use EXACTLY functions.text.ASCII_UP/ASCII_LO — one pasted-
+    alphabet typo would silently break Spark-oracle fingerprint parity
+    for a single query."""
+    import glob
+    import re
+
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ASCII_LO,
+        ASCII_UP,
+        ascii_lower_sql,
+    )
+
+    assert ascii_lower_sql("x") == f"translate(x, '{ASCII_UP}', '{ASCII_LO}')"
+    pat = re.compile(r"translate\([^,]+,\s*'([A-Z]+)',\s*'([a-z]+)'\)")
+    pkg = "us_weather_energy_analysis_pipeline_spark"
+    hits = 0
+    for path in glob.glob(f"{pkg}/**/*.py", recursive=True):
+        for up, lo in pat.findall(open(path).read()):
+            hits += 1
+            assert up == ASCII_UP and lo == ASCII_LO, path
+    assert hits >= 15  # the fold appears across the text/dedup corpus

@@ -37,7 +37,11 @@ def asof_join_backward(
         tagged_l = tagged_l.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
     tagged_l = tagged_l.withColumn("__r_ts", F.lit(None).cast(dict(right.dtypes)[ts_col]))
 
-    tagged_r = right.select(
+    # A NULL-ts right row can never satisfy r.ts <= l.ts (SQL ASOF joins
+    # never match it), but the ASC sort would place it NULLS FIRST —
+    # ahead of every left row — and the carry would adopt it as the
+    # "most recent" match. Drop such rows up front.
+    tagged_r = right.filter(F.col(ts_col).isNotNull()).select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("__side"),
