@@ -115,8 +115,11 @@ def main() -> None:
     # Full per-query detail goes to a file; the printed line must stay SHORT
     # (the driver tail-captures stdout — a 106-key JSON line gets truncated
     # and recorded as parsed:null, which is what happened in round 1).
+    # sf0.1 is the recorded headline artifact; smoke runs at other SFs
+    # write a suffixed file so they can't clobber the committed record
+    detail_name = "BENCH_DETAIL.json" if sf == 0.1 else f"BENCH_DETAIL_sf{sf}.json"
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as f:
         json.dump(
@@ -157,7 +160,7 @@ def main() -> None:
                 "total_jobs": total_jobs,
                 "value_floor_adjusted": floor_adj,
                 "value_floor_adjusted_jobs": floor_adj_jobs,
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
             }
         )
     )
