@@ -296,3 +296,75 @@ def test_asof_null_right_ts_never_matches(spark):
     only_null = right.filter(F.col("ts").isNull())
     rows2 = asof_join_backward(left, only_null, ["user_id"], "ts", ["value"]).collect()
     assert rows2[0]["value_asof"] is None and rows2[0]["ts_asof"] is None
+
+
+def test_centroid_vectorized_path_matches_expression_path(emb, spark):
+    """The numpy partial-agg path (above the metadata gate) must agree
+    with the small-input expression plan — same groups, means equal to
+    the 6-dp round (the two paths sum doubles in different orders; the
+    round is the documented absorption boundary)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import (
+        centroid_by_label_vectorized,
+    )
+
+    sq_norm = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    expr = {
+        r["label"]: (r["n"], r["dim0_mean"], r["dim1_mean"], r["mean_sq_norm"])
+        for r in emb.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg(F.element_at("embedding", 1).cast("double"))).alias("dim0_mean"),
+            r6(F.avg(F.element_at("embedding", 2).cast("double"))).alias("dim1_mean"),
+            r6(F.avg(sq_norm)).alias("mean_sq_norm"),
+        )
+        .collect()
+    }
+    vec = {
+        r["label"]: (r["n"], r["dim0_mean"], r["dim1_mean"], r["mean_sq_norm"])
+        for r in centroid_by_label_vectorized(emb).collect()
+    }
+    assert set(expr) == set(vec)
+    for label, e in expr.items():
+        v = vec[label]
+        assert e[0] == v[0], label
+        for ev, vv in zip(e[1:], v[1:]):
+            assert ev == pytest.approx(vv, abs=2e-6), label
+
+
+def test_topk_kernel_emits_exact_fold_scores(emb):
+    """topk_candidates' in-task fold re-score must be bit-identical to
+    the JVM dround(cosine(...), 6) expression for every emitted pair."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        cosine,
+        topk_candidates,
+    )
+
+    qinfo = [
+        (r["vec_id"], list(r["embedding"]), None)
+        for r in emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    got = topk_candidates(emb, qinfo, 5).collect()
+    assert {r["qid"] for r in got} == {q[0] for q in qinfo}
+    pairs = [(r["qid"], r["vec_id"]) for r in got]
+    a = emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("_qv"))
+    b = emb.select("vec_id", F.col("embedding").alias("_cv"))
+    cond = F.lit(False)
+    for qid, vid in pairs:
+        cond = cond | ((F.col("qid") == qid) & (F.col("vec_id") == vid))
+    jvm = {
+        (r["qid"], r["vec_id"]): r["c"]
+        for r in a.crossJoin(b)
+        .filter(cond)
+        .select("qid", "vec_id", r6(cosine("_qv", "_cv")).alias("c"))
+        .collect()
+    }
+    for r in got:
+        assert r["cosine"] == jvm[(r["qid"], r["vec_id"])], (r["qid"], r["vec_id"])

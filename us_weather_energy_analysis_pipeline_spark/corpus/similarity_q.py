@@ -1,23 +1,26 @@
 """Similarity-search corpus over ``embeddings`` (array<float>, 64-dim).
 
-Brute-force cosine top-k is the exact baseline: broadcast the (small) query
-set, one scan of the corpus, per-query top-k via window rank on the ROUNDED
-score so ranking is deterministic across engines. The dot product is a
-native higher-order function (``zip_with`` + ``aggregate``) — JVM-side, no
-Python. The sub-linear scale paths (IVF cells, hyperplane-LSH buckets)
-live in ``operators/similarity.py`` and appear below as
-``embed_ivf_topk`` / ``embed_lsh_bucket_topk``.
+Brute-force cosine top-k is the exact baseline: one vectorized kernel pass
+over the corpus (``operators/similarity.topk_candidates`` — BLAS pre-rank
+per Arrow batch, exact sequential-fold re-score of the margin candidates),
+per-query top-k via window rank on the ROUNDED score so ranking is
+deterministic across engines. The sub-linear scale paths (IVF cells,
+hyperplane-LSH buckets) share the kernel and appear below as
+``embed_ivf_topk`` / ``embed_lsh_bucket_topk``. Per-row vector transforms
+(int8 quantization, centroid partials) run as numpy ``mapInPandas`` with
+binary-round twins — the interpreted higher-order-function forms benched
+9–15× DuckDB (VERDICT r4).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
-    cosine,  # noqa: F401 — re-exported: the corpus-level vector helpers
+from us_weather_energy_analysis_pipeline_spark.operators.similarity import (  # noqa: F401
+    cosine,  # re-exported: the corpus-level vector helpers (bounded-relation use)
     dot,
     norm,
 )
@@ -49,41 +52,29 @@ TOP_K = 5
     tags=("similarity", "ann", "topk"),
 )
 def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k (the exact ANN baseline): broadcast the
-    query block, scan the corpus once, rank per query on the rounded score
-    with vec_id tie-break. At scale: corpus-partition-parallel with a
-    per-partition partial top-k folded by the final window."""
+    """Brute-force cosine top-k (the exact ANN baseline): collect the
+    bounded query block, ONE vectorized kernel pass over the corpus
+    (BLAS pre-rank per Arrow batch + exact fold re-score of the margin
+    candidates — operators/similarity.topk_candidates), rank on the
+    rounded score with vec_id tie-break. At scale: corpus-partition-
+    parallel partial top-k folded by the final window over candidates
+    only. Replaced the interpreted zip_with/aggregate pair loop that
+    benched 13.9× DuckDB (VERDICT r4)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        topk_candidates,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qv"),
-            norm("embedding").alias("_qn"),
-        )
-    )
-    scored = (
-        F.broadcast(q)
-        .crossJoin(emb.withColumn("_vn", norm("embedding")))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            "label",
-            # norms hoisted to per-row projections: per-pair work is only
-            # the dot fold — bit-identical quotient, ~3× less interpreted
-            # HOF evaluation (these expressions run outside codegen)
-            r6(dot("qv", "embedding") / (F.col("_qn") * F.col("_vn"))).alias(
-                "cosine"
-            ),
-        )
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("qid", "vec_id", "label", "cosine", "rnk")
-    )
+    qinfo = [
+        (r["vec_id"], list(r["embedding"]), None)
+        for r in emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()
+        if r["vec_id"] is not None and r["embedding"] is not None
+    ]
+    return topk_candidates(
+        emb, qinfo, TOP_K, passthrough=(("label", "int"),)
+    ).select("qid", "vec_id", "label", "cosine", "rnk")
 
 
 @register(
@@ -102,18 +93,108 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid summary (the reduce step of IVF coarse
-    quantization): element means + mean squared norm, all native exprs."""
+    quantization): element means + mean squared norm.
+
+    Metadata-gated hybrid (both paths oracle-green, chosen per input size
+    with NO extra job — ``inputFiles`` is driver-side FileIndex metadata):
+
+    - small inputs (< ``_CENTROID_GATE_BYTES``): native expression plan —
+      the per-row HOF squared-norm fold costs ~μs/row, far below the
+      measured ~0.2 s per-Python-stage floor (identity ``mapInPandas``
+      A/B, BENCH_NOTES), so staying JVM-side is strictly faster;
+    - above the gate: vectorized map-side partial aggregation — one
+      ``mapInPandas`` pass emits per-(batch, label) partial sums/counts
+      in numpy, the JVM groupBy folds them. Classic partial-agg shape,
+      one shuffle of O(labels × batches) rows; the per-row BLAS vs HOF
+      fold drift (~1e-16 relative) is absorbed by the 6-dp round after
+      the mean — the same accepted reaggregation risk as every
+      distributed double sum in the corpus.
+
+    This is the same adaptive shape AQE applies to join strategy: plan
+    choice from size statistics, identical semantics either way (both
+    branches run in the test suite)."""
     emb = load(spark, sf_dir, "embeddings")
-    sq_norm = F.aggregate(
-        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    if _input_bytes(emb) < _CENTROID_GATE_BYTES:
+        sq_norm = F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return emb.groupBy("label").agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg(F.element_at("embedding", 1).cast("double"))).alias("dim0_mean"),
+            r6(F.avg(F.element_at("embedding", 2).cast("double"))).alias("dim1_mean"),
+            r6(F.avg(sq_norm)).alias("mean_sq_norm"),
+        )
+    return centroid_by_label_vectorized(emb)
+
+
+_CENTROID_GATE_BYTES = 32 << 20  # ~500k vectors; HOF μs/row × n < python-stage floor
+
+
+def _input_bytes(df: DataFrame) -> int:
+    """Total size of the scan's input files — FileIndex metadata, no job.
+    Returns a large sentinel when the plan has no file inputs (e.g. an
+    in-memory fixture), so synthetic tests exercise the distributed path."""
+    import os
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 1 << 60
+    if not files:
+        return 1 << 60
+    total = 0
+    for f in files:
+        p = f.removeprefix("file:")
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return 1 << 60
+    return total
+
+
+def centroid_by_label_vectorized(emb: DataFrame) -> DataFrame:
+    """The above-the-gate path of ``embed_centroid_by_label`` — numpy
+    map-side partial aggregation, exported so tests and scale probes can
+    force it regardless of input size."""
+
+    def partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for label, g in pdf.groupby("label", dropna=False, sort=False):
+                ok = g["embedding"].notna()
+                cnt = int(ok.sum())
+                if cnt:
+                    V = np.vstack(
+                        [np.asarray(v, dtype=np.float64) for v in g["embedding"][ok]]
+                    )
+                    s0, s1 = float(V[:, 0].sum()), float(V[:, 1].sum())
+                    ssq = float((V * V).sum())
+                else:
+                    s0 = s1 = ssq = 0.0
+                rows.append(
+                    (None if pd.isna(label) else int(label), len(g), cnt, s0, s1, ssq)
+                )
+            yield pd.DataFrame(
+                rows, columns=["label", "n", "cnt", "s0", "s1", "ssq"]
+            )
+
+    part = emb.select("label", "embedding").mapInPandas(
+        partials, "label int, n long, cnt long, s0 double, s1 double, ssq double"
     )
-    return emb.groupBy("label").agg(
-        F.count(F.lit(1)).alias("n"),
-        r6(F.avg(F.element_at("embedding", 1).cast("double"))).alias("dim0_mean"),
-        r6(F.avg(F.element_at("embedding", 2).cast("double"))).alias("dim1_mean"),
-        r6(F.avg(sq_norm)).alias("mean_sq_norm"),
+    cnt = F.sum("cnt")
+    mean = lambda s: F.when(cnt > 0, F.sum(s) / cnt)  # noqa: E731 — avg() twin
+    return part.groupBy("label").agg(
+        F.sum("n").alias("n"),
+        r6(mean("s0")).alias("dim0_mean"),
+        r6(mean("s1")).alias("dim1_mean"),
+        r6(mean("ssq")).alias("mean_sq_norm"),
     )
 
 
@@ -260,19 +341,53 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-vector audit scalars (scale + quantized sum/min/max), which
     hash-certify every element through the sum without comparing raw
     arrays."""
-    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
-
     d = load(spark, sf_dir, "embeddings")
-    e = F.transform("embedding", lambda x: x.cast("double"))
-    amax = F.array_max(F.transform(e, lambda x: F.abs(x)))
-    scale = 127.0 / F.greatest(amax, F.lit(1e-12))
-    base = d.select("vec_id", e.alias("e"), scale.alias("scale"))
-    qv = F.transform("e", lambda x: dround(x * F.col("scale"), 0).cast("long"))
-    q = base.select("vec_id", "scale", qv.alias("qv"))
-    return q.select(
-        "vec_id",
-        r6(F.col("scale")).alias("scale_r"),
-        F.aggregate("qv", F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
-        F.array_min("qv").cast("long").alias("q_min"),
-        F.array_max("qv").cast("long").alias("q_max"),
+
+    def quantize(batches):
+        import math
+
+        import numpy as np
+        import pandas as pd
+
+        def drnd6(x):
+            return math.copysign(1.0, x) * math.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids, scale_r, qs, qmin, qmax = [], [], [], [], []
+            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
+                ids.append(None if pd.isna(vid) else int(vid))
+                if v is None or (isinstance(v, float) and pd.isna(v)):
+                    # legacy null-row semantics: greatest(NULL, 1e-12) →
+                    # 1e-12 floor, quantized stats NULL
+                    scale_r.append(drnd6(127.0 / 1e-12))
+                    qs.append(None), qmin.append(None), qmax.append(None)
+                    continue
+                e = np.asarray(v, dtype=np.float64)
+                if e.size == 0:
+                    # array_max([]) = NULL → 1e-12 floor; empty fold = 0
+                    scale_r.append(drnd6(127.0 / 1e-12))
+                    qs.append(0), qmin.append(None), qmax.append(None)
+                    continue
+                scale = 127.0 / max(float(np.abs(e).max()), 1e-12)
+                x = e * scale
+                # dround(x, 0) twin, elementwise: signum·floor(|x|+0.5)
+                q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+                scale_r.append(drnd6(scale))
+                qs.append(int(q.sum())), qmin.append(int(q.min())), qmax.append(
+                    int(q.max())
+                )
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.array(ids, dtype="Int64"),
+                    "scale_r": scale_r,
+                    "q_sum": pd.array(qs, dtype="Int64"),
+                    "q_min": pd.array(qmin, dtype="Int64"),
+                    "q_max": pd.array(qmax, dtype="Int64"),
+                }
+            )
+
+    return d.select("vec_id", "embedding").mapInPandas(
+        quantize, "vec_id long, scale_r double, q_sum long, q_min long, q_max long"
     )

@@ -12,16 +12,52 @@ sub-linear scale paths.
   code; candidates share the exact code. Planes are deterministic
   (md5-seeded, generated driver-side) so any engine recomputes them.
 
-All dot products are native higher-order functions (zip_with+aggregate) —
-JVM-side, codegen-friendly, no Python in the scoring loop.
+Scoring strategy (round 5): Spark has no vectorized JVM dot product for
+arrays — ``zip_with``/``aggregate`` higher-order functions evaluate
+INTERPRETED, outside whole-stage codegen, and benched 9–14× DuckDB on the
+corpus. All top-k paths therefore score through ONE ``mapInPandas`` corpus
+pass (``topk_candidates``): a float64 numpy matmul pre-ranks each Arrow
+batch, and every emitted candidate is re-scored IN-TASK with the exact
+sequential-fold formula + the binary-round twin, so the output is
+bit-identical to the previous JVM higher-order-function plan (and the
+DuckDB oracle) while the per-pair cost drops to BLAS. The HOF ``dot`` /
+``norm`` / ``cosine`` helpers remain for bounded relations (candidate
+re-scores, broadcast dims) where interpretation cost is irrelevant.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def fold_cosine(va, vb) -> float:
+    """DRIVER-side sequential-fold cosine — bit-identical to the SQL
+    ``cosine()`` expression (zip_with/aggregate fold left-to-right over
+    doubles). Worker-side copies are nested closures (see
+    ``grouped_candidate_pairs`` for why: workers of a foreign driver
+    cannot import this package, closures serialize by value)."""
+    d = 0.0
+    for x, y in zip(va, vb):
+        d = d + x * y
+    na = 0.0
+    for x in va:
+        na = na + x * x
+    nb = 0.0
+    for y in vb:
+        nb = nb + y * y
+    return d / (math.sqrt(na) * math.sqrt(nb))
+
+
+def py_dround(x: float, n: int) -> float:
+    """DRIVER-side twin of ``corpus/_util.dround`` (DuckDB's binary
+    ``std::round``): signum(x)·floor(|x|·10^n + 0.5)/10^n with the same
+    IEEE op order, so Python and the JVM expression emit the same bits."""
+    p = float(10**n)
+    return math.copysign(1.0, x) * math.floor(abs(x) * p + 0.5) / p
 
 
 def dot(a: Column | str, b: Column | str) -> Column:
@@ -38,6 +74,209 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def topk_candidates(
+    corpus: DataFrame,
+    qinfo: list[tuple],
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qid_name: str = "qid",
+    passthrough: tuple[tuple[str, str], ...] = (),
+    match_col: str | None = None,
+    planes: list[list[float]] | None = None,
+    out_match: str | None = None,
+    margin: float = 2e-6,
+) -> DataFrame:
+    """Exact cosine top-k against a small driver-held query block, scored
+    vectorized: ONE ``mapInPandas`` pass over the corpus computes a
+    float64 BLAS score matrix per Arrow batch, keeps each query's batch
+    top-k plus every row within ``margin`` of the k-th score, re-scores
+    those candidates IN-TASK with the sequential-fold cosine + the binary
+    round twin (bit-identical to the JVM ``dround(cosine(...), 6)``
+    expression), and a final window over the tiny candidate set assigns
+    dense ranks. Replaces the interpreted higher-order-function scoring
+    (9–14× DuckDB on the bench) with BLAS while provably preserving the
+    emitted values: a non-candidate's fold score is < (k-th candidate's
+    BLAS score − margin + ~1e-14) < k-th fold score − 1e-6, i.e. strictly
+    below after 6-dp rounding, so the global top-k is always inside the
+    candidate set.
+
+    ``qinfo`` rows are ``(qid, vector, match)`` — ``match`` is the LSH
+    bucket / IVF cell the query probes (None = brute force over all rows).
+    The query block is bounded by the API user (it is collected to the
+    driver and shipped in the task closure), NOT by data size — the
+    corpus side stays fully distributed and the per-partition state is
+    one Arrow batch + the candidate lists.
+
+    Modes: ``planes`` → corpus bucket codes are computed in-kernel
+    (numpy sign bits, refined with the exact fold for any |dot| < 1e-9 so
+    boundary signs match the HOF/oracle codes); ``match_col`` → corpus
+    rows are eligible when their column equals the query's ``match``
+    (IVF cell). Null-vector corpus rows keep their legacy semantics:
+    cosine NULL (ranked last by both engines), bucket 0 under ``planes``
+    (each CASE term falls to ELSE 0). Null ``id_col`` rows are dropped —
+    the legacy ``id != qid`` predicate was never true for them.
+
+    ``passthrough`` is ``((col, ddl_type), ...)`` extra corpus columns
+    carried onto the output (e.g. ``(("label", "int"),)``).
+    Output: ``qid_name, [out_match], id_col, *passthrough, cosine, rnk``.
+    The reference (src/analysis.py — pandas corr/regression only) has no
+    ANN surface; this operator is the brief's training-data-pipeline
+    extension, Spark-first.
+    """
+    from pyspark.sql import Window
+
+    q_ids = [int(q[0]) for q in qinfo]
+    q_vecs = [[float(x) for x in q[1]] for q in qinfo]
+    q_match = [None if q[2] is None else int(q[2]) for q in qinfo]
+    planes_l = (
+        [[float(x) for x in w] for w in planes] if planes is not None else None
+    )
+    pt_cols = [c for c, _ in passthrough]
+    need = list(dict.fromkeys([id_col, vec_col] + pt_cols + ([match_col] if match_col else [])))
+    in_df = corpus.select(*need)
+    out_schema = (
+        f"{qid_name} long"
+        + (f", {out_match} int" if out_match else "")
+        + f", {id_col} long"
+        + "".join(f", {c} {t}" for c, t in passthrough)
+        + ", cosine double"
+    )
+    kk, mg = int(k), float(margin)
+    idc, vc, mc, om = id_col, vec_col, match_col, out_match
+
+    def gen(batches):
+        import math as _m
+
+        import numpy as np
+        import pandas as pd
+
+        if not q_ids:
+            return
+        Q = np.asarray(q_vecs, dtype=np.float64)
+        qn = np.sqrt((Q * Q).sum(axis=1))
+        P = np.asarray(planes_l, dtype=np.float64) if planes_l is not None else None
+        pw = (
+            2 ** np.arange(len(planes_l), dtype=np.int64)
+            if planes_l is not None
+            else None
+        )
+
+        def fold_cos(va, vb):
+            d = 0.0
+            for x, y in zip(va, vb):
+                d = d + x * y
+            na = 0.0
+            for x in va:
+                na = na + x * x
+            nb = 0.0
+            for y in vb:
+                nb = nb + y * y
+            den = _m.sqrt(na) * _m.sqrt(nb)
+            return d / den if den != 0.0 else None  # zero-norm → NULL score
+
+        def fold_code(va):
+            code = 0
+            for p_i, w in enumerate(planes_l):
+                d = 0.0
+                for x, y in zip(va, w):
+                    d = d + x * y
+                if d >= 0:
+                    code += 2**p_i
+            return code
+
+        def drnd6(x):
+            return _m.copysign(1.0, x) * _m.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_raw, vec_raw = pdf[idc], pdf[vc]
+            id_ok = ids_raw.notna().to_numpy()
+            v_ok = vec_raw.notna().to_numpy()
+            vi = np.flatnonzero(id_ok & v_ok)
+            ni = np.flatnonzero(id_ok & ~v_ok)
+            rows: list[tuple] = []  # (qid, match, id, *pt, cosine)
+
+            def emit(qi, pos, cos):
+                rows.append(
+                    (q_ids[qi], q_match[qi], int(ids_raw.iloc[pos]))
+                    + tuple(pdf[c].iloc[pos] for c in pt_cols)
+                    + (cos,)
+                )
+
+            if vi.size:
+                V = np.vstack(
+                    [np.asarray(v, dtype=np.float64) for v in vec_raw.iloc[vi]]
+                )
+                vnorm = np.sqrt((V * V).sum(axis=1))
+                vids = ids_raw.iloc[vi].to_numpy(dtype=np.int64)
+                codes = None
+                if P is not None:
+                    dots = V @ P.T
+                    codes = ((dots >= 0).astype(np.int64) * pw).sum(axis=1)
+                    for j in np.flatnonzero(np.abs(dots).min(axis=1) < 1e-9):
+                        codes[j] = fold_code(V[j].tolist())
+                mvals = pdf[mc].iloc[vi] if mc is not None else None
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = (V @ Q.T) / np.outer(vnorm, qn)
+                for qi in range(len(q_ids)):
+                    elig = vids != q_ids[qi]
+                    if codes is not None:
+                        elig &= codes == q_match[qi]
+                    elif mc is not None:
+                        elig &= (mvals == q_match[qi]).to_numpy()
+                    cand = np.flatnonzero(elig)
+                    if not cand.size:
+                        continue
+                    sc = S[:, qi][cand]
+                    nanm = np.isnan(sc)
+                    fin, scf = cand[~nanm], sc[~nanm]
+                    if scf.size > kk:
+                        kth = np.partition(scf, scf.size - kk)[scf.size - kk]
+                        sel = fin[scf >= kth - mg]
+                    else:
+                        sel = fin
+                    for j in np.concatenate([cand[nanm], sel]):
+                        c = fold_cos(V[j].tolist(), q_vecs[qi])
+                        emit(qi, vi[j], None if c is None else drnd6(c))
+            if ni.size:
+                nids = ids_raw.iloc[ni].to_numpy(dtype=np.int64)
+                order = ni[np.argsort(nids, kind="stable")]
+                for qi in range(len(q_ids)):
+                    if P is not None and q_match[qi] != 0:
+                        continue
+                    cnt = 0
+                    for pos in order:
+                        if int(ids_raw.iloc[pos]) == q_ids[qi]:
+                            continue
+                        if mc is not None:
+                            mv = pdf[mc].iloc[pos]
+                            if pd.isna(mv) or int(mv) != q_match[qi]:
+                                continue
+                        emit(qi, pos, None)
+                        cnt += 1
+                        if cnt >= kk:
+                            break
+            if rows:
+                cols = (
+                    [qid_name]
+                    + ([om] if om else ["_m"])
+                    + [idc]
+                    + pt_cols
+                    + ["cosine"]
+                )
+                out = pd.DataFrame(rows, columns=cols)
+                if not om:
+                    out = out.drop(columns=["_m"])
+                out["cosine"] = pd.to_numeric(out["cosine"], errors="coerce")
+                yield out
+
+    part = in_df.mapInPandas(gen, out_schema)
+    w = Window.partitionBy(qid_name).orderBy(F.col("cosine").desc(), F.col(idc).asc())
+    return part.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= kk)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -47,34 +286,19 @@ def brute_force_topk(
     qid_col: str = "qid",
     qvec_col: str = "qv",
 ) -> DataFrame:
-    """Exact cosine top-k: broadcast queries, scan corpus once, rank per
-    query (rounded score + id tie-break → deterministic).
-
-    Norms are hoisted OUT of the pair loop: each side's ``norm`` is a
-    per-ROW projection before the join, so the per-PAIR work is only the
-    dot fold — bit-identical (the quotient multiplies the same two
-    doubles), but the interpreted HOF evaluation (the actual cost of
-    these expressions — they run outside codegen) drops ~3× since the
-    corpus-side norm is no longer recomputed once per query."""
-    from pyspark.sql import Window
-
-    scored = (
-        F.broadcast(queries.withColumn("_qn", norm(qvec_col)))
-        .crossJoin(corpus.withColumn("_vn", norm(vec_col)))
-        .filter(F.col(id_col) != F.col(qid_col))
-        .select(
-            qid_col,
-            id_col,
-            F.round(
-                dot(qvec_col, vec_col) / (F.col("_qn") * F.col("_vn")), 6
-            ).alias("cosine"),
-        )
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-    )
+    """Exact cosine top-k: collect the (bounded) query block, scan the
+    corpus once through the vectorized ``topk_candidates`` kernel, rank
+    per query (rounded score + id tie-break → deterministic). 2 jobs
+    (query collect + ranked action) — same as the old broadcast plan,
+    with BLAS instead of interpreted HOF folds in the pair loop."""
+    qinfo = [
+        (r[qid_col], list(r[qvec_col]), None)
+        for r in queries.select(qid_col, qvec_col).collect()
+        if r[qid_col] is not None and r[qvec_col] is not None
+    ]
+    return topk_candidates(
+        corpus, qinfo, k, id_col=id_col, vec_col=vec_col, qid_name=qid_col
+    ).select(qid_col, id_col, "cosine", "rnk")
 
 
 def label_centroids(
@@ -103,43 +327,40 @@ def ivf_topk(
     qid_col: str = "qid",
     qvec_col: str = "qv",
 ) -> DataFrame:
-    """IVF search: nearest centroid per query (ties → smallest label),
-    then exact cosine top-k within that cell only.
+    """IVF search: nearest centroid per query (rounded score, ties →
+    smallest label), then exact cosine top-k within that cell only.
 
-    Probed fraction = 1/n_cells of the corpus; the assignment join is
-    queries × centroids (both tiny, broadcast)."""
-    from pyspark.sql import Window
-
-    cents = label_centroids(corpus, label_col, vec_col)
-    q_scored = F.broadcast(queries).crossJoin(F.broadcast(cents)).select(
-        qid_col,
-        qvec_col,
-        label_col,
-        F.round(cosine(qvec_col, "centroid"), 6).alias("c_sim"),
-    )
-    w_assign = Window.partitionBy(qid_col).orderBy(
-        F.col("c_sim").desc(), F.col(label_col).asc()
-    )
-    assigned = (
-        q_scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select(qid_col, qvec_col, F.col(label_col).alias("cell"))
-    )
-    in_cell = F.broadcast(assigned.withColumn("_qn", norm(qvec_col))).join(
-        corpus.withColumn("_vn", norm(vec_col)),
-        (F.col("cell") == F.col(label_col)) & (F.col(id_col) != F.col(qid_col)),
-    )
-    scored = in_cell.select(
-        qid_col,
-        "cell",
-        id_col,
-        # norms hoisted to per-row projections (see brute_force_topk)
-        F.round(
-            dot(qvec_col, vec_col) / (F.col("_qn") * F.col("_vn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+    Probed fraction = 1/n_cells of the corpus. Centroids (n_cells rows)
+    and queries (bounded) are collected; the assignment replicates the
+    old JVM plan bit-for-bit — ``py_dround(fold_cosine(qv, centroid), 6)``
+    DESC, label ASC — over the same centroid doubles Spark computed, so
+    the probed cell is unchanged. 3 jobs (centroids + queries + ranked
+    action) vs 7 in the old window-assign plan; in-cell scoring runs
+    through the vectorized kernel instead of interpreted HOF folds."""
+    cents = [
+        (int(r[label_col]), list(r["centroid"]))
+        for r in label_centroids(corpus, label_col, vec_col).collect()
+        if r[label_col] is not None
+    ]
+    qinfo = []
+    for r in queries.select(qid_col, qvec_col).collect():
+        if r[qid_col] is None or r[qvec_col] is None or not cents:
+            continue
+        qv = list(r[qvec_col])
+        cell = min(
+            cents, key=lambda c: (-py_dround(fold_cosine(qv, c[1]), 6), c[0])
+        )[0]
+        qinfo.append((r[qid_col], qv, cell))
+    return topk_candidates(
+        corpus,
+        qinfo,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_name=qid_col,
+        match_col=label_col,
+        out_match="cell",
+    ).select(qid_col, "cell", id_col, "cosine", "rnk")
 
 
 def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
@@ -196,31 +417,43 @@ def lsh_topk(
     qvec_col: str = "qv",
 ) -> DataFrame:
     """Bucketed ANN: candidates share the query's exact P-bit code, ranked
-    by exact cosine within the bucket. The candidate join is an equi-join
-    on the code — one shuffle, bucket-local pairs only."""
-    from pyspark.sql import Window
-
+    by exact cosine within the bucket. Corpus codes are computed in the
+    vectorized kernel (numpy sign bits, fold-refined when a plane dot is
+    within 1e-9 of zero so boundary signs match the SQL CASE codes);
+    query codes use the exact fold driver-side. One corpus pass, scoring
+    restricted to bucket matches — no bucket shuffle at all (the old plan
+    equi-joined on the code; here the bucket test is a per-row mask
+    against the ≤2^P query codes riding in the closure)."""
     planes = hyperplanes(n_planes, dim)
-    c_coded = corpus.withColumn("bucket", lsh_bucket_code(vec_col, planes)).withColumn(
-        "_vn", norm(vec_col)
-    )
-    q_coded = queries.withColumn("bucket", lsh_bucket_code(qvec_col, planes)).withColumn(
-        "_qn", norm(qvec_col)
-    )
-    cand = F.broadcast(q_coded).join(
-        c_coded, on="bucket"
-    ).filter(F.col(id_col) != F.col(qid_col))
-    scored = cand.select(
-        qid_col,
-        "bucket",
-        id_col,
-        # norms hoisted to per-row projections (see brute_force_topk)
-        F.round(
-            dot(qvec_col, vec_col) / (F.col("_qn") * F.col("_vn")), 6
-        ).alias("cosine"),
-    )
-    w = Window.partitionBy(qid_col).orderBy(F.col("cosine").desc(), F.col(id_col).asc())
-    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+    def code_of(qv: list[float]) -> int:
+        code = 0
+        for p, w in enumerate(planes):
+            d = 0.0
+            for x, y in zip(qv, w):
+                d = d + x * y
+            if d >= 0:
+                code += 2**p
+        return code
+
+    # contract: query vectors are non-null (null rows are dropped — the
+    # legacy plan emitted all-null cosines for them, never exercised)
+    qinfo = []
+    for r in queries.select(qid_col, qvec_col).collect():
+        if r[qid_col] is None or r[qvec_col] is None:
+            continue
+        qv = list(r[qvec_col])
+        qinfo.append((r[qid_col], qv, code_of(qv)))
+    return topk_candidates(
+        corpus,
+        qinfo,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_name=qid_col,
+        planes=planes,
+        out_match="bucket",
+    ).select(qid_col, "bucket", id_col, "cosine", "rnk")
 
 
 def _pack_blocks(
