@@ -36,6 +36,18 @@ def dround(col: Column | str, n: int) -> Column:
     return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
 
 
+def py_dround(x: float | None, n: int) -> float | None:
+    """Driver-side twin of :func:`dround` — same IEEE op order
+    (signum·floor(|x|·10^n + 0.5)/10^n), so a Python-computed small-path
+    scalar matches the JVM expression bit-for-bit. Nulls propagate."""
+    import math
+
+    if x is None:
+        return None
+    p = float(10**n)
+    return math.copysign(1.0, x) * math.floor(abs(x) * p + 0.5) / p
+
+
 def r2(col: Column) -> Column:
     return dround(col, 2)
 

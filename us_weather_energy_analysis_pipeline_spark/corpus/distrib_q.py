@@ -80,6 +80,31 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = rev.withColumn(
         "rev_cents", F.round(F.col("revenue") * 100).cast("long")
     )
+    # Small path (quantile.py philosophy: below driver scale, single-node
+    # IS the right plan): the answer is two scalars of the globally
+    # sorted cumulative sum, so one bounded keys collect + an exact int64
+    # numpy cumsum replaces the whole range-binned rank pipeline — the
+    # long→double threshold comparison replicates the JVM cast exactly.
+    from us_weather_energy_analysis_pipeline_spark.operators.rank import (
+        small_keys_frame,
+    )
+
+    pdf = small_keys_frame(cents, ["revenue", "l_partkey", "rev_cents"])
+    if pdf is not None:
+        import numpy as np
+
+        order = np.lexsort(
+            (
+                pdf["l_partkey"].to_numpy(),
+                -pdf["revenue"].to_numpy(dtype="float64"),
+            )
+        )
+        cum = np.cumsum(pdf["rev_cents"].to_numpy(np.int64)[order])
+        tot = float(cum[-1]) if len(cum) else 0.0
+        parts = int((cum.astype(np.float64) <= 0.8 * tot).sum())
+        return spark.createDataFrame(
+            [(parts, len(cum))], "parts_for_80pct long, total_parts long"
+        )
     ranked = global_order_stats(
         cents,
         "revenue",
@@ -168,6 +193,33 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = o.groupBy("o_custkey").agg(
         r2(F.sum("o_totalprice")).alias("revenue")
     ).filter(F.col("revenue").isNotNull())
+    # Small path: the Gini is one scalar of the globally sorted series —
+    # a bounded keys collect + numpy replaces the rank pipeline (the
+    # Σ i·xᵢ summation order differs from the distributed partial sums,
+    # which the 6-dp round absorbs — same accepted reaggregation risk).
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import py_dround
+    from us_weather_energy_analysis_pipeline_spark.operators.rank import (
+        small_keys_frame,
+    )
+
+    pdf = small_keys_frame(rev, ["revenue", "o_custkey"])
+    if pdf is not None:
+        import numpy as np
+
+        n = len(pdf)
+        if n == 0:
+            return spark.createDataFrame(
+                [(None, None)], "gini double, n_customers long"
+            )
+        x = pdf["revenue"].to_numpy(dtype="float64")[
+            np.lexsort((pdf["o_custkey"].to_numpy(), pdf["revenue"].to_numpy("float64")))
+        ]
+        sum_ix = float((np.arange(1, n + 1, dtype=np.float64) * x).sum())
+        sum_x = float(x.sum())
+        g = py_dround(
+            2.0 * sum_ix / (float(n) * sum_x) - (float(n) + 1.0) / float(n), 6
+        )
+        return spark.createDataFrame([(g, n)], "gini double, n_customers long")
     ranked = global_order_stats(
         rev,
         "revenue",
@@ -246,7 +298,12 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r || '-' || f || '-' || m AS segment,
            COUNT(*) AS n_customers,
-           ROUND(AVG(monetary), 2) AS avg_monetary
+           -- integer-cents mean: the float AVG's summation order is
+           -- engine/plan-dependent and can land exactly on a half-cent
+           -- (seen when the r5 literal-NTILE plan changed Spark's sum
+           -- order); summing exact cents first removes the ambiguity
+           ROUND(SUM(CAST(ROUND(monetary * 100) AS BIGINT)) / 100.0
+                 / COUNT(*), 2) AS avg_monetary
     FROM scored
     GROUP BY r, f, m
     """,
@@ -290,7 +347,13 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("r", "f", "m")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            r2(F.avg("monetary")).alias("avg_monetary"),
+            # integer-cents mean (see oracle comment): exact long sum,
+            # then ONE double division sequence both engines replicate
+            r2(
+                F.sum(F.round(F.col("monetary") * 100).cast("long"))
+                / F.lit(100.0)
+                / F.count(F.lit(1))
+            ).alias("avg_monetary"),
         )
         .select(
             F.concat_ws("-", "r", "f", "m").alias("segment"),

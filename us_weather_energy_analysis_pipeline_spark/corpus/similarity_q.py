@@ -113,6 +113,10 @@ def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the same adaptive shape AQE applies to join strategy: plan
     choice from size statistics, identical semantics either way (both
     branches run in the test suite)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        input_bytes as _input_bytes,
+    )
+
     emb = load(spark, sf_dir, "embeddings")
     if _input_bytes(emb) < _CENTROID_GATE_BYTES:
         sq_norm = F.aggregate(
@@ -130,28 +134,6 @@ def embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CENTROID_GATE_BYTES = 32 << 20  # ~500k vectors; HOF μs/row × n < python-stage floor
-
-
-def _input_bytes(df: DataFrame) -> int:
-    """Total size of the scan's input files — FileIndex metadata, no job.
-    Returns a large sentinel when the plan has no file inputs (e.g. an
-    in-memory fixture), so synthetic tests exercise the distributed path."""
-    import os
-
-    try:
-        files = df.inputFiles()
-    except Exception:
-        return 1 << 60
-    if not files:
-        return 1 << 60
-    total = 0
-    for f in files:
-        p = f.removeprefix("file:")
-        try:
-            total += os.path.getsize(p)
-        except OSError:
-            return 1 << 60
-    return total
 
 
 def centroid_by_label_vectorized(emb: DataFrame) -> DataFrame:

@@ -76,17 +76,30 @@ def exact_quantiles(
     # without it, count + collect (or count + the distributed stages)
     # would execute an expensive upstream plan twice. Released by the
     # caller's loop via operators.cache.release_all, same as rank.py.
+    # When the scan's file metadata already bounds the input under
+    # plan_meta.SMALL_INPUT_BYTES (quantile inputs are filter/project
+    # pipelines: plan rows ≤ scan rows, the documented plan_meta
+    # contract), BOTH the count job and the persist are skipped — the
+    # single toPandas action is the whole cost.
     from us_weather_energy_analysis_pipeline_spark.operators import cache
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        SMALL_INPUT_BYTES,
+        input_bytes,
+    )
 
-    vals = cache.track(vals)
-    n = vals.count()
-    if n == 0:
-        return spark.createDataFrame([], "f double, q double")
-    if n <= small_threshold:
+    n = None
+    if input_bytes(vals) >= SMALL_INPUT_BYTES:
+        vals = cache.track(vals)
+        n = vals.count()
+        if n == 0:
+            return spark.createDataFrame([], "f double, q double")
+    if n is None or n <= small_threshold:
         import numpy as np
 
-        pdf = vals.toPandas()
+        pdf = vals.select("v").toPandas()
         arr = pdf["v"].to_numpy(dtype="float64")
+        if len(arr) == 0:
+            return spark.createDataFrame([], "f double, q double")
         fl = [float(f) for f in fractions]
         qs = np.quantile(arr, fl, method="linear")
         return spark.createDataFrame(

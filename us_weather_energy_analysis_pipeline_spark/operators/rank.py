@@ -135,12 +135,22 @@ def _try_small_stats(
     funnels every row through a single-task GlobalLimit before
     serializing (measured ~1.5× the count+parallel-collect pair on 600k
     rows), and on the persisted input the count is a cache-fill scan.
-    Cut literals are the collected float64 key values themselves, so the
-    JVM-side ``key > cut`` comparisons agree exactly with the
-    driver-side ``searchsorted``."""
+    The count job itself is SKIPPED when the scan's file metadata already
+    bounds the input under ``plan_meta.SMALL_INPUT_BYTES`` (rank inputs
+    are filter/project/aggregate pipelines, so plan rows ≤ scan rows —
+    the documented ``plan_meta`` contract): at the corpus SFs that saves
+    one full job per ranked query, and above the byte gate nothing
+    changes. Cut literals are the collected float64 key values
+    themselves, so the JVM-side ``key > cut`` comparisons agree exactly
+    with the driver-side ``searchsorted``."""
     import numpy as np
 
-    if base.count() > gate:
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        SMALL_INPUT_BYTES,
+        input_bytes,
+    )
+
+    if input_bytes(base) >= SMALL_INPUT_BYTES and base.count() > gate:
         return None
     cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
     pdf = base.select(*cols).toPandas()
@@ -196,6 +206,136 @@ def _try_small_stats(
         ]
         out.append((cuts, _BinStats(n_pids, rows, cum_cols)))
     return out
+
+
+def small_keys_frame(
+    df: DataFrame,
+    cols: Sequence[str],
+    gate: int = SMALL_KEY_THRESHOLD,
+    track_on_fallback: bool = True,
+):
+    """Bounded driver collect of ``cols`` for quantile.py-style small
+    paths: when the scan metadata already bounds the input under
+    ``plan_meta.SMALL_INPUT_BYTES`` the collect is the ONLY action (no
+    count job, no persist); otherwise a count() gates it, with the input
+    persisted (``track_on_fallback``) so the count doubles as the cache
+    fill for whichever path follows. Returns a pandas DataFrame, or
+    ``None`` above the gate — the caller then builds its distributed
+    plan. The bytes→rows bound assumes the documented ``plan_meta``
+    contract (filter/project/aggregate pipelines only)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        SMALL_INPUT_BYTES,
+        input_bytes,
+    )
+
+    if input_bytes(df) >= SMALL_INPUT_BYTES:
+        if track_on_fallback:
+            df = cache.track(df)
+        if df.count() > gate:
+            return None
+    return df.select(*cols).toPandas()
+
+
+def _lex_gt_sql(
+    names: Sequence[str], literals: Sequence[str]
+) -> str:
+    """SQL text of the strict lexicographic comparison
+    ``(names) > (literals)`` — ties cascade into the next component."""
+    head_n, head_l = names[0], literals[0]
+    gt = f"{head_n} > {head_l}"
+    if len(names) == 1:
+        return gt
+    rest = _lex_gt_sql(names[1:], literals[1:])
+    return f"({gt} OR ({head_n} = {head_l} AND ({rest})))"
+
+
+def _num_literal(v) -> str | None:
+    """Exact SQL literal for a numpy/python numeric; None = unsupported."""
+    import numpy as np
+
+    if isinstance(v, (int, np.integer)):
+        return f"{int(v)}L"
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if f != f:  # NaN keys violate the non-null/total-order contract
+            return None
+        return f"CAST('{f!r}' AS DOUBLE)"
+    return None
+
+
+def _try_small_ntile_exprs(
+    base: DataFrame,
+    specs: Sequence["OrderSpec"],
+    k: int,
+    gate: int = SMALL_KEY_THRESHOLD,
+):
+    """Small-path NTILE with ZERO extra shuffles: collect the sort keys
+    + tiebreaks once (bounded — ``small_keys_frame``), locate each
+    bucket's LAST ROW (key, tiebreaks...) driver-side with a lexsort,
+    and assign buckets as ``1 + Σ_b [row >lex boundary_b]`` — a pure
+    row-local literal expression. The per-ordering ``partitionBy(pid)``
+    window (one shuffle EACH — the dominant job count of the RFM shape)
+    disappears entirely; the final plan is scan → literal projections →
+    caller's aggregate.
+
+    Exactness: the driver lexsort replicates the window's
+    ``ORDER BY sk ASC, tiebreaks ASC`` over the same float64/int64
+    values, and each boundary literal round-trips via ``repr``. The
+    literal form is exact iff every boundary tuple is distinct from its
+    successor (duplicates would straddle the bucket edge, where NTILE
+    splits them but ``>`` cannot); tiebreaks are unique row keys in
+    every corpus caller, and the adjacent-duplicate check below bails to
+    the pid-window path otherwise — as it does for null/non-numeric
+    tiebreaks or null keys. Returns one Column per spec, or None."""
+    import numpy as np
+
+    need: list[str] = [f"_sk{i}" for i in range(len(specs))]
+    for s in specs:
+        for t in s.tiebreaks:
+            if t not in need:
+                need.append(t)
+    pdf = small_keys_frame(base, need, gate)
+    if pdf is None:
+        return None
+    exprs = []
+    for i, spec in enumerate(specs):
+        sk_name = f"_sk{i}"
+        sk = pdf[sk_name].to_numpy()
+        if not np.issubdtype(sk.dtype, np.floating) or np.isnan(sk).any():
+            return None  # null keys present — honor the window fallback
+        tb_arrs = []
+        for t in spec.tiebreaks:
+            arr = pdf[t].to_numpy()
+            if not (
+                np.issubdtype(arr.dtype, np.integer)
+                or np.issubdtype(arr.dtype, np.floating)
+            ) or (np.issubdtype(arr.dtype, np.floating) and np.isnan(arr).any()):
+                return None
+            tb_arrs.append(arr)
+        n = len(sk)
+        if n == 0:
+            exprs.append(F.expr("CAST(1 AS INT)"))
+            continue
+        order = np.lexsort(tuple(reversed(tb_arrs)) + (sk,))
+        q, r = divmod(n, k)
+        terms = []
+        names = [sk_name] + list(spec.tiebreaks)
+        for b in range(1, k):
+            e = b * (q + 1) if b <= r else r * (q + 1) + (b - r) * q
+            if e <= 0 or e >= n:
+                continue
+            lo, hi = order[e - 1], order[e]
+            row = [sk[lo]] + [a[lo] for a in tb_arrs]
+            nxt = [sk[hi]] + [a[hi] for a in tb_arrs]
+            if all(x == y for x, y in zip(row, nxt)):
+                return None  # duplicate tuple straddles a bucket edge
+            lits = [_num_literal(v) for v in row]
+            if any(lit is None for lit in lits):
+                return None
+            terms.append(f"CAST(({_lex_gt_sql(names, lits)}) AS INT)")
+        body = " + ".join(terms) if terms else "0"
+        exprs.append(F.expr(f"CAST(1 + {body} AS INT)"))
+    return exprs
 
 
 class _BinStats:
@@ -361,6 +501,16 @@ def multi_global_ntile(
         base = cache.track(base)
     nb = max(2, num_bins)
     sk_names = [f"_sk{i}" for i in range(len(specs))]
+    # Small path v2: literal bucket-boundary comparison — no pid windows,
+    # no per-ordering shuffle (the dominant job count of this shape).
+    # Bails (rarely: duplicate boundary tuples, null/non-numeric keys)
+    # to the pid-window small path below, which re-collects.
+    lit_exprs = _try_small_ntile_exprs(base, specs, k, gate=small_threshold)
+    if lit_exprs is not None:
+        out = base
+        for spec, ex in zip(specs, lit_exprs):
+            out = out.withColumn(spec.out_col, ex)
+        return out.drop(*sk_names)
     small = _try_small_stats(base, sk_names, (), nb, gate=small_threshold)
     if small is not None:
         per_ordering = small
