@@ -195,3 +195,20 @@ def test_empty_documents_table_matches_oracle(spark, tmp_path):
     names = ["dedup_exact", "dedup_ngram_jaccard", "text_tfidf_topk",
              "grouping_sets_flags"]
     assert _check(spark, sf_dir, names) == []
+
+
+def test_empty_lineitem_table_matches_oracle(spark, tmp_path):
+    """Empty-lineitem parity: DuckDB's GROUPING SETS emits a phantom
+    (NULL,NULL,0,NULL) grand-total row for the () set on an empty table
+    while Spark's literal form emits zero rows — the oracle's HAVING
+    guard pins the Spark semantics (ADVICE r4 item 1). The other
+    lineitem aggregates must agree on empty input too."""
+    sf_dir = _make_dir(tmp_path, 101, 0.5, empty=("lineitem",))
+    names = [
+        "grouping_sets_flags",
+        "tpch_q1_pricing_summary",
+        "pareto_revenue_concentration",
+        "quantiles_exact",
+        "histogram_price",
+    ]
+    assert _check(spark, sf_dir, names) == []

@@ -158,3 +158,68 @@ def test_rank_property_random_distributions(spark):
                 }
                 exp_m = {r["id"]: (r["rn"], r["cs"]) for r in exp.collect()}
                 assert got_m == exp_m, (vals[:5], ascending, nb, gate)
+
+
+def test_null_keys_rank_like_window(spark):
+    """Null sort keys route to the dedicated sentinel bin: ASC → first
+    (Spark/SQL NULLS FIRST), DESC → last — exactly the window's
+    placement, ranked among themselves by the tiebreaks. Checked on both
+    the bounded-collect and the forced distributed path (VERDICT r4
+    item 6)."""
+    rows = [(0, 5), (1, None), (2, 3), (3, None), (4, 9), (5, 3), (6, None)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for ascending in (True, False):
+        order = F.col("v").asc() if ascending else F.col("v").desc()
+        w = Window.orderBy(order, F.col("id").asc())
+        exp = {
+            r["id"]: r["rn"]
+            for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+        }
+        for gate in (0, 10**6):
+            got = global_order_stats(
+                df,
+                "v",
+                ascending=ascending,
+                tiebreaks=("id",),
+                num_bins=3,
+                persist=False,
+                small_threshold=gate,
+            )
+            assert {r["id"]: r["global_rn"] for r in got.collect()} == exp, (
+                ascending,
+                gate,
+            )
+
+
+def test_null_keys_ntile_like_window(spark):
+    rows = [(i, None if i % 4 == 0 else (i * 37) % 50) for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    exp = {
+        r["id"]: r["t"]
+        for r in df.select("id", F.ntile(3).over(w).alias("t")).collect()
+    }
+    for gate in (0, 10**6):
+        got = multi_global_ntile(
+            df,
+            [OrderSpec("v", True, ("id",), "t")],
+            3,
+            num_bins=4,
+            persist=False,
+            small_threshold=gate,
+        )
+        assert {r["id"]: r["t"] for r in got.collect()} == exp, gate
+
+
+def test_cum_null_raises_on_both_paths(spark):
+    """The exact-integer-cumsum contract fails loudly on NULL cum values
+    on BOTH the small and the distributed path (ADVICE r4: the old
+    distributed path silently null-skipped)."""
+    rows = [(0, 1, 10), (1, 2, None), (2, 3, 30)]
+    df = spark.createDataFrame(rows, "id long, v long, c long")
+    for gate in (0, 10**6):
+        with pytest.raises(TypeError, match="NULL"):
+            global_order_stats(
+                df, "v", tiebreaks=("id",), cum_cols=("c",),
+                persist=False, small_threshold=gate,
+            ).collect()

@@ -469,6 +469,11 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(SUM(l_extendedprice), 2) AS revenue
     FROM lineitem
     GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    -- empty-input parity: DuckDB emits a phantom (NULL,NULL,0,NULL)
+    -- grand-total row for the () set on an EMPTY table; Spark's literal
+    -- GROUPING SETS (the semantics this query implements) emits zero
+    -- rows. The guard only ever drops that phantom row.
+    HAVING NOT (GROUPING(l_returnflag) = 1 AND COUNT(*) = 0)
     """,
     tags=("agg", "grouping-sets"),
 )

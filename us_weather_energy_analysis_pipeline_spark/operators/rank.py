@@ -83,21 +83,24 @@ class OrderSpec:
     def sort_key(self) -> Column:
         """Direction-adjusted double sort key.
 
-        Caveats (caller contract):
-        - **keys must be non-null** — a null key yields a null ``_pid``,
-          so the row gets a null rank and drops out of the bin counts
-          (diverging from SQL NULLS FIRST); filter or coalesce nulls
-          before calling.
-        - the double cast is exact only up to 2^53; 64-bit integer keys
-          beyond that can mis-rank. Pre-scale or split such keys.
+        Null keys are routed to a dedicated sentinel bin (first for
+        ascending orders, last for descending — exactly Spark's window
+        ``ORDER BY`` null placement, i.e. ASC → NULLS FIRST, DESC →
+        NULLS LAST), ranked among themselves by the tiebreaks.
+
+        Caveat (caller contract): the double cast is exact only up to
+        2^53; 64-bit integer keys beyond that can mis-rank. Pre-scale or
+        split such keys.
         """
         sk = F.col(self.key) if isinstance(self.key, str) else self.key
         sk = sk.cast("double")
         return sk if self.ascending else -sk
 
 
-def _pid_expr(sk_name: str, cuts: list[float]) -> Column:
-    """Bin id = Σ (key > cut) over the sorted distinct cut literals.
+def _pid_expr(sk_name: str, cuts: list[float], null_first: bool = True) -> Column:
+    """Bin id: nulls → sentinel bin 0 (``null_first``) or ``n_cuts + 2``
+    (nulls last); non-null keys → ``1 + Σ (key > cut)`` over the sorted
+    distinct cut literals (real bins 1 .. n_cuts + 1).
 
     Built as ONE SQL string parsed by a single ``F.expr`` — the previous
     per-cut Column arithmetic was ~30 Py4J roundtrips per ordering
@@ -105,11 +108,19 @@ def _pid_expr(sk_name: str, cuts: list[float]) -> Column:
     go through ``CAST('<repr>' AS DOUBLE)``: Python ``repr`` round-trips
     float64 exactly, so the JVM comparison sees bit-identical literals.
     """
-    terms = " + ".join(
-        f"CAST({sk_name} > CAST('{float(b)!r}' AS DOUBLE) AS INT)"
-        for b in sorted(set(cuts))
+    cs = sorted(set(cuts))
+    body = " + ".join(
+        f"CAST({sk_name} > CAST('{float(b)!r}' AS DOUBLE) AS INT)" for b in cs
+    ) or "0"
+    null_pid = 0 if null_first else len(cs) + 2
+    return F.expr(
+        f"CASE WHEN {sk_name} IS NULL THEN {null_pid} ELSE 1 + ({body}) END"
     )
-    return F.expr(terms) if terms else F.lit(0)
+
+
+def _n_pids(cuts: list[float]) -> int:
+    """Total bin-id range incl. both null sentinels: 0 .. n_cuts + 2."""
+    return len(sorted(set(cuts))) + 3
 
 
 def _lookup(values: list[int], pid_col: str) -> Column:
@@ -125,6 +136,7 @@ def _try_small_stats(
     cum_cols: Sequence[str],
     nb: int,
     gate: int = SMALL_KEY_THRESHOLD,
+    null_first: Sequence[bool] | None = None,
 ):
     """Bounded small path: count-gate, then a PARALLEL Arrow collect of
     ONLY the sort keys (+ cum columns), deriving exact cuts, per-bin
@@ -155,19 +167,34 @@ def _try_small_stats(
     cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
     pdf = base.select(*cols).toPandas()
     out = []
-    for sk in sk_names:
+    for si, sk in enumerate(sk_names):
         keys = pdf[sk].to_numpy(dtype="float64")
-        n = len(keys)
-        srt = np.sort(keys)
+        nf = True if null_first is None else bool(null_first[si])
+        # toPandas renders NULL keys as NaN in the float64 column —
+        # route them to the sentinel bin exactly like _pid_expr
+        nullm = np.isnan(keys)
+        nn = keys[~nullm]
+        n = len(nn)
+        srt = np.sort(nn)
         cuts = (
             sorted({float(srt[min(n - 1, (i * n) // nb)]) for i in range(1, nb)})
             if n
             else []
         )
-        # pid = #cuts strictly below key  ⟺  Σ (key > cut), as _pid_expr
-        pid = np.searchsorted(np.asarray(cuts, dtype="float64"), keys, side="left")
-        n_pids = len(cuts) + 1
-        cnts = np.bincount(pid, minlength=n_pids) if n else np.zeros(n_pids, int)
+        null_pid = 0 if nf else len(cuts) + 2
+        # pid = 1 + #cuts strictly below key ⟺ _pid_expr's CASE branch
+        pid = np.where(
+            nullm,
+            null_pid,
+            1
+            + np.searchsorted(
+                np.asarray(cuts, dtype="float64"),
+                np.nan_to_num(keys, nan=0.0),
+                side="left",
+            ),
+        )
+        n_pids = len(cuts) + 3
+        cnts = np.bincount(pid, minlength=n_pids) if len(keys) else np.zeros(n_pids, int)
         col_sums = {}
         for c in cum_cols:
             # int64 accumulation via add.at — exact, no float reordering.
@@ -429,23 +456,47 @@ def global_order_stats(
     if persist:
         base = cache.track(base)
     nb = max(2, num_bins)
-    small = _try_small_stats(base, ["_sk0"], cum_cols, nb, gate=small_threshold)
+    small = _try_small_stats(
+        base,
+        ["_sk0"],
+        cum_cols,
+        nb,
+        gate=small_threshold,
+        null_first=[spec.ascending],
+    )
     if small is not None:
         cuts, stats = small[0]
     else:
         cuts = base.stat.approxQuantile(
             "_sk0", [i / nb for i in range(1, nb)], _APPROX_EPS
         )
-        n_pids = len(sorted(set(cuts))) + 1
-        binned_probe = base.withColumn("_pid0", _pid_expr("_sk0", cuts))
+        binned_probe = base.withColumn(
+            "_pid0", _pid_expr("_sk0", cuts, spec.ascending)
+        )
         aggs = [F.count(F.lit(1)).alias("_cnt")] + [
-            F.sum(F.col(c)).cast("long").alias(f"_s_{c}") for c in cum_cols
+            x
+            for c in cum_cols
+            for x in (
+                F.sum(F.col(c)).cast("long").alias(f"_s_{c}"),
+                F.count(F.col(c)).alias(f"_nn_{c}"),
+            )
         ]
         rows = (
             binned_probe.groupBy(F.col("_pid0").alias("_pid")).agg(*aggs).collect()
         )
-        stats = _BinStats(n_pids, rows, cum_cols)
-    binned = base.withColumn("_pid0", _pid_expr("_sk0", cuts))
+        # same loud contract as the small path (ADVICE r4): a NULL cum
+        # value would be silently skipped by sum(), making the running
+        # sums path-dependent — fail identically on both paths
+        for r in rows:
+            for c in cum_cols:
+                if r[f"_nn_{c}"] != r["_cnt"]:
+                    raise TypeError(
+                        f"cum column {c!r} contains NULLs; the exact "
+                        "integer cumsum contract requires non-null values"
+                        " — coalesce before calling"
+                    )
+        stats = _BinStats(_n_pids(cuts), rows, cum_cols)
+    binned = base.withColumn("_pid0", _pid_expr("_sk0", cuts, spec.ascending))
     out = _attach_rank(binned, 0, spec, stats, rank_col)
     if n_col:
         out = out.withColumn(n_col, F.lit(stats.n).cast("long"))
@@ -511,7 +562,14 @@ def multi_global_ntile(
         for spec, ex in zip(specs, lit_exprs):
             out = out.withColumn(spec.out_col, ex)
         return out.drop(*sk_names)
-    small = _try_small_stats(base, sk_names, (), nb, gate=small_threshold)
+    small = _try_small_stats(
+        base,
+        sk_names,
+        (),
+        nb,
+        gate=small_threshold,
+        null_first=[s.ascending for s in specs],
+    )
     if small is not None:
         per_ordering = small
     else:
@@ -522,9 +580,9 @@ def multi_global_ntile(
         n_pids = []
         for i, cuts in enumerate(all_cuts):
             binned_probe = binned_probe.withColumn(
-                f"_pid{i}", _pid_expr(f"_sk{i}", cuts)
+                f"_pid{i}", _pid_expr(f"_sk{i}", cuts, specs[i].ascending)
             )
-            n_pids.append(len(sorted(set(cuts))) + 1)
+            n_pids.append(_n_pids(cuts))
         # one job for ALL orderings' bin counts: stack (ordering, pid) pairs
         stacked = binned_probe.select(
             F.explode(
@@ -547,7 +605,7 @@ def multi_global_ntile(
         ]
     out = base
     for i, (cuts, _) in enumerate(per_ordering):
-        out = out.withColumn(f"_pid{i}", _pid_expr(f"_sk{i}", cuts))
+        out = out.withColumn(f"_pid{i}", _pid_expr(f"_sk{i}", cuts, specs[i].ascending))
     for i, s in enumerate(specs):
         stats = per_ordering[i][1]
         out = _attach_rank(out, i, s, stats, f"_gr{i}")
