@@ -48,6 +48,55 @@ def test_signature_shape(docs):
     assert cands.filter("doc_a >= doc_b").count() == 0
 
 
+def test_minhash_xxhash64_variant_equivalent_candidates(docs, spark, sf_dir):
+    """The production xxhash64 shingle-hash path (VERDICT r4 item 4) must
+    find the same near-dup pairs as the md5 oracle-contract path.
+    Signatures differ (different hash family → different min positions)
+    but any uniform 32-bit family yields the same unbiased Jaccard
+    estimator, so the thresholded pair sets agree wherever the TRUE
+    Jaccard is away from the threshold. On the sf0.001 documents corpus
+    (planted dups, J≈1) the sets are exactly equal; on the hand fixture,
+    a pair may differ between families ONLY if its true shingle Jaccard
+    sits inside the k=12 estimator's uncertainty band around 0.5."""
+    corpus = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    )
+
+    def pair_sets(frame):
+        return {
+            hf: {
+                (r["doc_a"], r["doc_b"])
+                for r in minhash_near_dups(frame, threshold=0.5, hash_fn=hf).collect()
+            }
+            for hf in ("md5", "xxhash64")
+        }
+
+    ps = pair_sets(corpus)
+    assert ps["md5"] == ps["xxhash64"]
+    assert len(ps["md5"]) > 0  # sf0.001 documents contain planted dups
+
+    ps = pair_sets(docs)
+    shingle_sets = {
+        did: {r["shingle"] for r in rows}
+        for did, rows in (
+            (d, word_shingles(docs).filter(f"doc_id = {d}").collect())
+            for d in (1, 2, 3, 4)
+        )
+    }
+    for a, b in ps["md5"].symmetric_difference(ps["xxhash64"]):
+        sa, sb = shingle_sets[a], shingle_sets[b]
+        true_j = len(sa & sb) / len(sa | sb)
+        # k=12 estimator stddev = sqrt(J(1-J)/12) ≈ 0.14 near J=0.5
+        assert abs(true_j - 0.5) < 0.3, (a, b, true_j)
+    assert (1, 2) in ps["md5"] and (1, 2) in ps["xxhash64"]  # exact dup always
+    assert not any(4 in p for p in ps["md5"] | ps["xxhash64"])  # disjoint never
+
+
+def test_minhash_unknown_hash_family_raises(docs):
+    with pytest.raises(ValueError, match="hash family"):
+        minhash_near_dups(docs, hash_fn="sha1")
+
+
 def test_simhash_identical_and_distance(docs):
     sh = {r["doc_id"]: r["simhash"] for r in simhash32(docs).collect()}
     assert sh[1] == sh[2]

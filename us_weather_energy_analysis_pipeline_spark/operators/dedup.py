@@ -64,25 +64,50 @@ def word_shingles(
     return out.distinct() if dedupe else out
 
 
-def minhash_signatures(shingles: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """Per-doc MinHash signature via a universal-hash family:
-    sig[s] = min over shingles of (a_s·h + b_s) mod p, where h is the
-    32-bit md5 prefix of the shingle (parsed once per row).
+def _shingle_hash_expr(hash_fn: str) -> str:
+    """32-bit shingle-hash SQL expression for the chosen family.
 
-    ONE shuffle, no row multiplication, ONE md5 per shingle: the k
+    - ``md5``: the ORACLE CONTRACT — DuckDB regenerates the identical
+      value, so every downstream stage is value-checkable cross-engine.
+      Cost: builds a 32-char hex string per shingle, then parses 8 chars.
+    - ``xxhash64``: the PRODUCTION path — Spark's codegen'd 64-bit
+      xxHash directly on the string bytes, masked to 32 bits so the
+      universal-hash arithmetic (a·h + b < 2^63) stays overflow-free.
+      No cross-engine twin (DuckDB lacks xxhash64), so it is verified by
+      the candidate-set equivalence test + rows-only checks, not a value
+      hash. Use this at scale: it skips the hex-string materialization
+      that makes md5 the admitted map-side bound (~2.2× DuckDB).
+    """
+    if hash_fn == "md5":
+        return "cast(conv(substring(md5(shingle), 1, 8), 16, 10) AS bigint)"
+    if hash_fn == "xxhash64":
+        return "xxhash64(shingle) & 4294967295"
+    raise ValueError(f"unknown shingle hash family: {hash_fn!r}")
+
+
+def minhash_signatures(
+    shingles: DataFrame, k: int = MINHASH_K, hash_fn: str = "md5"
+) -> DataFrame:
+    """Per-doc MinHash signature via a universal-hash family:
+    sig[s] = min over shingles of (a_s·h + b_s) mod p, where h is a
+    32-bit hash of the shingle (md5 prefix by default — the oracle
+    contract; ``hash_fn='xxhash64'`` for the production path, see
+    ``_shingle_hash_expr``).
+
+    ONE shuffle, no row multiplication, ONE hash per shingle: the k
     permutations are integer arithmetic on the same parsed hash, and a
     single groupBy(doc_id) takes the k elementwise mins (partial
     aggregation combines map-side before the exchange). Duplicate
     shingles need no pre-distinct — min() is duplicate-insensitive.
-    Returns (doc_id, sig array<bigint> ordered by seed); the oracle
-    regenerates identical values from the same md5-derived constants.
+    Returns (doc_id, sig array<bigint> ordered by seed); with md5 the
+    oracle regenerates identical values from the same constants.
     """
     # expressions are built as SQL strings (one JVM parse per select):
     # the per-permutation Column-object arithmetic was ~1000 Py4J
     # roundtrips per plan build — ~0.5 s of driver time per query call
     per_row = shingles.selectExpr(
         "doc_id",
-        "cast(conv(substring(md5(shingle), 1, 8), 16, 10) AS bigint) AS hv",
+        f"{_shingle_hash_expr(hash_fn)} AS hv",
     ).selectExpr(
         "doc_id",
         *[
@@ -152,6 +177,7 @@ def minhash_near_dups(
     k: int = MINHASH_K,
     bands: int = LSH_BANDS,
     threshold: float = 0.5,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: candidates via banding, then
     estimated Jaccard = fraction of agreeing signature positions; keep
@@ -166,8 +192,14 @@ def minhash_near_dups(
     the sigs are dropped BEFORE the pair-dedup groupBy — the pair
     exchange ships (doc_a, doc_b, est) only. One shuffle family total,
     no joins, no persist (the signature pass now feeds exactly one
-    consumer, so the cache bookkeeping disappears too)."""
-    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k)
+    consumer, so the cache bookkeeping disappears too).
+
+    ``hash_fn='xxhash64'`` swaps the shingle hash for the production
+    family (see ``_shingle_hash_expr``): same pipeline shape, same
+    Jaccard-estimate statistics (any uniform 32-bit hash family gives an
+    unbiased estimator), but no DuckDB value twin — deploy that variant
+    at scale, keep md5 where cross-engine auditability matters."""
+    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k, hash_fn)
     banded = banded_digests(sig, bands, k, carry_sig=True)
     a, b = banded.alias("a"), banded.alias("b")
     est = (

@@ -41,7 +41,12 @@ def stream_daily_rollup(
 ) -> DataFrame:
     """readStream(parquet dir) → watermark → 1-day tumbling window sum
     (reference A2 as a stream; late rows beyond the watermark are dropped
-    deterministically instead of silently mutating history)."""
+    deterministically instead of silently mutating history).
+
+    Rows with a NULL event time are dropped by the time-window groupBy
+    (no window can be assigned) — pinned by the streaming fuzz gate;
+    pre-filter and route such rows to a quarantine sink if they must be
+    audited rather than discarded."""
     src = spark.readStream.schema(schema).parquet(input_path)
     return (
         src.withWatermark(ts_col, watermark)
@@ -173,7 +178,7 @@ def foreach_batch_upsert(
 
 
 RUNNING_TOTAL_SCHEMA = "user_id bigint, ts timestamp, running_total double"
-_STATE_SCHEMA = "total double"
+_STATE_SCHEMA = "total double, n_nonnull bigint"
 
 
 def stateful_running_total(df: DataFrame) -> DataFrame:
@@ -181,6 +186,20 @@ def stateful_running_total(df: DataFrame) -> DataFrame:
     running total that persists across micro-batches. This is the pattern
     for semantics session_window/window can't express (decayed counters,
     custom eviction); on batch inputs use a window cumsum instead.
+
+    NULL semantics match that batch twin exactly — SQL's
+    ``SUM(value) OVER (PARTITION BY user_id ORDER BY ts)``: null values
+    contribute nothing (their row carries the prior total), and the
+    total is NULL until the user's first non-null value. The streaming
+    fuzz gate found the naive ``cumsum`` formulation propagating NaN
+    into the carried state — every later row for that user emitted NULL,
+    and WHICH rows depended on the micro-batch split. State carries
+    (total, n_nonnull) so results are split-invariant.
+
+    Rows with equal ``ts`` within a micro-batch are ordered by input
+    order (stable sort); across different splits ties may interleave
+    differently — callers needing total determinism use a unique ts or
+    add a tiebreak column.
 
     The state function is NESTED (closure) on purpose: a module-level
     function would be cloudpickled by reference to this package, which
@@ -190,15 +209,24 @@ def stateful_running_total(df: DataFrame) -> DataFrame:
     def _running_total_fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        (total,) = state.get if state.exists else (0.0,)
+        total, n_nonnull = state.get if state.exists else (0.0, 0)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            csum = pdf["value"].cumsum() + total
-            total = float(csum.iloc[-1]) if len(csum) else total
+            pdf = pdf.sort_values("ts", kind="stable")
+            contrib = pdf["value"].fillna(0.0)
+            csum = contrib.cumsum() + total
+            seen = pdf["value"].notna().cumsum() + n_nonnull
+            if len(pdf):
+                total = float(csum.iloc[-1])
+                n_nonnull = int(seen.iloc[-1])
             yield pd.DataFrame(
-                {"user_id": pdf["user_id"], "ts": pdf["ts"], "running_total": csum}
+                {
+                    "user_id": pdf["user_id"],
+                    "ts": pdf["ts"],
+                    # NULL until the first non-null contribution (SQL SUM)
+                    "running_total": csum.where(seen > 0),
+                }
             )
-        state.update((total,))
+        state.update((total, n_nonnull))
 
     return df.groupBy("user_id").applyInPandasWithState(
         _running_total_fn,
