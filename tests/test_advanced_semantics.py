@@ -125,6 +125,53 @@ def test_grid_range_join_matches_inequality_join(spark):
             ).collect()
         }
         assert got == want, bc
+    # these OVERLAPPING ranges must refuse the CASE-inline fast path
+    # (a fact matching two bands can't come out of a single CASE) —
+    # even with the threshold wide open the plan keeps a real join
+    plan = (
+        grid_range_join(facts, "v", ranges, grid=7.0, inline_threshold=64)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "Join" in plan
+
+
+def test_grid_range_join_inline_band_path(spark):
+    """Non-overlapping tiny range sets take the driver-inline CASE path:
+    identical rows to the theta join (boundaries, unmatched facts, null
+    values, null/empty intervals dropped), and NO join in the plan."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.rangejoin import (
+        grid_range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0.0, 9.99, 10.0, 55.5, 100.0, 400.0, None])],
+        "fid long, v double",
+    )
+    ranges = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("b", 10.0, 100.0), ("c", 150.0, 300.0),
+         ("nul", None, 999.0), ("empty", 7.0, 7.0)],
+        "band string, lo double, hi double",
+    )
+    want = sorted(
+        (r["fid"], r["band"], r["lo"], r["hi"])
+        for r in facts.join(
+            ranges, (facts.v >= ranges.lo) & (facts.v < ranges.hi)
+        ).collect()
+    )
+    out = grid_range_join(facts, "v", ranges, grid=7.0)
+    got = sorted((r["fid"], r["band"], r["lo"], r["hi"]) for r in out.collect())
+    assert got == want and len(got) == 4
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "CASE" in plan
+    # all-null/empty ranges: schema-preserving empty result, still no join
+    degenerate = spark.createDataFrame(
+        [("x", None, 5.0), ("y", 9.0, 9.0)], "band string, lo double, hi double"
+    )
+    empty = grid_range_join(facts, "v", degenerate, grid=7.0)
+    assert empty.count() == 0
+    assert empty.columns == out.columns
 
 
 def test_ordered_pairs_helper(spark):

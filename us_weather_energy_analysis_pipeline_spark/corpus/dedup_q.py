@@ -34,26 +34,44 @@ NGRAM_DF_CAP = 10
 
 
 def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> DataFrame:
-    """(doc_id, shingle) distinct pairs where ``shingle`` is the XXHASH64
-    of the k-word slice — an 8-byte int64 key, so the distinct and the
-    inverted-index self-join exchange fixed-width integers instead of raw
+    """(doc_id, shingle) distinct pairs where ``shingle`` is a 64-bit
+    hash of the k-word slice — an 8-byte int64 key, so the distinct and
+    the inverted-index exchanges ship fixed-width integers instead of raw
     multi-word strings (the r3 bench showed the string shuffle dominating
-    this family). The hash is taken over the token-array slice directly
-    (no join-to-string materialization); slice↔string is injective (split
-    on ' ' leaves no spaces inside tokens), so the DuckDB oracle keeps
-    matching on the raw ``array_to_string`` shingle — identical pair sets
-    unless xxhash64 collides (P ≈ n²/2⁶⁵ ≈ 3e-8 at sf0.1's ~1M shingles;
-    the string-keyed oracle doubles as the collision check at test SFs).
+    this family).
+
+    HASH-ONCE formulation (r5 A/B, BENCH_NOTES): each TOKEN is xxhash64'd
+    exactly once, and a shingle's key is the XOR of its k token hashes
+    under position-distinct rotations — bitwise ops that cost far less
+    per element than the previous per-shingle ``xxhash64(slice(t, i, k))``
+    (each token was re-hashed k times there; measured 0.61 s → 0.38–0.52 s
+    for the sf0.1 shingle pass). Both HOF lambdas evaluate interpreted,
+    which is why shrinking per-element work pays. Position rotations are
+    distinct (0/21/42 bits for k=3), so permuted or repeated tokens yield
+    different keys; collision probability stays ~n²/2⁶⁴ like any uniform
+    64-bit key. The key only needs consistency WITHIN Spark — the DuckDB
+    oracle matches on the raw ``array_to_string`` shingle and doubles as
+    the collision check at test SFs.
 
     Per-doc dedup is ``array_distinct`` MAP-SIDE (every doc's shingles
     sit in one row pre-explode), not a ``.distinct()`` — that removes an
     entire shingle-index exchange from the plan."""
     toks = F.split(ascii_lower(F.trim(F.col(text_col))), " ")
     base = df.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
-    idx = F.sequence(F.lit(0), F.size("t") - k)
-    shingles = F.array_distinct(
-        F.transform(idx, lambda i: F.xxhash64(F.slice("t", i + 1, k)))
-    )
+    hashed = F.transform("t", lambda x: F.xxhash64(x))
+    base = base.select("doc_id", hashed.alias("h"))
+    idx = F.sequence(F.lit(0), F.size("h") - k)
+
+    def _rot(c, r):  # 64-bit rotate-left (bitwise: no ANSI overflow)
+        return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+    def _combine(i):
+        out = F.element_at("h", i + 1)
+        for j in range(1, k):
+            out = out.bitwiseXOR(_rot(F.element_at("h", i + 1 + j), (21 * j) % 64))
+        return out
+
+    shingles = F.array_distinct(F.transform(idx, _combine))
     return base.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
@@ -169,9 +187,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle replaces repartition + join — while shuffling the same
     fixed-width int64 keys.
 
-    The capped index feeds TWO plan branches (posting lists + sizes);
-    exchange reuse measurably does NOT collapse them (each branch re-ran
-    the tokenize→hash subtree), so the index is persisted via
+    The index feeds THREE plan branches (hot-count probe, posting lists,
+    sizes); exchange reuse measurably does NOT collapse them (each branch
+    re-ran the tokenize→hash subtree), so the RAW index is persisted via
     operators.cache — ~16 bytes/shingle, the standard materialization
     any production dedup pass makes."""
     return ngram_jaccard_pairs(load(spark, sf_dir, "documents"))
@@ -189,7 +207,17 @@ def ngram_jaccard_pairs(
     # ships ~one combiner row per hot key per partition — skew-safe),
     # and the broadcast anti drops hot rows map-side, so only capped,
     # bounded posting lists ever reach the shingle groupBy below.
-    sh = cache.track(capped_shingles(word_shingles(d), cap))
+    #
+    # The persist sits on the RAW index, BEFORE the cap (r5 A/B,
+    # BENCH_NOTES): the hot-count probe, and both downstream branches'
+    # anti joins, then read the tokenize→hash pass from cache instead of
+    # re-running it (the probe alone re-ran it before — measured
+    # 0.95–1.16 s → 0.67–0.75 s for the capped index at sf0.1). The
+    # extra cached rows vs the capped output are just the hot shingles'
+    # postings — bounded by the boilerplate vocabulary, a rounding error
+    # next to a full second hash pass. The anti join itself is broadcast
+    # (map-side) and cheap to run per branch.
+    sh = capped_shingles(cache.track(word_shingles(d)), cap)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         # collect_set, not collect_list: (doc, shingle) rows are unique

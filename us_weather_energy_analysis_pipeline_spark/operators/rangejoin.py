@@ -27,6 +27,61 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _try_inline_bands(
+    facts: DataFrame,
+    value_col: str,
+    ranges: DataFrame,
+    lo_col: str,
+    hi_col: str,
+    threshold: int,
+) -> DataFrame | None:
+    """Driver-inline path for tiny NON-OVERLAPPING range sets (price
+    bands, age buckets — partitions of the number line): collapse the
+    join into a codegen'd CASE that maps the value to its band index,
+    plus one literal-array ``element_at`` per range column. No join, no
+    broadcast exchange, no explode — the query becomes scan→project→agg.
+
+    Profiled at sf0.1 (BENCH_NOTES r5): the 4-band corpus query runs 3×
+    faster inline (0.21 s vs 0.62 s) — with so few ranges the grid
+    join's fixed costs (local-relation job, explode, broadcast) dominate.
+
+    Returns None (caller falls back to the grid join) when the ranges
+    are more than ``threshold`` rows — the same smallness the broadcast
+    already assumes, so the bounded collect adds no new scale hazard —
+    or when any two intervals overlap (a fact could match several ranges;
+    CASE picks one). Null/empty intervals never match in either path and
+    are simply dropped from the CASE. Exact duplicate range rows count
+    as overlapping and fall back (the join emits one row per duplicate).
+    """
+    rows = ranges.limit(threshold + 1).collect()
+    if len(rows) > threshold:
+        return None
+    live = [r for r in rows if r[lo_col] is not None and r[hi_col] is not None
+            and r[lo_col] < r[hi_col]]
+    ordered = sorted(live, key=lambda r: (r[lo_col], r[hi_col]))
+    for a, b in zip(ordered, ordered[1:]):
+        if b[lo_col] < a[hi_col]:
+            return None  # overlapping intervals: multi-match needs the join
+    if not ordered:  # no matchable interval: schema-only empty result
+        out = facts.filter(F.lit(False))
+        for c in ranges.columns:
+            out = out.withColumn(c, F.lit(None).cast(ranges.schema[c].dataType))
+        return out
+    v = F.col(value_col)
+    idx = F.when(
+        (v >= F.lit(ordered[0][lo_col])) & (v < F.lit(ordered[0][hi_col])),
+        F.lit(1),
+    )
+    for i, r in enumerate(ordered[1:], start=2):
+        idx = idx.when((v >= F.lit(r[lo_col])) & (v < F.lit(r[hi_col])), F.lit(i))
+    out = facts.withColumn("_band_idx", idx).filter(F.col("_band_idx").isNotNull())
+    for c in ranges.columns:
+        dt = ranges.schema[c].dataType
+        lits = F.array(*[F.lit(r[c]).cast(dt) for r in ordered])
+        out = out.withColumn(c, F.element_at(lits, F.col("_band_idx")))
+    return out.drop("_band_idx")
+
+
 def grid_range_join(
     facts: DataFrame,
     value_col: str,
@@ -35,6 +90,7 @@ def grid_range_join(
     hi_col: str = "hi",
     grid: float = 50_000.0,
     broadcast_ranges: bool = True,
+    inline_threshold: int = 64,
 ) -> DataFrame:
     """Inner-join ``facts`` to every range row with
     ``lo <= value < hi``, via the grid-cell equi-join. Returns the fact
@@ -44,7 +100,18 @@ def grid_range_join(
     is small (cells ≈ Σ⌈width/grid⌉); flip it off for huge range tables —
     the equi-join then shuffles both sides on the cell key, which is the
     scalable plan a nested loop can never reach.
+
+    When the ranges table is tiny (≤ ``inline_threshold`` rows) AND its
+    intervals don't overlap, the join is inlined into a CASE expression
+    instead (see ``_try_inline_bands``); pass ``inline_threshold=0`` to
+    force the grid plan.
     """
+    if broadcast_ranges and inline_threshold > 0:
+        inlined = _try_inline_bands(
+            facts, value_col, ranges, lo_col, hi_col, inline_threshold
+        )
+        if inlined is not None:
+            return inlined
     cells = ranges.withColumn(
         "cell",
         F.explode(
