@@ -208,16 +208,15 @@ def ngram_jaccard_pairs(
     # and the broadcast anti drops hot rows map-side, so only capped,
     # bounded posting lists ever reach the shingle groupBy below.
     #
-    # The persist sits on the RAW index, BEFORE the cap (r5 A/B,
-    # BENCH_NOTES): the hot-count probe, and both downstream branches'
-    # anti joins, then read the tokenize→hash pass from cache instead of
-    # re-running it (the probe alone re-ran it before — measured
-    # 0.95–1.16 s → 0.67–0.75 s for the capped index at sf0.1). The
-    # extra cached rows vs the capped output are just the hot shingles'
-    # postings — bounded by the boilerplate vocabulary, a rounding error
-    # next to a full second hash pass. The anti join itself is broadcast
-    # (map-side) and cheap to run per branch.
-    sh = capped_shingles(cache.track(word_shingles(d)), cap)
+    # TWO persists (r5 A/B, BENCH_NOTES): the RAW index so the hot-count
+    # groupBy and the capped fill share one tokenize→hash pass, AND the
+    # capped output so the three consumers (sizes, posts, and the join
+    # back) read cache instead of re-running the broadcast anti per
+    # branch. Raw-only was fastest on data-seconds but re-ran the anti
+    # in every branch (19 jobs); capped-only re-ran the hash pass for
+    # the hot count (slowest); both = fastest wall AND 14 jobs. The raw
+    # cache is ~16 bytes/shingle and released with the query.
+    sh = cache.track(capped_shingles(cache.track(word_shingles(d)), cap))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         # collect_set, not collect_list: (doc, shingle) rows are unique

@@ -53,7 +53,12 @@ def _try_inline_bands(
     are simply dropped from the CASE. Exact duplicate range rows count
     as overlapping and fall back (the join emits one row per duplicate).
     """
-    rows = ranges.limit(threshold + 1).collect()
+    # coalesce(1) before the limit: a CollectLimit over a multi-partition
+    # input (createDataFrame parallelizes Arrow batches) executes in
+    # incremental partition WAVES — 4 driver jobs for a 5-row bands
+    # table. One partition → one job; the limit still bounds the rows
+    # a big ranges table can feed the driver.
+    rows = ranges.coalesce(1).limit(threshold + 1).collect()
     if len(rows) > threshold:
         return None
     live = [r for r in rows if r[lo_col] is not None and r[hi_col] is not None
