@@ -446,7 +446,9 @@ def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load(spark, sf_dir, "orders")
-    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    bands = local_df(spark, PRICE_BANDS, "band string, lo double, hi double")
     return (
         grid_range_join(o, "o_totalprice", bands, grid=50_000.0)
         .groupBy("band")

@@ -102,8 +102,10 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         cum = np.cumsum(pdf["rev_cents"].to_numpy(np.int64)[order])
         tot = float(cum[-1]) if len(cum) else 0.0
         parts = int((cum.astype(np.float64) <= 0.8 * tot).sum())
-        return spark.createDataFrame(
-            [(parts, len(cum))], "parts_for_80pct long, total_parts long"
+        from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+        return local_df(
+            spark, [(parts, len(cum))], "parts_for_80pct long, total_parts long"
         )
     ranked = global_order_stats(
         cents,
@@ -208,8 +210,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         n = len(pdf)
         if n == 0:
-            return spark.createDataFrame(
-                [(None, None)], "gini double, n_customers long"
+            from us_weather_energy_analysis_pipeline_spark.session import (
+                local_df,
+            )
+
+            return local_df(
+                spark, [(None, None)], "gini double, n_customers long"
             )
         x = pdf["revenue"].to_numpy(dtype="float64")[
             np.lexsort((pdf["o_custkey"].to_numpy(), pdf["revenue"].to_numpy("float64")))
@@ -219,7 +225,9 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         g = py_dround(
             2.0 * sum_ix / (float(n) * sum_x) - (float(n) + 1.0) / float(n), 6
         )
-        return spark.createDataFrame([(g, n)], "gini double, n_customers long")
+        from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+        return local_df(spark, [(g, n)], "gini double, n_customers long")
     ranked = global_order_stats(
         rev,
         "revenue",

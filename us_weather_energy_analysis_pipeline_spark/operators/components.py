@@ -143,12 +143,12 @@ def _union_find_rows(spark, pairs) -> DataFrame:
         nodes.add(r[1])
     rows = [(n, find(n)) for n in sorted(nodes)]
     # broadcast-hinted: the labeling is ≤ driver_threshold rows and its
-    # typical consumer left-joins it against the full corpus. (A
-    # coalesce(1) here — tried for task-count reasons — HIDES the local
-    # relation's size statistics, demoting that join to a 10× slower
-    # sort-merge; the hint keeps it a broadcast join and is a no-op for
-    # standalone consumption.)
-    return F.broadcast(spark.createDataFrame(rows, "node long, comp long"))
+    # typical consumer left-joins it against the full corpus. local_df
+    # (Arrow LocalRelation) keeps size statistics visible and makes any
+    # downstream collect job-free; the hint is then belt-and-braces.
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    return F.broadcast(local_df(spark, rows, "node long, comp long"))
 
 
 def dedup_clusters(

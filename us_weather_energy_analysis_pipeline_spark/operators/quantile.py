@@ -86,24 +86,25 @@ def exact_quantiles(
         SMALL_INPUT_BYTES,
         input_bytes,
     )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
 
     n = None
     if input_bytes(vals) >= SMALL_INPUT_BYTES:
         vals = cache.track(vals)
         n = vals.count()
         if n == 0:
-            return spark.createDataFrame([], "f double, q double")
+            return local_df(spark, [], "f double, q double")
     if n is None or n <= small_threshold:
         import numpy as np
 
         pdf = vals.select("v").toPandas()
         arr = pdf["v"].to_numpy(dtype="float64")
         if len(arr) == 0:
-            return spark.createDataFrame([], "f double, q double")
+            return local_df(spark, [], "f double, q double")
         fl = [float(f) for f in fractions]
         qs = np.quantile(arr, fl, method="linear")
-        return spark.createDataFrame(
-            [(f, float(q)) for f, q in zip(fl, qs)], "f double, q double"
+        return local_df(
+            spark, [(f, float(q)) for f, q in zip(fl, qs)], "f double, q double"
         )
 
     # ---- distributed exact path -------------------------------------------

@@ -53,12 +53,13 @@ def _try_inline_bands(
     are simply dropped from the CASE. Exact duplicate range rows count
     as overlapping and fall back (the join emits one row per duplicate).
     """
-    # coalesce(1) before the limit: a CollectLimit over a multi-partition
-    # input (createDataFrame parallelizes Arrow batches) executes in
-    # incremental partition WAVES — 4 driver jobs for a 5-row bands
-    # table. One partition → one job; the limit still bounds the rows
-    # a big ranges table can feed the driver.
-    rows = ranges.coalesce(1).limit(threshold + 1).collect()
+    # Plain limit+collect: for a LocalRelation ranges table (the expected
+    # case — see session.local_df) this is job-free; for an RDD-backed one
+    # the CollectLimit's partition waves are bounded and cheap. A
+    # coalesce(1) here — tried for wave-count reasons — hits a
+    # multi-second single-task scheduler pathology on parallelized local
+    # lists (measured 4.5 s vs 0.05 s, BENCH_NOTES r5); never do that.
+    rows = ranges.limit(threshold + 1).collect()
     if len(rows) > threshold:
         return None
     live = [r for r in rows if r[lo_col] is not None and r[hi_col] is not None

@@ -79,3 +79,37 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def local_df(spark: SparkSession, rows, schema):
+    """Plan-side literal DataFrame (Arrow ``LocalTableScan``).
+
+    ``spark.createDataFrame(python_list, schema)`` pickles the rows into a
+    defaultParallelism-partition RDD: every downstream action schedules a
+    32-task job (~0.5 s locally even for a 4-row dim), ``coalesce(1)`` over
+    it hits a multi-second scheduler pathology (measured 4.5 s,
+    BENCH_NOTES r5), and the join side carries no size statistics. Routing
+    the rows through a pyarrow Table instead produces a true LocalRelation:
+    ``collect()`` is job-free, joins against it broadcast, and NULLs
+    survive exactly (a pandas detour would coerce None→NaN for doubles).
+
+    For the engine's uses — literal dims, driver-computed small results —
+    rows are tuples/Rows of plain values (str/int/float/bool/date/
+    datetime/None). Falls back to the classic path if the Arrow
+    conversion is unavailable.
+    """
+    from pyspark.sql.types import StructType
+
+    st = StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    try:
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        names = [f.name for f in st.fields]
+        tbl = pa.Table.from_pylist(
+            [dict(zip(names, tuple(r))) for r in rows],
+            schema=to_arrow_schema(st),
+        )
+        return spark.createDataFrame(tbl, schema=st)
+    except Exception:  # pragma: no cover - version-drift safety net
+        return spark.createDataFrame(list(rows), schema=st)
