@@ -383,3 +383,78 @@ def test_topk_kernel_emits_exact_fold_scores(emb):
     }
     for r in got:
         assert r["cosine"] == jvm[(r["qid"], r["vec_id"])], (r["qid"], r["vec_id"])
+
+
+def test_int8_vectorized_path_matches_expression_path(emb, spark):
+    """The numpy matrix kernel (above the metadata gate) must agree
+    BIT-identically with the small-input expression plan: every emitted
+    scalar is order-independent (per-vector max, int64 sum, elementwise
+    IEEE ops), so unlike the centroid hybrid there is no summation-order
+    drift to absorb — exact equality is the contract."""
+    import struct
+
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import (
+        int8_quantize_vectorized,
+    )
+
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    scale = F.lit(127.0) / F.greatest(
+        F.array_max(F.transform(e, F.abs)), F.lit(1e-12)
+    )
+    xs = F.transform(e, lambda x: x * scale)
+    qv = F.transform(
+        xs, lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long")
+    )
+    expr = {
+        r["vec_id"]: (
+            struct.pack("<d", r["scale_r"]),
+            r["q_sum"],
+            r["q_min"],
+            r["q_max"],
+        )
+        for r in emb.select(
+            "vec_id",
+            r6(scale).alias("scale_r"),
+            F.aggregate(qv, F.lit(0).cast("long"), lambda a, v: a + v).alias("q_sum"),
+            F.array_min(qv).alias("q_min"),
+            F.array_max(qv).alias("q_max"),
+        ).collect()
+    }
+    vec = {
+        r["vec_id"]: (
+            struct.pack("<d", r["scale_r"]),
+            r["q_sum"],
+            r["q_min"],
+            r["q_max"],
+        )
+        for r in int8_quantize_vectorized(emb).collect()
+    }
+    assert expr == vec and len(expr) > 0
+
+
+def test_int8_vectorized_ragged_null_empty_fallback(spark):
+    """Ragged dims / NULL vectors / empty arrays force the per-row
+    fallback inside a batch; semantics must match the documented
+    contract (1e-12 scale floor, NULL stats for NULL vectors, zero sum
+    for empty arrays)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import (
+        int8_quantize_vectorized,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    rows = [
+        (1, [1.0, -2.0, 0.5]),
+        (2, [4.0]),          # ragged vs row 1 → np.stack fails → loop
+        (3, None),           # NULL vector
+        (4, []),             # empty array
+    ]
+    df = local_df(spark, rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r.asDict() for r in int8_quantize_vectorized(df).collect()}
+    # scale = 127/2 = 63.5 → q = [64, -127, 32]
+    assert got[1]["q_max"] == 64 and got[1]["q_min"] == -127
+    assert got[1]["q_sum"] == 64 - 127 + 32
+    assert got[2]["q_sum"] == 127 and got[2]["q_min"] == 127
+    assert got[3]["q_sum"] is None and got[3]["q_min"] is None
+    assert got[4]["q_sum"] == 0 and got[4]["q_min"] is None
+    assert got[3]["scale_r"] == got[4]["scale_r"] > 1e13  # 127/1e-12, 6dp

@@ -322,8 +322,50 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     so both engines emit identical integers; the query returns the
     per-vector audit scalars (scale + quantized sum/min/max), which
     hash-certify every element through the sum without comparing raw
-    arrays."""
+    arrays.
+
+    Metadata-gated hybrid, same shape (and gate) as
+    ``embed_centroid_by_label``: below the gate a native higher-order
+    expression plan (the mapInPandas python-stage floor, ~0.2 s, dwarfs
+    the μs/row HOF cost at test SFs); above it the vectorized numpy
+    kernel (``int8_quantize_vectorized``). Unlike the centroid hybrid
+    the two paths are BIT-identical, not merely round-absorbed: every
+    per-vector scalar is order-independent (max, int64 sum, elementwise
+    IEEE ops), so no summation-order drift exists to absorb."""
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        input_bytes as _input_bytes,
+    )
+
     d = load(spark, sf_dir, "embeddings")
+    if _input_bytes(d) < _CENTROID_GATE_BYTES:
+        e = F.transform("embedding", lambda x: x.cast("double"))
+        scale = F.lit(127.0) / F.greatest(
+            F.array_max(F.transform(e, F.abs)), F.lit(1e-12)
+        )
+        xs = F.transform(e, lambda x: x * scale)
+        # dround(x, 0) twin, elementwise: signum·floor(|x|+0.5)
+        qv = F.transform(
+            xs,
+            lambda x: (F.signum(x) * F.floor(F.abs(x) + F.lit(0.5))).cast("long"),
+        )
+        return d.select(
+            "vec_id",
+            r6(scale).alias("scale_r"),
+            F.aggregate(qv, F.lit(0).cast("long"), lambda a, v: a + v).alias(
+                "q_sum"
+            ),
+            F.array_min(qv).alias("q_min"),
+            F.array_max(qv).alias("q_max"),
+        )
+    return int8_quantize_vectorized(d)
+
+
+def int8_quantize_vectorized(d: DataFrame) -> DataFrame:
+    """Arrow-batched numpy kernel for int8 quantization — the 100 TB
+    path. Uniform-dimension batches (the overwhelmingly common case:
+    embedding tables have one model's dim) quantize as ONE matrix op per
+    batch; ragged or null-bearing batches fall back to the per-row loop
+    with identical arithmetic."""
 
     def quantize(batches):
         import math
@@ -337,9 +379,43 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            ids, scale_r, qs, qmin, qmax = [], [], [], [], []
-            for vid, v in zip(pdf["vec_id"], pdf["embedding"]):
-                ids.append(None if pd.isna(vid) else int(vid))
+            vids = pd.array(
+                [None if pd.isna(v) else int(v) for v in pdf["vec_id"]],
+                dtype="Int64",
+            )
+            emb = list(pdf["embedding"])
+            # vectorized fast path: no null vectors, uniform non-zero dims
+            # (np.stack raises on ragged input)
+            M = None
+            if not any(
+                v is None or (isinstance(v, float) and pd.isna(v)) for v in emb
+            ):
+                try:
+                    M = np.stack([np.asarray(v, dtype=np.float64) for v in emb])
+                except ValueError:
+                    M = None
+            if M is not None and M.ndim == 2 and M.shape[1] > 0:
+                scale = 127.0 / np.maximum(np.abs(M).max(axis=1), 1e-12)
+                x = M * scale[:, None]
+                # dround(x, 0) twin, elementwise: signum·floor(|x|+0.5)
+                q = (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+                # drnd6 twin, elementwise (copysign/floor are the same
+                # IEEE ops the scalar form uses)
+                sr = np.copysign(1.0, scale) * np.floor(
+                    np.abs(scale) * 1e6 + 0.5
+                ) / 1e6
+                yield pd.DataFrame(
+                    {
+                        "vec_id": vids,
+                        "scale_r": sr,
+                        "q_sum": pd.array(q.sum(axis=1), dtype="Int64"),
+                        "q_min": pd.array(q.min(axis=1), dtype="Int64"),
+                        "q_max": pd.array(q.max(axis=1), dtype="Int64"),
+                    }
+                )
+                continue
+            scale_r, qs, qmin, qmax = [], [], [], []
+            for v in emb:
                 if v is None or (isinstance(v, float) and pd.isna(v)):
                     # legacy null-row semantics: greatest(NULL, 1e-12) →
                     # 1e-12 floor, quantized stats NULL
@@ -362,7 +438,7 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(
                 {
-                    "vec_id": pd.array(ids, dtype="Int64"),
+                    "vec_id": vids,
                     "scale_r": scale_r,
                     "q_sum": pd.array(qs, dtype="Int64"),
                     "q_min": pd.array(qmin, dtype="Int64"),
