@@ -4,7 +4,9 @@
 DuckDB is the single-node columnar baseline (BASELINE.md: the reference
 itself has no benchmark; its compute is trivial at its scale). This runs
 every oracle SQL in DuckDB and the matching Spark plan, both end-to-end,
-and writes a markdown table to BENCH_NOTES.md.
+and writes a markdown table to BENCH_NOTES.md. Hand-written A/B analysis
+lives in BENCH_AB.md (this script regenerates BENCH_NOTES.md WHOLESALE —
+round 5 lost two hand sections to that; never append analysis here).
 
 Usage: python scripts/bench_vs_duckdb.py [sf_dir]
 """
@@ -145,6 +147,11 @@ def main() -> None:
         f"floor={floor:.3f}/{probe_jobs}j adj={adj:.1f} adj_jobs={adj_jobs:.1f} "
         f"→ BENCH_NOTES.md"
     )
+    with open("BENCH_NOTES.md", "a") as f:
+        f.write(
+            "\nOperator/plan A/B analysis (hand-written, replicated): see "
+            "`BENCH_AB.md`.\n"
+        )
     spark.stop()
 
 
