@@ -163,3 +163,34 @@ def test_ordered_pairs_matches_combinations(spark, xs):
     got = [(r["a"], r["b"]) for r in rows]
     want = list(itertools.combinations(sorted(xs), 2))
     assert got == want
+
+
+def test_local_df_round_trips_values_and_is_plan_side(spark):
+    """session.local_df must (a) produce a LocalTableScan — the whole
+    point: job-free collects, size stats for broadcast — and (b) round-
+    trip values exactly across the engine's literal-dim types, including
+    None (a pandas detour would coerce None→NaN for doubles) and empty
+    row lists (the classic path returns an RDD scan even for [])."""
+    import datetime as dt
+    import math
+
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    rows = [
+        ("a", 1, 1.5, True, dt.date(1999, 12, 31), dt.datetime(2000, 1, 1, 23, 59, 59), [1.0, 2.0]),
+        (None, None, None, None, None, None, None),
+        ("", -(2**62), math.inf, False, dt.date(2200, 1, 1), dt.datetime(1969, 7, 20, 2, 56), []),
+    ]
+    schema = (
+        "s string, i long, d double, b boolean, dt date, ts timestamp_ntz, "
+        "arr array<double>"
+    )
+    df = local_df(spark, rows, schema)
+    assert "LocalTableScan" in df._jdf.queryExecution().executedPlan().toString()
+    got = [tuple(r) for r in df.collect()]
+    assert got == [tuple(r) for r in rows]
+
+    empty = local_df(spark, [], schema)
+    assert empty.collect() == []
+    assert "LocalTableScan" in empty._jdf.queryExecution().executedPlan().toString()
+    assert empty.schema == df.schema
