@@ -217,7 +217,11 @@ def ngram_jaccard_pairs(
     # the hot count (slowest); both = fastest wall AND 14 jobs. The raw
     # cache is ~16 bytes/shingle and released with the query.
     sh = cache.track(capped_shingles(cache.track(word_shingles(d)), cap))
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # sizes persisted too: it feeds BOTH join sides (sa/sb) and AQE does
+    # not reuse the exchange across the two joins (different attribute
+    # ids) — without the persist the groupBy subtree executes twice
+    # (replicated ~5% wall win, BENCH_AB r5; one fewer exchange either way)
+    sizes = cache.track(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
     posts = (
         # collect_set, not collect_list: (doc, shingle) rows are unique
         # by construction (per-doc array_distinct + unique doc_ids), but
