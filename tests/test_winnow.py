@@ -1,0 +1,74 @@
+"""Winnowing fingerprint properties (corpus/winnow_q.py) — the paper's
+guarantees, checked directly (oracle parity is covered by the corpus
+gate in test_corpus_oracle.py)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus.winnow_q import (
+    WINNOW_K,
+    WINNOW_W,
+    winnow_selected,
+)
+from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+
+def _sel_hashes(spark, docs):
+    df = local_df(spark, docs, "doc_id long, text string")
+    rows = winnow_selected(df).collect()
+    out = {}
+    for r in rows:
+        out.setdefault(r["doc_id"], set()).add(r["sel"] >> 32)
+    return out
+
+
+def test_shared_run_shares_a_fingerprint(spark):
+    """Schleimer et al. theorem: any match of length ≥ w+k−1 words is
+    caught — the run contributes w consecutive grams, one full window
+    lies inside it, and that window's min-hash gram is selected in BOTH
+    documents regardless of surrounding text or position offsets."""
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(500)]
+    run = " ".join(rng.choice(vocab) for _ in range(WINNOW_W + WINNOW_K - 1))
+    for trial in range(10):
+        pre_a = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        pre_b = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        suf_a = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        suf_b = " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 30)))
+        docs = [
+            (1, " ".join(x for x in (pre_a, run, suf_a) if x)),
+            (2, " ".join(x for x in (pre_b, run, suf_b) if x)),
+        ]
+        sels = _sel_hashes(spark, docs)
+        assert sels[1] & sels[2], f"trial {trial}: no shared fingerprint"
+
+
+def test_short_doc_degrades_to_whole_doc_window(spark):
+    """Fewer than w grams → exactly one window (the whole doc) → exactly
+    one selected fingerprint; below k tokens → no grams, doc absent."""
+    docs = [
+        (1, "alpha beta gamma"),            # exactly k tokens → 1 gram
+        (2, "alpha beta gamma delta"),      # 2 grams < w → still 1 window
+        (3, "just two"),                    # < k tokens → no output
+    ]
+    sels = _sel_hashes(spark, docs)
+    assert len(sels[1]) == 1 and len(sels[2]) == 1
+    assert 3 not in sels
+
+
+def test_density_tracks_theory(spark):
+    """Selected density on random text ≈ 2/(w+1) (the paper's expected
+    density for winnowing); allow a generous band."""
+    rng = random.Random(11)
+    vocab = [f"w{i}" for i in range(5000)]
+    text = " ".join(rng.choice(vocab) for _ in range(4000))
+    df = local_df(spark, [(1, text)], "doc_id long, text string")
+    n_grams = 4000 - WINNOW_K + 1
+    n_sel = winnow_selected(df).count()
+    density = n_sel / n_grams
+    expected = 2.0 / (WINNOW_W + 1)
+    assert expected * 0.7 < density < expected * 1.3, density

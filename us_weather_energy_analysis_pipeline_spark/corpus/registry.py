@@ -146,6 +146,7 @@ def _ensure_loaded() -> None:
         quality_q,
         stats_q,
         spine_q,
+        winnow_q,  # new r5 query: LAST so the windows above never shift
     )
 
     _LOADED = True

@@ -385,3 +385,4 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_contaminated"),
         r6(F.count("hit") / F.count(F.lit(1))).alias("contamination_rate"),
     )
+
