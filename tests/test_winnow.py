@@ -72,3 +72,51 @@ def test_density_tracks_theory(spark):
     density = n_sel / n_grams
     expected = 2.0 / (WINNOW_W + 1)
     assert expected * 0.7 < density < expected * 1.3, density
+
+
+def test_winnow_pairs_finds_planted_near_dup(spark):
+    """Two documents sharing most of their text must surface as a
+    candidate pair; unrelated documents must not."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.winnow_q import (
+        WINNOW_JACCARD,
+    )
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ordered_pairs,  # noqa: F401 (import path sanity)
+    )
+
+    rng = random.Random(3)
+    vocab = [f"tok{i}" for i in range(300)]
+    body = " ".join(rng.choice(vocab) for _ in range(120))
+    other = " ".join(rng.choice(vocab) for _ in range(120))
+    docs = [
+        (1, "intro words here " + body),
+        (2, body + " closing words differ"),
+        (3, other),
+    ]
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+    import pandas as pd
+
+    def run(tmpdir):
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(docs, columns=["doc_id", "text"]),
+                preserve_index=False,
+            ),
+            f"{tmpdir}/documents.parquet",
+        )
+        from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+            REGISTRY,
+            _ensure_loaded,
+        )
+
+        _ensure_loaded()
+        return REGISTRY["dedup_winnow_pairs"].spark_fn(spark, tmpdir).collect()
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmpdir:
+        rows = run(tmpdir)
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
+    assert (1, 2) in got and got[(1, 2)] >= WINNOW_JACCARD
+    assert not any(3 in p for p in got)

@@ -139,3 +139,118 @@ def winnow_selected(
         F.col("i") >= F.least(F.lit(w), F.col("n_grams"))
     )
     return winmin.select("doc_id", "n_grams", "sel").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Winnow-fingerprint near-dup candidates (the dedup consumer of the scheme)
+# ---------------------------------------------------------------------------
+
+WINNOW_DF_CAP = 10     # drop fingerprints shared by more docs (boilerplate)
+WINNOW_JACCARD = 0.2   # fingerprint-set Jaccard threshold
+
+# position-free fingerprint hash: sel div 2^32 (both engines, exact int)
+_WINNOW_CTES = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_TRANS_DUCK}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS i,
+             substr(md5(array_to_string(t[i:i+{WINNOW_K}-1], ' ')), 1, 7) AS h7
+      FROM toks, UNNEST(generate_series(1, len(t) - {WINNOW_K} + 1)) AS g(i)
+    ),
+    keyed AS (
+      SELECT doc_id, i, ({_HEX7_DUCK}) * 4294967296 + i AS key,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_grams
+      FROM grams
+    ),
+    winmin AS (
+      SELECT doc_id, i, n_grams,
+             MIN(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN {WINNOW_W - 1} PRECEDING
+                                     AND CURRENT ROW) AS sel
+      FROM keyed
+    ),
+    fps_all AS (
+      SELECT DISTINCT doc_id, sel // 4294967296 AS h
+      FROM winmin WHERE i >= LEAST({WINNOW_W}, n_grams)
+    ),
+    fps AS (
+      SELECT doc_id, h FROM fps_all
+      QUALIFY COUNT(*) OVER (PARTITION BY h) <= {WINNOW_DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM fps GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+"""
+
+
+@register(
+    "dedup_winnow_pairs",
+    oracle=_WINNOW_CTES
+    + f"""
+    SELECT p.doc_a, p.doc_b, p.inter,
+           ROUND(CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter), 4) AS jaccard
+    FROM cand p
+    JOIN sizes sa ON p.doc_a = sa.doc_id
+    JOIN sizes sb ON p.doc_b = sb.doc_id
+    WHERE CAST(p.inter AS DOUBLE) / (sa.n + sb.n - p.inter) >= {WINNOW_JACCARD}
+    """,
+    tags=("dedup", "winnowing", "posting-list", "jaccard"),
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup candidate pairs from SHARED winnowing fingerprints — the
+    dedup consumer of `text_winnow_fingerprint`'s scheme, with the exact
+    plan shape of `dedup_ngram_jaccard`: a document-frequency cap drops
+    boilerplate fingerprints (a fingerprint shared by k docs would emit
+    k² pairs in its bucket), the capped inverted index groups into
+    ≤cap-doc posting lists, ordered pairs expand MAP-SIDE, and Jaccard
+    over fingerprint sets filters. vs n-gram Jaccard: the index is
+    2/(w+1) the size (only selected grams), and a match implies a
+    shared ≥ w+k−1-word run (the winnowing guarantee) — the standard
+    first-stage blocking for long-document dedup. One exchange per
+    stage, all bounded, no self-join."""
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ordered_pairs,
+    )
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    d = load(spark, sf_dir, "documents")
+    fps_all = winnow_selected(d).select(
+        "doc_id", F.shiftrightunsigned("sel", 32).alias("h")
+    ).distinct()
+    # df-cap map-side, same broadcast-anti shape as capped_shingles: the
+    # over-cap fingerprint set is tiny (boilerplate tail) and the count
+    # groupBy partial-aggregates per partition before the exchange
+    fps_all = cache.track(fps_all)
+    hot = (
+        fps_all.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > WINNOW_DF_CAP)
+        .select("h")
+    )
+    fps = cache.track(fps_all.join(F.broadcast(hot), "h", "left_anti"))
+    sizes = cache.track(fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    posts = (
+        fps.groupBy("h")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = (
+        posts.select(F.explode(ordered_pairs("ds", "doc_a", "doc_b")).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter").cast("double") / (
+        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+    )
+    return (
+        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .filter(jac >= WINNOW_JACCARD)
+        .select("doc_a", "doc_b", "inter", r4(jac).alias("jaccard"))
+    )
