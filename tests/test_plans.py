@@ -256,6 +256,9 @@ GLOBAL_WINDOW_ALLOWLIST = {
     "moving_avg_7d",
     "revenue_share",
     "trailing_range_7d",
+    # rank window runs AFTER an orderBy().limit(ZIPF_TOP) — input is
+    # bounded at 200 rows by construction, never data-sized
+    "text_zipf_fit",
 }
 
 

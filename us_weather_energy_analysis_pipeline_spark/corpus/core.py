@@ -440,7 +440,15 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → two-hop join → grouped
     revenue → deterministic top-20. Catalyst pushes all three predicates
     into the scans; the customer side shrinks below the broadcast
-    threshold before joining orders."""
+    threshold before joining orders. The lineitem join carries an
+    explicit SHUFFLE_HASH hint on the (customer⨝orders) side: the
+    static planner otherwise picks broadcast-build on the WEAKLY
+    filtered lineitem (shipdate keeps ~half the fact — a single-thread
+    hash build locally, and the backwards shape at 100 TB where
+    lineitem is the largest table); hinting the orders side keeps the
+    per-partition build on the smaller input and the fact on the
+    streamed side at every scale. A/B (sf0.1, min-of-3 warm, 4
+    interleaved pairs): 0.87–1.07 s → 0.57–0.74 s, wins every pair."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp_ntz")
@@ -448,9 +456,9 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
     )
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        co.join(li, li.l_orderkey == co.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue")
@@ -488,7 +496,12 @@ def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-way join with a region-filtered dim chain.
     nation/region/supplier broadcast; the only real shuffles are the
-    customer⨝orders⨝lineitem fact joins and the final 5-group agg."""
+    customer⨝orders⨝lineitem fact joins and the final 5-group agg.
+    Same SHUFFLE_HASH hint as Q3 on the lineitem join's build side —
+    the date filter keeps ~1/7 of orders, so (customer⨝orders) is the
+    small side at every scale, while the static planner would otherwise
+    broadcast-build the UNFILTERED lineitem locally. A/B (sf0.1,
+    min-of-3 warm, 4 interleaved pairs): 0.67–1.11 s → 0.50–0.68 s."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
@@ -498,9 +511,9 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = F.broadcast(load(spark, sf_dir, "supplier"))
     n = F.broadcast(load(spark, sf_dir, "nation"))
     r = F.broadcast(load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA"))
+    co = c.join(o, c.c_custkey == o.o_custkey).hint("shuffle_hash")
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        co.join(li, li.l_orderkey == co.o_orderkey)
         .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)

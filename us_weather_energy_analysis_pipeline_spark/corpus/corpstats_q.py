@@ -1,0 +1,215 @@
+"""Corpus-level statistics queries (registered after winnow_q — new
+modules always go LAST so the driver's verification windows never
+shift; see registry._ensure_loaded)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+
+ZIPF_TOP = 200
+
+_TOKS_DUCK = (
+    "string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz'), ' ')"
+)
+
+
+@register(
+    "text_zipf_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_DUCK}) AS tok FROM documents
+    ),
+    freq AS (
+      SELECT tok, COUNT(*) AS n FROM toks WHERE tok <> '' GROUP BY tok
+    ),
+    top AS (
+      SELECT tok, n, ROW_NUMBER() OVER (ORDER BY n DESC, tok ASC) AS r
+      FROM freq
+      QUALIFY r <= {ZIPF_TOP}
+    ),
+    fit AS (
+      SELECT COUNT(*) AS m,
+             SUM(ln(r))       AS sx,
+             SUM(ln(n))       AS sy,
+             SUM(ln(r)*ln(n)) AS sxy,
+             SUM(ln(r)*ln(r)) AS sxx
+      FROM top
+    )
+    SELECT m AS n_top,
+           ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 4)              AS zipf_slope,
+           ROUND((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m, 4)
+                                                                    AS zipf_intercept
+    FROM fit WHERE m >= 2
+    """,
+    tags=("text", "corpus-stats", "zipf", "topk"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus token rank-frequency curve: token
+    counts → top-{ZIPF_TOP} by frequency (deterministic (n DESC, tok)
+    total order) → closed-form OLS of ln(freq) on ln(rank). A healthy
+    natural-language corpus fits slope ≈ −1; a strongly flatter or
+    steeper tail is a standard data-quality smell (boilerplate floods /
+    template spam) in training-data triage.
+
+    Scale shape: one token-count groupBy (partial agg over the exploded
+    scan), then the top-{ZIPF_TOP} via orderBy+limit — Spark plans
+    TakeOrdered (per-partition heap + driver merge, NEVER a global
+    sort), and the rank window runs on the bounded {ZIPF_TOP}-row
+    result. The 4-dp round absorbs cross-engine ln() last-ulp drift
+    (neither libm guarantees correctly-rounded transcendentals). On an
+    empty corpus both engines produce an m=0 aggregate row that the
+    m >= 2 guard removes — zero rows, no phantom."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok")
+    freq = (
+        d.select(toks)
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = (
+        freq.orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(ZIPF_TOP)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                # bounded input (<= ZIPF_TOP rows) — the single-partition
+                # window is safe by construction, same contract as the
+                # plan-guarded daily windows
+                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+            ),
+        )
+    )
+    lr = F.log(F.col("r").cast("double"))
+    ln = F.log(F.col("n").cast("double"))
+    fit = top.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(lr).alias("sx"),
+        F.sum(ln).alias("sy"),
+        F.sum(lr * ln).alias("sxy"),
+        F.sum(lr * lr).alias("sxx"),
+    )
+    m, sx, sy, sxy, sxx = (F.col(c) for c in ("m", "sx", "sy", "sxy", "sxx"))
+    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return fit.filter(m >= 2).select(
+        m.alias("n_top"),
+        r4(slope).alias("zipf_slope"),
+        r4((sy - slope * sx) / m).alias("zipf_intercept"),
+    )
+
+
+@register(
+    "text_heaps_fit",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_typ
+      FROM toks WHERE tok <> '' GROUP BY doc_id HAVING COUNT(*) >= 2
+    ),
+    fit AS (
+      SELECT COUNT(*) AS m,
+             SUM(ln(n_tok))            AS sx,
+             SUM(ln(n_typ))            AS sy,
+             SUM(ln(n_tok)*ln(n_typ))  AS sxy,
+             SUM(ln(n_tok)*ln(n_tok))  AS sxx
+      FROM per_doc
+    )
+    SELECT m AS n_docs,
+           ROUND((m*sxy - sx*sy) / (m*sxx - sx*sx), 4)              AS heaps_beta,
+           ROUND(exp((sy - ((m*sxy - sx*sy) / (m*sxx - sx*sx)) * sx) / m), 4)
+                                                                    AS heaps_k
+    FROM fit WHERE m >= 2 AND (m*sxx - sx*sx) > 1e-9
+    """,
+    tags=("text", "corpus-stats", "heaps", "vocab-growth"),
+)
+def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit: per-document (total tokens,
+    distinct tokens) pairs → closed-form OLS of ln(types) on ln(tokens)
+    across documents, reported as V(n) ≈ K·n^β. Natural corpora fit
+    β ≈ 0.4–0.6; β near 1 flags token-unique noise (serial numbers,
+    hashes), β near 0 flags template/boilerplate floods — the standard
+    triage companion to the Zipf slope (`text_zipf_fit`).
+
+    Scale shape: token explode → ONE two-phase aggregate per doc
+    (countDistinct plans the (doc_id, tok) partial-dedup + merge — no
+    per-doc collect_set materialization), then a single global fold to
+    the 5 OLS moments. Per-doc rows never leave the executors; the fit
+    is a one-row aggregate. Guards: docs need ≥2 tokens (ln(1)=0 rows
+    carry no rank information but are kept by the literal formula —
+    both engines keep them identically), the fit needs ≥2 docs AND
+    nonzero x-variance (all-same-length corpora would divide by zero in
+    BOTH engines; the shared guard removes the row instead). The 4-dp
+    round absorbs cross-engine ln/exp last-ulp drift."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("tok").alias("n_typ"),
+        )
+        .filter(F.col("n_tok") >= 2)
+    )
+    lx = F.log(F.col("n_tok").cast("double"))
+    ly = F.log(F.col("n_typ").cast("double"))
+    fit = per_doc.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum(lx).alias("sx"),
+        F.sum(ly).alias("sy"),
+        F.sum(lx * ly).alias("sxy"),
+        F.sum(lx * lx).alias("sxx"),
+    )
+    m, sx, sy, sxy, sxx = (F.col(c) for c in ("m", "sx", "sy", "sxy", "sxx"))
+    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+    return fit.filter((m >= 2) & (m * sxx - sx * sx > 1e-9)).select(
+        m.alias("n_docs"),
+        r4(beta).alias("heaps_beta"),
+        r4(F.exp((sy - beta * sx) / m)).alias("heaps_k"),
+    )
+
+
+@register(
+    "embed_dim_stats",
+    oracle="""
+    SELECT dim,
+           ROUND(AVG(v), 4)     AS mean_v,
+           ROUND(var_pop(v), 4) AS var_v
+    FROM (SELECT unnest(embedding)                  AS v,
+                 unnest(range(0, len(embedding)))   AS dim
+          FROM embeddings)
+    GROUP BY dim
+    """,
+    tags=("embedding", "corpus-stats", "quality"),
+)
+def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance over the embedding corpus — the
+    standard embedding-health triage: dimensions with ~zero variance are
+    dead (wasted capacity, degenerate encoder), a mean far from 0 on a
+    supposedly-centered model flags a preprocessing bug, and the
+    variance profile feeds PQ/IVF codebook sizing decisions.
+
+    Scale shape: posexplode (codegen'd Generate, no Python) → ONE
+    hash aggregate keyed on the dimension index. Key cardinality equals
+    the embedding width (64 here), so the map-side partial aggregate
+    compresses every partition to ≤64 rows before the exchange — the
+    shuffle moves O(width × partitions) rows regardless of corpus size,
+    the shape that survives 100 TB. avg/var_pop are single-pass
+    moment aggregates on both engines; the 4-dp round absorbs
+    float32-element summation-order drift."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "v"))
+    return x.groupBy("dim").agg(
+        r4(F.avg("v")).alias("mean_v"),
+        r4(F.var_pop("v")).alias("var_v"),
+    )
