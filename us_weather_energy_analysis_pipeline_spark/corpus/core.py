@@ -140,7 +140,13 @@ def join_fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At 100 TB this is a shuffle join on l_orderkey/o_orderkey; the status
     filter reduces the build side before the shuffle (Catalyst pushes it
-    below the join automatically).
+    below the join automatically). Deliberately UNHINTED (unlike
+    tpch_q4/q13): a SHUFFLE_HASH hint here forces the wide lineitem
+    probe through an exchange that the small-SF broadcast avoids
+    entirely — A/B'd at sf0.1 (2 interleaved stash-flip pairs,
+    min-of-3 warm): hint loses 0.64/0.71 s → 0.68/0.77 s. At 100 TB
+    the planner's size stats exceed the broadcast threshold and flip
+    this to a sort-merge join on l_orderkey unaided.
     """
     li = load(spark, sf_dir, "lineitem")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
@@ -884,11 +890,16 @@ def count_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Left-semi join (EXISTS): customers with recent orders, counted per
     nation. Semi joins never duplicate or widen the probe side — the
-    build side reduces to its join key before shuffling."""
+    build side reduces to its join key before shuffling. SHUFFLE_HASH
+    hint on the orders side: local A/B ties (inside host noise), but
+    the build keeps ~24% of orders — a fraction that grows linearly
+    with the fact — so the explicit per-partition hash build on custkey
+    is the shape that holds when orders outgrows the broadcast
+    threshold."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp_ntz")
-    )
+    ).hint("shuffle_hash")
     n = F.broadcast(load(spark, sf_dir, "nation"))
     active = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
     return (

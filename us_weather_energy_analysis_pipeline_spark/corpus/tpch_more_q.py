@@ -43,7 +43,11 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS over lineitem (returned-item flag stands in for the reference
     schema's commit<receipt predicate). Spark: LEFT SEMI join — exactly the
     decorrelation Catalyst would produce for EXISTS; the lineitem side is
-    pre-filtered and column-pruned to (l_orderkey) before the shuffle."""
+    pre-filtered and column-pruned to (l_orderkey) before the shuffle.
+    SHUFFLE_HASH on that side: the build grows with the fact (~25% of
+    lineitem), so a broadcast build is single-threaded locally and the
+    backwards shape at scale. A/B (sf0.1, 2 interleaved stash-flip
+    pairs, min-of-3 warm): 0.465/0.466 s -> 0.419/0.430 s."""
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
         & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
@@ -52,6 +56,9 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_returnflag") == "R")
         .select("l_orderkey")
+        # SHUFFLE_HASH: never broadcast-build a lineitem-derived side —
+        # single-thread build locally, and the biggest table at scale
+        .hint("shuffle_hash")
     )
     return (
         o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
@@ -82,11 +89,16 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero qualifying orders must survive as c_count=0), two-level aggregation.
     First agg shuffles on c_custkey; the second input is one row per customer
     collapsing to ~tens of distinct counts, so partial (map-side) aggregation
-    eliminates nearly all of the second shuffle."""
+    eliminates nearly all of the second shuffle. SHUFFLE_HASH on the
+    weakly-filtered orders side (keeps ~95%): the clearest win of the
+    hint audit — A/B (sf0.1, 2 interleaved stash-flip pairs, min-of-3
+    warm): 0.455/0.473 s -> 0.323/0.329 s, and the per-partition build
+    on custkey is the only shape that survives orders outgrowing the
+    broadcast threshold."""
     c = load(spark, sf_dir, "customer").select("c_custkey")
     o = load(spark, sf_dir, "orders").filter(
         F.col("o_orderpriority") != "4-NOT SPECIFIED"
-    ).select("o_custkey", "o_orderkey")
+    ).select("o_custkey", "o_orderkey").hint("shuffle_hash")
     per_cust = (
         c.join(o, c.c_custkey == o.o_custkey, "left")
         .groupBy("c_custkey")
@@ -253,12 +265,17 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     subquery (global average balance) broadcast as a 1-row cross join, then
     NOT EXISTS as a LEFT ANTI join against the filtered, column-pruned
     orders keys. The anti join shuffles on custkey only; the scalar side is
-    a broadcast nested loop of one row — no driver collect()."""
+    a broadcast nested loop of one row — no driver collect().
+    SHUFFLE_HASH on the pruned orders keys: local A/B is a tie (inside
+    host noise both directions), but the build keeps ~18% of orders —
+    a fraction, not a constant, so it grows linearly with the fact and
+    the explicit per-partition build is the scale-safe default."""
     c = load(spark, sf_dir, "customer")
     o = (
         load(spark, sf_dir, "orders")
         .filter(F.col("o_orderdate") >= F.lit("2000-06-01").cast("timestamp_ntz"))
         .select("o_custkey")
+        .hint("shuffle_hash")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         r6(F.avg("c_acctbal")).alias("ab")
