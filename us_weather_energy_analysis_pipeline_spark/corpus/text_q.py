@@ -296,13 +296,17 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushed-down not-null filter aligns the row sets."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    # counts once per row, ratios from the columns (each reference of a
-    # shared expression re-evaluates the split under interpreted HOFs)
-    feat = d.select(
+    # Stage the token array ONCE: inlining `toks` in all three features
+    # re-runs the split 3× per row (CollapseProject only re-inlines
+    # single-reference non-cheap expressions; with 3 references the
+    # staged column survives — verified split appears once in the
+    # executed plan). A/B (sf0.1, noop sink, min-of-3, 5 interleaved
+    # pairs): 0.35/0.75 s → 0.32/0.43 s, wins every pair.
+    feat = d.select("doc_id", toks.alias("_toks")).select(
         "doc_id",
-        F.size(toks).alias("_total"),
-        F.size(F.array_distinct(toks)).alias("_nd"),
-        top_token_count(toks).alias("_top"),
+        F.size("_toks").alias("_total"),
+        F.size(F.array_distinct("_toks")).alias("_nd"),
+        top_token_count(F.col("_toks")).alias("_top"),
     )
     total = F.col("_total")
     return feat.select(
