@@ -45,8 +45,31 @@ SHOWCASE = {
         "shuffles the customer side; one Exchange total, for the final agg."
     ),
     "tpch_q3_shipping_priority": (
-        "Three pushed predicates shrink all sides before joining; the final "
-        "TakeOrdered(20) avoids a global sort."
+        "Three pushed predicates shrink all sides before joining; the "
+        "lineitem join is a hinted ShuffledHashJoin BUILDING the filtered "
+        "customer-orders side (the static planner would broadcast-build "
+        "the weakly-filtered fact); the final TakeOrdered(20) avoids a "
+        "global sort."
+    ),
+    "tpch_q13_custdist": (
+        "LEFT OUTER with the priority filter inside the join condition; "
+        "hinted ShuffledHashJoin builds the orders side per-partition "
+        "(clearest win of the join-build audit: a broadcast build of "
+        "~95% of orders is single-threaded locally and impossible at "
+        "scale); second agg rides the map-side partial to ~tens of rows."
+    ),
+    "text_zipf_fit": (
+        "Corpus-level fit in three bounded stages: exploded token count "
+        "with map-side partial agg, TakeOrdered(200) for the rank curve "
+        "(per-partition heaps, never a global sort), then a single-row "
+        "closed-form OLS aggregate — nothing data-sized crosses the "
+        "driver."
+    ),
+    "embed_dim_stats": (
+        "posexplode then ONE hash aggregate keyed on dim index: key "
+        "cardinality = embedding width, so map-side partials compress "
+        "every partition to <= width rows before the exchange — shuffle "
+        "volume is O(width x partitions), independent of corpus size."
     ),
     "top_k_orders": "TakeOrderedAndProject — per-partition partial top-k, no full sort.",
     "last_per_group": (

@@ -46,6 +46,21 @@ def test_dim_joins_broadcast(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_hinted_fact_joins_build_shuffled_hash(spark, sf_dir):
+    """The join-build audit's SHUFFLE_HASH hints must survive refactors:
+    q3/q5/q13 join lineitem/orders through a ShuffledHashJoin (per-
+    partition build on the growing-with-data side), never a broadcast
+    build of a raw fact scan."""
+    for name in (
+        "tpch_q3_shipping_priority",
+        "tpch_q5_local_supplier",
+        "tpch_q13_custdist",
+        "tpch_q4_order_priority",
+    ):
+        plan = _formatted(spark, name, sf_dir)
+        assert "ShuffledHashJoin" in plan, name
+
+
 def test_partial_aggregation_before_exchange(spark, sf_dir):
     plan = _formatted(spark, "ts_daily_rollup", sf_dir)
     # partial agg node appears below the exchange: two HashAggregates
