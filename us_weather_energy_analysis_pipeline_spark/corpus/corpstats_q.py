@@ -50,6 +50,10 @@ _TOKS_DUCK = (
     tags=("text", "corpus-stats", "zipf", "topk"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return zipf_fit_from(load(spark, sf_dir, "documents"))
+
+
+def zipf_fit_from(d: DataFrame) -> DataFrame:
     """Zipf's-law fit over the corpus token rank-frequency curve: token
     counts → top-{ZIPF_TOP} by frequency (deterministic (n DESC, tok)
     total order) → closed-form OLS of ln(freq) on ln(rank). A healthy
@@ -65,7 +69,6 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (neither libm guarantees correctly-rounded transcendentals). On an
     empty corpus both engines produce an m=0 aggregate row that the
     m >= 2 guard removes — zero rows, no phantom."""
-    d = load(spark, sf_dir, "documents")
     toks = F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok")
     freq = (
         d.select(toks)
@@ -193,6 +196,10 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embedding", "corpus-stats", "quality"),
 )
 def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dim_stats_from(load(spark, sf_dir, "embeddings"))
+
+
+def dim_stats_from(e: DataFrame) -> DataFrame:
     """Per-dimension mean/variance over the embedding corpus — the
     standard embedding-health triage: dimensions with ~zero variance are
     dead (wasted capacity, degenerate encoder), a mean far from 0 on a
@@ -207,7 +214,6 @@ def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the shape that survives 100 TB. avg/var_pop are single-pass
     moment aggregates on both engines; the 4-dp round absorbs
     float32-element summation-order drift."""
-    e = load(spark, sf_dir, "embeddings")
     x = e.select(F.posexplode("embedding").alias("dim", "v"))
     return x.groupBy("dim").agg(
         r4(F.avg("v")).alias("mean_v"),
