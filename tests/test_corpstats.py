@@ -111,3 +111,70 @@ def test_embed_dim_stats_known_values(spark):
         rows = REGISTRY["embed_dim_stats"].spark_fn(spark, tmpdir).collect()
     got = {r["dim"]: (r["mean_v"], r["var_v"]) for r in rows}
     assert got == {0: (2.0, 1.0), 1: (0.0, 0.0), 2: (3.0, 1.0)}
+
+
+def test_embed_corr_pairs_planted_correlation(spark):
+    """Embeddings with dim1 = dim0 (corr +1) and dim3 = -dim2 (corr -1)
+    planted among noise dims must surface those two pairs first, with
+    the deterministic (dim_i, dim_j) tie-break between |1.0| ties."""
+    rng = random.Random(11)
+    vecs = []
+    for _ in range(50):
+        a, c = rng.uniform(-1, 1), rng.uniform(-1, 1)
+        noise = [rng.uniform(-1, 1) for _ in range(4)]
+        vecs.append([a, a, c, -c] + noise)
+    with tempfile.TemporaryDirectory() as tmpdir:
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"vec_id": range(len(vecs)), "embedding": vecs}
+                ),
+                preserve_index=False,
+            ),
+            f"{tmpdir}/embeddings.parquet",
+        )
+        _ensure_loaded()
+        from us_weather_energy_analysis_pipeline_spark.corpus import corpstats_q
+
+        orig = corpstats_q.EMBED_WIDTH
+        corpstats_q.EMBED_WIDTH = 8
+        try:
+            rows = (
+                REGISTRY["embed_corr_pairs_topk"].spark_fn(spark, tmpdir).collect()
+            )
+        finally:
+            corpstats_q.EMBED_WIDTH = orig
+    assert (rows[0]["dim_i"], rows[0]["dim_j"], rows[0]["corr_ij"]) == (0, 1, 1.0)
+    assert (rows[1]["dim_i"], rows[1]["dim_j"], rows[1]["corr_ij"]) == (2, 3, -1.0)
+    # noise correlations over 50 samples stay well below the planted ones
+    assert all(abs(r["corr_ij"]) < 0.9 for r in rows[2:])
+
+
+def test_embed_corr_pairs_zero_variance_dim_excluded(spark):
+    """A constant dimension (zero variance) has undefined correlation —
+    every pair touching it must be absent, exactly like the oracle's
+    NULL-corr filter."""
+    rng = random.Random(13)
+    vecs = [[5.0, rng.uniform(-1, 1), rng.uniform(-1, 1)] for _ in range(20)]
+    with tempfile.TemporaryDirectory() as tmpdir:
+        pq.write_table(
+            pa.Table.from_pandas(
+                pd.DataFrame(
+                    {"vec_id": range(len(vecs)), "embedding": vecs}
+                ),
+                preserve_index=False,
+            ),
+            f"{tmpdir}/embeddings.parquet",
+        )
+        _ensure_loaded()
+        from us_weather_energy_analysis_pipeline_spark.corpus import corpstats_q
+
+        orig = corpstats_q.EMBED_WIDTH
+        corpstats_q.EMBED_WIDTH = 3
+        try:
+            rows = (
+                REGISTRY["embed_corr_pairs_topk"].spark_fn(spark, tmpdir).collect()
+            )
+        finally:
+            corpstats_q.EMBED_WIDTH = orig
+    assert {(r["dim_i"], r["dim_j"]) for r in rows} == {(1, 2)}

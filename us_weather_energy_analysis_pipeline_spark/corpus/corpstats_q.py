@@ -219,3 +219,125 @@ def dim_stats_from(e: DataFrame) -> DataFrame:
         r4(F.avg("v")).alias("mean_v"),
         r4(F.var_pop("v")).alias("var_v"),
     )
+
+EMBED_WIDTH = 64  # corpus embedding width (same contract as similarity_q)
+CORR_TOP = 20
+
+
+@register(
+    "embed_corr_pairs_topk",
+    oracle=f"""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(range(0, len(embedding)))  AS dim,
+             unnest(embedding::DOUBLE[])       AS v
+      FROM embeddings WHERE len(embedding) = {EMBED_WIDTH}
+    ),
+    pairs AS (
+      SELECT a.dim AS dim_i, b.dim AS dim_j,
+             ROUND(corr(a.v, b.v), 4) AS corr_ij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim < b.dim
+      GROUP BY a.dim, b.dim
+    )
+    SELECT dim_i, dim_j, corr_ij
+    FROM pairs WHERE corr_ij IS NOT NULL
+    ORDER BY abs(corr_ij) DESC, dim_i ASC, dim_j ASC
+    LIMIT {CORR_TOP}
+    """,
+    tags=("embedding", "corpus-stats", "correlation", "matrix-kernel"),
+)
+def embed_corr_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corr_pairs_topk_from(load(spark, sf_dir, "embeddings"))
+
+
+def corr_pairs_topk_from(e: DataFrame, k: int = CORR_TOP) -> DataFrame:
+    """Most-correlated dimension pairs of the embedding corpus — the
+    redundancy half of embedding-health triage (near-±1 pairs mean the
+    encoder wastes capacity; the profile also feeds whitening / PQ
+    codebook decisions). Companion to `embed_dim_stats`.
+
+    Scale shape: the naive form (explode + self-join on vec_id) widens
+    every row ×width² — 100 TB of embeddings would shuffle 4096× the
+    corpus. Instead ONE ``mapInPandas`` pass computes per-Arrow-batch
+    Gram partials (Xᵀ X as a float64 BLAS matmul, column sums, count)
+    and emits them as (i, j, v) moment rows: ≤ width² + width + 1 tiny
+    rows PER BATCH cross the one exchange, independent of corpus size.
+    The reduced moments (a SCHEMA-constant ≤2145 rows, never data-sized)
+    collect to the driver, where the closed form
+    corr = (n·G_ij − s_i·s_j) / √((n·G_ii − s_i²)(n·G_jj − s_j²))
+    and the top-k sort run in plain Python — returning a LocalRelation
+    (see the in-body note on why the relational assemble loses).
+
+    Cross-engine contract: rows are restricted to the corpus width
+    ({EMBED_WIDTH}) on BOTH engines (a ragged row would contribute to a
+    pair-dependent subset of moments); float32 elements are widened to
+    double before any arithmetic on both sides; zero-variance dims
+    produce NULL corr in DuckDB and are filtered identically here; the
+    ordering key is the ROUNDED |corr| (4 dp, absorbing summation-order
+    drift) with a deterministic (dim_i, dim_j) tie-break so the top-k
+    SET agrees across engines."""
+    emb = e.filter(F.size("embedding") == EMBED_WIDTH).select("embedding")
+
+    def gram_partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            col = pdf["embedding"]
+            if not len(col):
+                continue
+            X = np.stack(col.to_numpy()).astype(np.float64, copy=False)
+            n = X.shape[0]
+            G = X.T @ X
+            s = X.sum(axis=0)
+            iu, ju = np.triu_indices(X.shape[1])
+            out = pd.DataFrame(
+                {
+                    "i": np.concatenate([iu, np.arange(X.shape[1]), [-1]]),
+                    "j": np.concatenate(
+                        [ju, np.full(X.shape[1], -1), [-1]]
+                    ),
+                    "v": np.concatenate([G[iu, ju], s, [float(n)]]),
+                }
+            )
+            out["i"] = out["i"].astype("int32")
+            out["j"] = out["j"].astype("int32")
+            yield out
+
+    import math
+
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import py_dround
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    # Assemble on the DRIVER from the reduced moments — a bounded
+    # driver scalar in the quality_report sense: the collect moves
+    # ≤ width²/2 + width + 1 rows (2145 at width 64), a SCHEMA constant
+    # independent of corpus size, so this is 100 TB-safe. A relational
+    # assemble (4 filter branches + 2 joins + sort over the persisted
+    # moments) measured 15 AQE jobs ≈ 1.5 s of pure scheduling floor on
+    # 2145 rows — the tiny-local-relation pathology; driver math + a
+    # LocalRelation result avoids all of it (measured 2.5 s → ~0.55 s).
+    rows = (
+        emb.mapInPandas(gram_partials, "i int, j int, v double")
+        .groupBy("i", "j")
+        .agg(F.sum("v").alias("v"))
+        .collect()
+    )
+    g = {(r["i"], r["j"]): r["v"] for r in rows}
+    n = g.pop((-1, -1), 0.0)
+    s = {i: v for (i, j), v in g.items() if j == -1}
+    out = []
+    for (i, j), gij in g.items():
+        if j == -1 or i == j:
+            continue
+        var_i = n * g[(i, i)] - s[i] * s[i]
+        var_j = n * g[(j, j)] - s[j] * s[j]
+        denom = math.sqrt(var_i * var_j) if var_i > 0 and var_j > 0 else 0.0
+        if denom == 0.0:
+            continue  # zero-variance dim -> NULL corr on both engines
+        c = py_dround((n * gij - s[i] * s[j]) / denom, 4)
+        out.append((i, j, c))
+    out.sort(key=lambda t: (-abs(t[2]), t[0], t[1]))
+    return local_df(
+        e.sparkSession, out[:k], "dim_i int, dim_j int, corr_ij double"
+    )
