@@ -1,0 +1,397 @@
+"""Corpus cleansing — the span-level dedup / rebalancing / decontamination
+stages of a training-data pipeline:
+
+- duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better": remove VERBATIM repeated spans, not
+  whole near-dup documents — the ExactSubstr family, here bounded to
+  k-token gram resolution so it stays a pure relational plan);
+- per-document duplicated-coverage ratio + drop flag (the "mostly
+  duplicated document" filter built on the same spans);
+- temperature resampling of the language mix (the multilingual
+  p_l ∝ n_l^α rebalance of XLM-R/mBERT data prep, α = 0.5), hash-based
+  so selection is deterministic and auditable across engines/reruns;
+- n-gram overlap decontamination (GPT-3 appendix C style: flag training
+  documents sharing any k-gram with a held-out eval source — finer than
+  ``decontamination_check``'s whole-document fingerprint).
+
+Reference parity: the reference pipeline has no corpus-cleansing stage at
+all (it loads everything eagerly, reference ``src/pipeline.py:11-111``);
+this module is part of the LLM-training-data extension surface.
+
+Registered in a TRAILING module (imported after winnow_q/corpstats_q) so
+existing driver verification-window positions never shift — see
+registry._ensure_loaded for the window layout.
+
+Cross-engine contracts (see oracle-parity rules in BENCH_AB/SURVEY):
+tokenization is the winnow_q contract (trim → ascii_lower → split on a
+single space); Spark groups grams by ``xxhash64`` of the gram text while
+the oracle groups the gram STRING itself — legal because the hash only
+partitions/pairs/counts, and the string-keyed oracle doubles as the
+collision check at test SFs (a 64-bit collision would need ~2³² distinct
+grams to become likely).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
+from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+SPAN_K = 8          # tokens per gram (span resolution)
+SPAN_MIN_TOKENS = 16  # report spans at least this many tokens long
+RESAMPLE_FRAC = 0.5   # temperature resample keeps ~half the corpus
+DECON_K = 8           # decontamination gram length
+EVAL_SOURCE = "src0"  # held-out eval slice for decontamination
+
+_TRANS_DUCK = (
+    "translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
+    " 'abcdefghijklmnopqrstuvwxyz')"
+)
+
+# Shared gram/island CTE chain (DuckDB). Island merge: a duplicated gram
+# at pos p covers tokens [p, p+K-1]; a new island starts when p exceeds
+# the running max covered end + 1 (strictly past adjacency).
+_SPAN_CTES = f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_TRANS_DUCK}, ' ') AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             array_to_string(t[i:i+{SPAN_K}-1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - {SPAN_K} + 1)) AS s(i)
+    ),
+    dup AS (SELECT g FROM grams GROUP BY g HAVING MIN(doc_id) <> MAX(doc_id)),
+    hits AS (SELECT doc_id, pos FROM grams JOIN dup USING (g)),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > COALESCE(
+                    MAX(pos + {SPAN_K} - 1) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    grp AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM isl
+    ),
+    spans AS (
+      SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_K} - 1 AS span_end
+      FROM grp GROUP BY doc_id, isl_id
+    )
+"""
+
+
+def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
+    """(doc_id, span_start, span_end) — maximal token spans covered by
+    k-grams that occur in ≥2 DISTINCT documents (cross-document verbatim
+    duplication at k-token resolution; within-document repeats alone do
+    not qualify). Factored out so the span property (a planted shared run
+    of ≥ k tokens surfaces as one span in every sharing document) is
+    testable directly.
+
+    Scale shape (100 TB): gram explode → ONE shuffle keyed on the gram
+    hash serving both the dup-detection aggregate and the position join
+    (co-partitioned, the aggregate side reuses its exchange) → per-doc
+    island merge in a document-bounded window (two frames over one sort).
+    No self-join ever materializes document pairs; the widest
+    intermediate is the gram-position table (~n_tokens rows). The gram
+    table feeds both join branches, so it is digest-materialized via
+    operators.cache (same pattern as decontamination_check)."""
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
+    grams = cache.track(
+        base.select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("t") - k + 1)).alias("i"),
+            "t",
+        ).select(
+            "doc_id",
+            F.col("i").cast("long").alias("pos"),
+            F.xxhash64(F.array_join(F.slice("t", F.col("i"), k), " ")).alias("gh"),
+        )
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
+        .filter(F.col("_mn") != F.col("_mx"))
+        .select("gh")
+    )
+    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = hits.withColumn(
+        "brk",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + k - 1).over(w_prev), F.lit(-1)) + 1,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("isl_id", F.sum("brk").over(w_run))
+    return isl.groupBy("doc_id", "isl_id").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + k - 1).alias("span_end"),
+    ).drop("isl_id")
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=_SPAN_CTES
+    + f"""
+    SELECT doc_id, span_start, span_end,
+           span_end - span_start + 1 AS span_tokens
+    FROM spans
+    WHERE span_end - span_start + 1 >= {SPAN_MIN_TOKENS}
+    """,
+    tags=("text", "dedup", "substring-spans", "lee-et-al"),
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim duplicated substring spans (Lee et al. 2022 ExactSubstr,
+    at k-token gram resolution): every maximal token range ≥
+    {SPAN_MIN_TOKENS} tokens whose k-grams all recur in other documents —
+    the unit a span-level dedup pass would excise, rather than dropping
+    whole documents. See :func:`duplicated_spans` for the 100 TB scale
+    shape (one gram-hash shuffle, document-bounded island-merge window,
+    no pair materialization)."""
+    spans = duplicated_spans(load(spark, sf_dir, "documents"))
+    span_tokens = F.col("span_end") - F.col("span_start") + 1
+    return spans.select(
+        "doc_id", "span_start", "span_end", span_tokens.alias("span_tokens")
+    ).filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+
+
+@register(
+    "doc_span_dup_ratio",
+    oracle=_SPAN_CTES
+    + """
+    , cov AS (
+      SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    ),
+    ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)
+    SELECT n.doc_id, n.n_tokens, c.dup_tokens,
+           ROUND(CAST(c.dup_tokens AS DOUBLE) / n.n_tokens, 4) AS dup_ratio,
+           CASE WHEN c.dup_tokens * 2 >= n.n_tokens THEN 1 ELSE 0 END AS drop_flag
+    FROM ntok n JOIN cov c ON n.doc_id = c.doc_id
+    """,
+    tags=("text", "dedup", "quality", "substring-spans"),
+)
+def doc_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span coverage: what fraction of each
+    document's tokens sit inside cross-document verbatim spans, plus the
+    'mostly duplicated' drop flag (coverage ≥ 50% — the document-level
+    consumer of :func:`duplicated_spans`, Lee et al. 2022 §4's most
+    aggressive setting). The flag compares in the exact integer domain
+    (dup_tokens·2 ≥ n_tokens), so no float boundary can diverge between
+    engines; only the display ratio is floating (4 dp, dround twin)."""
+    d = load(spark, sf_dir, "documents")
+    spans = duplicated_spans(d)
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
+    )
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    ntok = d.select(
+        "doc_id", F.size(toks).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") >= SPAN_K)
+    return ntok.join(cov, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "dup_tokens",
+        r4(F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
+            "dup_ratio"
+        ),
+        F.when(F.col("dup_tokens") * 2 >= F.col("n_tokens"), 1)
+        .otherwise(0)
+        .alias("drop_flag"),
+    )
+
+
+# 6 hex digits of md5 → exact int (16^6 = 2^24), mod 10⁴ bucket: the
+# 0.006% modulo bias is negligible and identical in both engines.
+_BUCKET_DUCK = (
+    "(("
+    + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (5 - i)}"
+        for i in range(6)
+    )
+    + ") % 10000)"
+)
+
+
+def _bucket_spark() -> F.Column:
+    return (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
+        .cast("long")
+        % 10000
+    )
+
+
+@register(
+    "corpus_temperature_resample",
+    oracle=f"""
+    WITH lc AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (
+      SELECT SUM(n_docs) AS n_total,
+             SUM(SQRT(CAST(n_docs AS DOUBLE))) AS w_total
+      FROM lc
+    ),
+    rates AS (
+      SELECT lang, n_docs,
+             LEAST(1.0,
+               ((CAST(n_total AS DOUBLE) * {RESAMPLE_FRAC}) *
+                (SQRT(CAST(n_docs AS DOUBLE)) / w_total)) /
+               CAST(n_docs AS DOUBLE)) AS rate
+      FROM lc, tot
+    ),
+    docs AS (SELECT lang, {_BUCKET_DUCK} AS bucket FROM documents)
+    SELECT r.lang, r.n_docs,
+           ROUND(r.rate, 4) AS sample_rate,
+           COUNT(*) FILTER (
+             WHERE d.bucket < CAST(FLOOR(r.rate * 10000 + 0.5) AS BIGINT)
+           ) AS n_kept,
+           ROUND(CAST(COUNT(*) FILTER (
+             WHERE d.bucket < CAST(FLOOR(r.rate * 10000 + 0.5) AS BIGINT)
+           ) AS DOUBLE) / r.n_docs, 4) AS achieved_rate
+    FROM docs d JOIN rates r USING (lang)
+    GROUP BY r.lang, r.n_docs, r.rate
+    """,
+    tags=("sampling", "temperature", "multilingual", "deterministic"),
+)
+def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature resampling of the language mix: target share
+    q_l ∝ n_l^α with α = 0.5 (the XLM-R-style up-weighting of low-resource
+    languages), total budget {RESAMPLE_FRAC:.0%} of the corpus, per-lang
+    accept rate min(1, budget·q_l/n_l). Selection is the md5-bucket
+    predicate (deterministic across engines/reruns — auditable, unlike
+    rand()); α = 0.5 is computed as SQRT, which IEEE 754 requires to be
+    correctly rounded, so both engines derive bit-identical weights (a
+    general pow() would carry a 1-ulp cross-engine risk). The int
+    threshold floor(rate·10⁴ + 0.5) keeps the per-doc comparison in the
+    integer domain. Returns the per-language audit table.
+
+    Scale shape (100 TB): the per-language rate table is a tiny aggregate
+    (cardinality = #languages) broadcast back onto the corpus scan; the
+    document pass is map-side except the final audit aggregate."""
+    d = load(spark, sf_dir, "documents")
+    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = lc.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("w_total"),
+    )
+    # same association order as the oracle: ((N·frac) · (√n/W)) / n
+    rate = F.least(
+        F.lit(1.0),
+        (
+            (F.col("n_total").cast("double") * F.lit(RESAMPLE_FRAC))
+            * (F.sqrt(F.col("n_docs").cast("double")) / F.col("w_total"))
+        )
+        / F.col("n_docs").cast("double"),
+    )
+    rates = lc.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", rate.alias("rate")
+    )
+    docs = d.select("lang", _bucket_spark().alias("bucket"))
+    thresh = F.floor(F.col("rate") * 10000 + F.lit(0.5)).cast("long")
+    kept = F.count(F.when(F.col("bucket") < thresh, 1))
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(
+            kept.alias("n_kept"),
+            r4(kept.cast("double") / F.col("n_docs")).alias("achieved_rate"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            r4(F.col("rate")).alias("sample_rate"),
+            "n_kept",
+            "achieved_rate",
+        )
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_TRANS_DUCK}, ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i:i+{DECON_K}-1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - {DECON_K} + 1)) AS s(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE source = '{EVAL_SOURCE}'),
+    tg AS (
+      SELECT DISTINCT doc_id, source, g
+      FROM grams WHERE source <> '{EVAL_SOURCE}'
+    )
+    SELECT doc_id, source, COUNT(*) AS n_shared
+    FROM tg JOIN eg USING (g)
+    GROUP BY doc_id, source
+    """,
+    tags=("text", "decontamination", "ngram", "semi-join"),
+)
+def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram overlap decontamination (GPT-3 appendix C: flag training
+    documents sharing any k-gram with the held-out eval set — here the
+    '{EVAL_SOURCE}' source stands in for the benchmark suite). Finer than
+    ``decontamination_check``'s whole-document fingerprint: a training
+    document that embeds one eval paragraph is caught. Returns every
+    contaminated training document with its shared-distinct-gram count
+    (the evidence a removal pass acts on).
+
+    Scale shape (100 TB): the eval gram set is small by construction
+    (eval suites are MBs, not TBs) → broadcast inner join against the
+    training gram stream; the only shuffle is the per-document distinct +
+    count. The gram projection feeds both branches → digest-materialized
+    via operators.cache. A 64-bit gram-hash collision would overcount
+    n_shared (vanishing odds, and the string-keyed oracle doubles as the
+    collision check at test SFs)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    base = d.select("doc_id", "source", toks.alias("t")).filter(
+        F.size("t") >= DECON_K
+    )
+    grams = cache.track(
+        base.select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(1), F.size("t") - DECON_K + 1)).alias("i"),
+            "t",
+        ).select(
+            "doc_id",
+            "source",
+            F.xxhash64(
+                F.array_join(F.slice("t", F.col("i"), DECON_K), " ")
+            ).alias("gh"),
+        )
+    )
+    eg = (
+        grams.filter(F.col("source") == EVAL_SOURCE).select("gh").distinct()
+    )
+    tg = (
+        grams.filter(F.col("source") != EVAL_SOURCE)
+        .select("doc_id", "source", "gh")
+        .distinct()
+    )
+    return (
+        tg.join(F.broadcast(eg), "gh")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

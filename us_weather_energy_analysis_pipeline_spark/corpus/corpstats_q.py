@@ -50,6 +50,8 @@ _TOKS_DUCK = (
     tags=("text", "corpus-stats", "zipf", "topk"),
 )
 def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the documents corpus — see
+    :func:`zipf_fit_from` for semantics and the 100 TB scale shape."""
     return zipf_fit_from(load(spark, sf_dir, "documents"))
 
 
@@ -196,6 +198,8 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("embedding", "corpus-stats", "quality"),
 )
 def embed_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/variance embedding-health report — see
+    :func:`dim_stats_from` for semantics and the 100 TB scale shape."""
     return dim_stats_from(load(spark, sf_dir, "embeddings"))
 
 
@@ -247,6 +251,9 @@ CORR_TOP = 20
     tags=("embedding", "corpus-stats", "correlation", "matrix-kernel"),
 )
 def embed_corr_pairs_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k most-correlated embedding dimension pairs — see
+    :func:`corr_pairs_topk_from` for semantics and the Gram-partial
+    (single mapInPandas pass, no self-join) scale shape."""
     return corr_pairs_topk_from(load(spark, sf_dir, "embeddings"))
 
 

@@ -126,9 +126,9 @@ def _ensure_loaded() -> None:
     # Positions 50+: mm_stream tail(4), behavior(8, r2 rows) and
     # tpch_more(6, r2 rows) rotate into the round-6 window, then the
     # core..spine block (fresh r4 rows, 50/50 green). New queries are
-    # appended in trailing modules (winnow_q, corpstats_q) so existing
-    # window positions never shift.
-    # All 123 pass the local oracle gate at sf0.001/0.01/0.1.
+    # appended in trailing modules (winnow_q, corpstats_q, cleanse_q) so
+    # existing window positions never shift.
+    # All 128 pass the local oracle gate at sf0.001/0.01/0.1.
     from us_weather_energy_analysis_pipeline_spark.corpus import (  # noqa: F401
         advanced_q,
         dedup_q,
@@ -150,6 +150,7 @@ def _ensure_loaded() -> None:
         spine_q,
         winnow_q,  # new r5 queries: LAST so the windows above never shift
         corpstats_q,
+        cleanse_q,  # r5-tail: span dedup / temperature resample / decon
     )
 
     _LOADED = True
