@@ -287,23 +287,46 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (100 TB): the per-language rate table is a tiny aggregate
     (cardinality = #languages) broadcast back onto the corpus scan; the
     document pass is map-side except the final audit aggregate."""
+    import math
+
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
     d = load(spark, sf_dir, "documents")
-    lc = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    tot = lc.agg(
-        F.sum("n_docs").alias("n_total"),
-        F.sum(F.sqrt(F.col("n_docs").cast("double"))).alias("w_total"),
+    # The per-language rate table is cardinality-of-#languages tiny, but
+    # expressing it as lc→tot→crossJoin plan-side costs a cache fill plus
+    # an AQE-materialized exchange per stage (8 jobs measured at sf0.1).
+    # Collect the counts in ONE job and derive the rates driver-side with
+    # the SAME IEEE op order as the oracle SQL — ((N·frac)·(√n/W))/n, √ is
+    # correctly rounded by IEEE 754 in Python/JVM/DuckDB alike — then
+    # re-inject as a job-free Arrow LocalRelation (session.local_df) that
+    # broadcasts into the corpus scan. W sums in sorted-lang order; the
+    # engines' own SUM orders differ too (accepted 1-ulp class, absorbed
+    # by the floor(rate·10⁴+0.5) threshold being ~never within 1e-12 of
+    # a boundary).
+    lc_rows = sorted(
+        d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs")).collect(),
+        key=lambda r: (r["lang"] is None, r["lang"]),
     )
-    # same association order as the oracle: ((N·frac) · (√n/W)) / n
-    rate = F.least(
-        F.lit(1.0),
-        (
-            (F.col("n_total").cast("double") * F.lit(RESAMPLE_FRAC))
-            * (F.sqrt(F.col("n_docs").cast("double")) / F.col("w_total"))
-        )
-        / F.col("n_docs").cast("double"),
-    )
-    rates = lc.crossJoin(F.broadcast(tot)).select(
-        "lang", "n_docs", rate.alias("rate")
+    n_total = float(sum(r["n_docs"] for r in lc_rows))
+    w_total = sum(math.sqrt(float(r["n_docs"])) for r in lc_rows)
+    rates = local_df(
+        spark,
+        [
+            (
+                r["lang"],
+                r["n_docs"],
+                min(
+                    1.0,
+                    (
+                        (n_total * RESAMPLE_FRAC)
+                        * (math.sqrt(float(r["n_docs"])) / w_total)
+                    )
+                    / float(r["n_docs"]),
+                ),
+            )
+            for r in lc_rows
+        ],
+        "lang string, n_docs long, rate double",
     )
     docs = d.select("lang", _bucket_spark().alias("bucket"))
     thresh = F.floor(F.col("rate") * 10000 + F.lit(0.5)).cast("long")
