@@ -104,15 +104,49 @@ def winnow_selected(
     text_col: str = "text",
     k: int = WINNOW_K,
     w: int = WINNOW_W,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(doc_id, n_grams, sel) — the distinct winnowing selections, where
     ``sel = gram_hash·2³² + gram_position`` (``sel >> 32`` recovers the
     position-free hash for cross-document matching). Factored out of the
     corpus query so the copy-detection property (shared run ≥ w+k−1
-    words ⇒ shared fingerprint hash) is testable directly."""
+    words ⇒ shared fingerprint hash) is testable directly.
+
+    ``hash_fn`` picks the gram-hash family (same contract as
+    ``operators.dedup._shingle_hash_expr``):
+
+    - ``md5`` — the ORACLE CONTRACT: 28-bit md5-hex prefix, DuckDB
+      regenerates identical integers so the selected set is
+      value-checkable cross-engine. Cost: a 32-char hex string per gram,
+      then a 7-char substring + base-16 parse — the admitted map-side
+      bound (VERDICT r5: 2.7–4.0× DuckDB on the winnow family).
+    - ``xxhash64`` — the PRODUCTION path: codegen'd xxHash64 straight
+      over the k token columns (``xxhash64(tok_i, …, tok_{i+k-1})`` —
+      no gram string is ever built), masked to 31 bits so the packed
+      key h·2³² + i stays inside signed int64. No DuckDB twin; verified
+      by the paper-property tests + the pair-set equivalence test
+      (``tests/test_winnow.py``). The winnowing guarantees (2/(w+1)
+      density, shared-run ⇒ shared fingerprint) hold for any uniform
+      hash family — only the tie-breaks among window minima differ.
+    """
     toks = F.split(ascii_lower(F.trim(F.col(text_col))), " ")
     base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
     idx = F.sequence(F.lit(1), F.size("t") - k + 1)
+    if hash_fn == "md5":
+        h = F.conv(
+            F.substring(F.md5(F.array_join(F.slice("t", F.col("i"), k), " ")), 1, 7),
+            16,
+            10,
+        ).cast("long")
+    elif hash_fn == "xxhash64":
+        # hash the k tokens as separate args: position j is seed-chained
+        # by xxhash64 itself, so ("ab","c") and ("a","bc") differ and no
+        # join/concat string is materialized per gram
+        h = F.xxhash64(
+            *[F.element_at("t", F.col("i") + j) for j in range(k)]
+        ).bitwiseAND(F.lit(2147483647))
+    else:
+        raise ValueError(f"unknown winnow gram-hash family: {hash_fn!r}")
     grams = base.select(
         "doc_id",
         F.explode(idx).alias("i"),
@@ -120,13 +154,7 @@ def winnow_selected(
     ).select(
         "doc_id",
         F.col("i").cast("long").alias("i"),
-        F.conv(
-            F.substring(F.md5(F.array_join(F.slice("t", F.col("i"), k), " ")), 1, 7),
-            16,
-            10,
-        )
-        .cast("long")
-        .alias("h"),
+        h.alias("h"),
     )
     wdoc = Window.partitionBy("doc_id")
     wrun = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
@@ -212,13 +240,30 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared ≥ w+k−1-word run (the winnowing guarantee) — the standard
     first-stage blocking for long-document dedup. One exchange per
     stage, all bounded, no self-join."""
+    d = load(spark, sf_dir, "documents")
+    return winnow_near_dups(d, hash_fn="md5")
+
+
+def winnow_near_dups(
+    d: DataFrame,
+    text_col: str = "text",
+    df_cap: int = WINNOW_DF_CAP,
+    threshold: float = WINNOW_JACCARD,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """The `dedup_winnow_pairs` pipeline, reusable with either gram-hash
+    family (see ``winnow_selected``): ``md5`` keeps the DuckDB value
+    twin; ``hash_fn='xxhash64'`` is the production path — identical plan
+    shape (df-capped posting lists, map-side ordered pairs, Jaccard
+    filter), minus the per-gram hex-string materialization. Pair-set
+    equivalence between the families is asserted on the fixture corpus
+    in ``tests/test_winnow.py``."""
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
         ordered_pairs,
     )
     from us_weather_energy_analysis_pipeline_spark.operators import cache
 
-    d = load(spark, sf_dir, "documents")
-    fps_all = winnow_selected(d).select(
+    fps_all = winnow_selected(d, text_col, hash_fn=hash_fn).select(
         "doc_id", F.shiftrightunsigned("sel", 32).alias("h")
     ).distinct()
     # df-cap map-side, same broadcast-anti shape as capped_shingles: the
@@ -228,7 +273,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = (
         fps_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") > WINNOW_DF_CAP)
+        .filter(F.col("df") > df_cap)
         .select("h")
     )
     fps = cache.track(fps_all.join(F.broadcast(hot), "h", "left_anti"))
@@ -251,6 +296,6 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= WINNOW_JACCARD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", "inter", r4(jac).alias("jaccard"))
     )
