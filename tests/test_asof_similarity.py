@@ -271,21 +271,26 @@ def test_fp32_pack_path_matches_fp64(emb):
             as64.select("vec_id", "embedding", g), 0.15, "bkt", block_rows=7
         ).collect()
     }
-    # Margin contract (ADVICE r4): candidates are approximate at the cut
-    # boundary — the fp32 path re-scores via einsum, the fp64 path via
-    # BLAS dgemm, whose summation orders can disagree by ~1 ulp. A pair
+    # Margin contract (ADVICE r4/r5): candidates are approximate at the
+    # cut boundary — the fp32 path re-scores via einsum, the fp64 path
+    # via BLAS dgemm, whose summation orders can disagree by up to
+    # ~dim·eps relative (64 · 2⁻⁵² ≈ 1.4e-14 for these vectors). A pair
     # may differ between the sets ONLY if its exact fold cosine sits
-    # within ~1e-12 of (threshold - margin); callers re-score exactly
-    # before acting, so such pairs are semantically interchangeable.
+    # within that bound (×100 safety slack, still ≪ the 1e-6 margin) of
+    # (threshold - margin); callers re-score exactly before acting, so
+    # such pairs are semantically interchangeable. Zero-norm rows score
+    # None and can never be boundary flips — treat any such asymmetric
+    # pair as a hard failure.
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
         fold_cosine,
     )
 
     vecs = {r["vec_id"]: list(r["embedding"]) for r in sub.collect()}
     cut = 0.15 - 1e-6
+    summation_bound = 100 * 64 * 2.0**-52  # ×100 slack over dim·eps
     for a, b in c32.symmetric_difference(c64):
         c = fold_cosine(vecs[a], vecs[b])
-        assert abs(c - cut) < 1e-12, (a, b, c)
+        assert c is not None and abs(c - cut) < summation_bound, (a, b, c)
     assert len(c32) > 0 and len(c64) > 0
 
 
@@ -458,3 +463,101 @@ def test_int8_vectorized_ragged_null_empty_fallback(spark):
     assert got[3]["q_sum"] is None and got[3]["q_min"] is None
     assert got[4]["q_sum"] == 0 and got[4]["q_min"] is None
     assert got[3]["scale_r"] == got[4]["scale_r"] > 1e13  # 127/1e-12, 6dp
+
+
+def test_fold_cosine_zero_norm_returns_none():
+    """ADVICE r5: a zero-norm vector must yield a NULL score (the legacy
+    JVM plan's NaN/NULL), never a ZeroDivisionError."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        fold_cosine,
+    )
+
+    assert fold_cosine([0.0, 0.0], [1.0, 2.0]) is None
+    assert fold_cosine([1.0, 2.0], [0.0, 0.0]) is None
+    assert fold_cosine([], []) is None
+    assert fold_cosine([1.0, 0.0], [1.0, 0.0]) == 1.0
+
+
+def test_ivf_topk_zero_norm_query_does_not_crash(spark):
+    """A zero-norm query vector scores NULL against every centroid; the
+    assignment must rank such cells last (not raise) and the query still
+    probes a deterministic cell."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        ivf_topk,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    corpus = local_df(
+        spark,
+        [(i, i % 2, [1.0 + i, float(i % 2)]) for i in range(8)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    q = local_df(
+        spark,
+        [(100, [0.0, 0.0]), (101, [1.0, 0.5])],
+        "qid long, qv array<float>",
+    )
+    out = ivf_topk(corpus, q, k=2)
+    rows = out.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    # zero-norm query: every centroid scores NULL → ties broken by label
+    # ASC → probes cell 0; its in-cell cosines are NULL too (NULLS LAST
+    # ranking still yields dense ranks).
+    assert {r["cell"] for r in by_q[100]} == {0}
+    assert all(r["cosine"] is None for r in by_q[100])
+    assert sorted(r["rnk"] for r in by_q[100]) == [1, 2]
+    assert all(r["cosine"] is not None for r in by_q[101])
+
+
+def test_topk_candidates_ragged_batch_falls_back_to_exact_fold(spark):
+    """A ragged corpus batch (mixed dims) must not crash the BLAS kernel;
+    rows matching the query width keep their exact fold scores, mismatched
+    widths score NULL (legacy zip_with NULL-padding semantics)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        fold_cosine,
+        py_dround,
+        topk_candidates,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.6, 0.8]),
+        (3, [1.0, 1.0, 1.0]),  # ragged → vstack fails → per-row fold
+        (4, [0.0, 1.0]),
+    ]
+    corpus = local_df(spark, rows, "vec_id long, embedding array<float>")
+    qv = [1.0, 0.0]
+    out = topk_candidates(corpus, [(99, qv, None)], k=4).collect()
+    got = {r["vec_id"]: r["cosine"] for r in out}
+    assert got[1] == py_dround(fold_cosine([1.0, 0.0], qv), 6)
+    assert got[2] == py_dround(fold_cosine([0.6, 0.8], qv), 6)
+    assert got[3] is None  # width mismatch → NULL score, ranked last
+    ranks = {r["vec_id"]: r["rnk"] for r in out}
+    assert ranks[1] == 1 and ranks[3] == 4
+
+
+def test_centroid_vectorized_ragged_empty_fallback(spark):
+    """Ragged / zero-width embedding batches take the per-row path with
+    per-dim denominators: short vectors are skipped per-dim (avg-over-
+    present), not crashed on."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import (
+        centroid_by_label_vectorized,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    rows = [
+        (0, [2.0, 4.0]),
+        (0, [6.0]),       # ragged: contributes to dim0 only
+        (0, None),        # NULL vector: counts in n only
+        (1, []),          # empty: ssq 0, dims NULL
+    ]
+    df = local_df(spark, rows, "label int, embedding array<float>")
+    got = {r["label"]: r.asDict() for r in centroid_by_label_vectorized(df).collect()}
+    assert got[0]["n"] == 3
+    assert got[0]["dim0_mean"] == pytest.approx((2.0 + 6.0) / 2)
+    assert got[0]["dim1_mean"] == pytest.approx(4.0)
+    assert got[0]["mean_sq_norm"] == pytest.approx((4 + 16 + 36) / 2)
+    assert got[1]["dim0_mean"] is None and got[1]["mean_sq_norm"] == 0.0

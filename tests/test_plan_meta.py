@@ -1,0 +1,105 @@
+"""plan_meta gate semantics: the job-free driver-collectability probe.
+
+The gate must bound BOTH bytes and decoded rows (parquet compression is
+unbounded — ADVICE r5), and must detect row-expanding plan nodes
+structurally instead of trusting the filter/project-only convention.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+    _LARGE,
+    SMALL_INPUT_BYTES,
+    _plan_row_bounded,
+    input_bytes,
+    input_rows,
+    small_scan,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_input_rows_matches_footer_count(docs):
+    assert input_rows(docs) == docs.count()
+
+
+def test_input_rows_is_scan_level_not_plan_level(docs):
+    # A filter cannot shrink the footer bound — rows() reports the scan.
+    filtered = docs.filter(F.col("doc_id") < 5)
+    assert input_rows(filtered) == input_rows(docs)
+
+
+def test_input_rows_sentinel_for_local_frames(spark):
+    df = spark.range(10)
+    assert input_rows(df) == _LARGE
+    assert input_bytes(df) == _LARGE
+
+
+def test_plan_row_bounded_accepts_filter_project_agg(docs):
+    plan = docs.filter(F.col("doc_id") > 3).select("doc_id").groupBy("doc_id").count()
+    assert _plan_row_bounded(plan)
+
+
+def test_plan_row_bounded_rejects_join(docs):
+    joined = docs.alias("a").join(docs.alias("b"), "doc_id")
+    assert not _plan_row_bounded(joined)
+
+
+def test_plan_row_bounded_rejects_explode(docs):
+    exploded = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    assert not _plan_row_bounded(exploded)
+
+
+def test_plan_row_bounded_rejects_grouping_sets(docs):
+    cube = docs.cube("lang").count()
+    assert not _plan_row_bounded(cube)
+
+
+def test_small_scan_row_gate(docs):
+    n = docs.count()
+    assert small_scan(docs, max_rows=n)
+    # One row fewer than the footer count must fail the gate even though
+    # the bytes are tiny — this is exactly the compression-bomb defense.
+    assert not small_scan(docs, max_rows=n - 1)
+
+
+def test_small_scan_rejects_expanding_plan_despite_small_files(docs):
+    n = docs.count()
+    joined = docs.alias("a").join(docs.alias("b"), "doc_id")
+    assert not small_scan(joined, max_rows=10 * n)
+
+
+def test_small_scan_byte_gate(docs):
+    assert input_bytes(docs) < SMALL_INPUT_BYTES
+    assert not small_scan(docs, max_rows=1 << 40, max_bytes=1)
+
+
+def test_try_cast_prefix_guard_is_superset_of_try_cast(spark):
+    """corpus/core.py guard (ADVICE r5): the rlike prefix class must admit
+    every string Spark's string->double cast parses, including ISO
+    control-char prefixes UTF8String.trimAll strips."""
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    samples = [
+        "\x1f1.5", "\x001", " 2.5", "\t-3", "{\"a\":1}", "abc",
+        "\x071.25", "nan", "-inf", "\x1c3", "Infinity", ".5", "+7",
+        "\x1e\x1f 4.25", "", None,
+    ]
+    df = local_df(spark, [(s,) for s in samples], "props string")
+    out = df.select(
+        F.when(
+            F.col("props").rlike(r"^[\s\x00-\x1f]*[-+.0-9iInN]"),
+            F.expr("try_cast(props as double)"),
+        ).alias("guarded"),
+        F.expr("try_cast(props as double)").alias("bare"),
+    ).collect()
+    for r in out:
+        g, b = r["guarded"], r["bare"]
+        same = (g == b) or (g != g and b != b)  # NaN-safe
+        assert same, (g, b)

@@ -223,3 +223,36 @@ def test_cum_null_raises_on_both_paths(spark):
                 df, "v", tiebreaks=("id",), cum_cols=("c",),
                 persist=False, small_threshold=gate,
             ).collect()
+
+
+def test_nan_keys_rank_like_window_on_both_paths(spark):
+    """ADVICE r5: a genuine NaN key is NOT a NULL — Spark's nan-safe
+    compare orders NaN above every finite value (asc: NULLs first, then
+    finite, then NaN). The bounded-collect path must place NaN in the
+    last real bin exactly like the distributed _pid_expr, not conflate
+    it with the NULL sentinel."""
+    rows = [
+        (0, 5.0),
+        (1, None),
+        (2, float("nan")),
+        (3, 3.0),
+        (4, float("nan")),
+        (5, None),
+        (6, 9.0),
+    ]
+    df = spark.createDataFrame(rows, "id long, v double")
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    exp = {
+        r["id"]: r["rn"]
+        for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+    }
+    for gate in (0, 10**6):
+        got = global_order_stats(
+            df,
+            "v",
+            tiebreaks=("id",),
+            num_bins=3,
+            persist=False,
+            small_threshold=gate,
+        )
+        assert {r["id"]: r["global_rn"] for r in got.collect()} == exp, gate

@@ -310,10 +310,12 @@ def unit_convert_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         # try_cast is exception-driven per row (~2.6 μs on a JSON string
         # that can never parse); the one-char class check rejects '{…}'
         # instantly and passes EVERY string a valid double can start
-        # with (space, sign, digit, '.', Infinity/NaN spellings), so
-        # accepted semantics are exactly try_cast's.
+        # with, so accepted semantics are exactly try_cast's. The skip
+        # class includes \x00-\x1f, not just Java \s: UTF8String.trimAll
+        # strips ALL ISO control chars before parsing, so '\x1f1.5'
+        # casts to 1.5 and the guard must admit it (ADVICE r5).
         F.when(
-            F.col("props").rlike(r"^\s*[-+.0-9iInN]"),
+            F.col("props").rlike(r"^[\s\x00-\x1f]*[-+.0-9iInN]"),
             F.expr("try_cast(props as double)"),
         ).alias("props_num"),
         F.expr(r"""try_cast(regexp_extract(props, '"k": (\\d+)', 1) as bigint)""").alias("k_val"),

@@ -139,7 +139,15 @@ _CENTROID_GATE_BYTES = 32 << 20  # ~500k vectors; HOF μs/row × n < python-stag
 def centroid_by_label_vectorized(emb: DataFrame) -> DataFrame:
     """The above-the-gate path of ``embed_centroid_by_label`` — numpy
     map-side partial aggregation, exported so tests and scale probes can
-    force it regardless of input size."""
+    force it regardless of input size.
+
+    The vstack fast path assumes the overwhelmingly-common uniform-dim
+    batch; ragged or zero-width batches fall back to a per-row loop
+    (same pattern as ``int8_quantize_vectorized``) with per-stat
+    denominators: a vector too short for dim i is skipped in that dim's
+    mean (avg-over-present semantics), never crashed on. For uniform
+    inputs cnt0 = cnt1 = cnt, so the fast path's sums/denominators are
+    bit-identical to before."""
 
     def partials(batches):
         import numpy as np
@@ -152,31 +160,62 @@ def centroid_by_label_vectorized(emb: DataFrame) -> DataFrame:
             for label, g in pdf.groupby("label", dropna=False, sort=False):
                 ok = g["embedding"].notna()
                 cnt = int(ok.sum())
+                s0 = s1 = ssq = 0.0
+                cnt0 = cnt1 = 0
                 if cnt:
-                    V = np.vstack(
-                        [np.asarray(v, dtype=np.float64) for v in g["embedding"][ok]]
-                    )
-                    s0, s1 = float(V[:, 0].sum()), float(V[:, 1].sum())
-                    ssq = float((V * V).sum())
-                else:
-                    s0 = s1 = ssq = 0.0
+                    vecs = [
+                        np.asarray(v, dtype=np.float64) for v in g["embedding"][ok]
+                    ]
+                    V = None
+                    try:
+                        V = np.vstack(vecs)
+                    except ValueError:  # ragged batch → per-row path
+                        V = None
+                    if V is not None and V.ndim == 2 and V.shape[1] >= 2:
+                        s0, s1 = float(V[:, 0].sum()), float(V[:, 1].sum())
+                        ssq = float((V * V).sum())
+                        cnt0 = cnt1 = cnt
+                    else:
+                        for e in vecs:
+                            if e.size >= 1:
+                                s0 += float(e[0])
+                                cnt0 += 1
+                            if e.size >= 2:
+                                s1 += float(e[1])
+                                cnt1 += 1
+                            ssq += float((e * e).sum())
                 rows.append(
-                    (None if pd.isna(label) else int(label), len(g), cnt, s0, s1, ssq)
+                    (
+                        None if pd.isna(label) else int(label),
+                        len(g),
+                        cnt,
+                        cnt0,
+                        cnt1,
+                        s0,
+                        s1,
+                        ssq,
+                    )
                 )
             yield pd.DataFrame(
-                rows, columns=["label", "n", "cnt", "s0", "s1", "ssq"]
+                rows,
+                columns=["label", "n", "cnt", "cnt0", "cnt1", "s0", "s1", "ssq"],
             )
 
     part = emb.select("label", "embedding").mapInPandas(
-        partials, "label int, n long, cnt long, s0 double, s1 double, ssq double"
+        partials,
+        "label int, n long, cnt long, cnt0 long, cnt1 long, "
+        "s0 double, s1 double, ssq double",
     )
-    cnt = F.sum("cnt")
-    mean = lambda s: F.when(cnt > 0, F.sum(s) / cnt)  # noqa: E731 — avg() twin
+
+    def mean(s, c):  # avg() twin: NULL when no contributing rows
+        den = F.sum(c)
+        return F.when(den > 0, F.sum(s) / den)
+
     return part.groupBy("label").agg(
         F.sum("n").alias("n"),
-        r6(mean("s0")).alias("dim0_mean"),
-        r6(mean("s1")).alias("dim1_mean"),
-        r6(mean("ssq")).alias("mean_sq_norm"),
+        r6(mean("s0", "cnt0")).alias("dim0_mean"),
+        r6(mean("s1", "cnt1")).alias("dim1_mean"),
+        r6(mean("ssq", "cnt")).alias("mean_sq_norm"),
     )
 
 

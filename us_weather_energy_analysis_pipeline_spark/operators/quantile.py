@@ -76,20 +76,18 @@ def exact_quantiles(
     # without it, count + collect (or count + the distributed stages)
     # would execute an expensive upstream plan twice. Released by the
     # caller's loop via operators.cache.release_all, same as rank.py.
-    # When the scan's file metadata already bounds the input under
-    # plan_meta.SMALL_INPUT_BYTES (quantile inputs are filter/project
-    # pipelines: plan rows ≤ scan rows, the documented plan_meta
-    # contract), BOTH the count job and the persist are skipped — the
-    # single toPandas action is the whole cost.
+    # When plan_meta.small_scan already bounds the input (file bytes AND
+    # parquet footer rows AND no row-expanding plan node), BOTH the count
+    # job and the persist are skipped — the single toPandas action is the
+    # whole cost.
     from us_weather_energy_analysis_pipeline_spark.operators import cache
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
-        SMALL_INPUT_BYTES,
-        input_bytes,
+        small_scan,
     )
     from us_weather_energy_analysis_pipeline_spark.session import local_df
 
     n = None
-    if input_bytes(vals) >= SMALL_INPUT_BYTES:
+    if not small_scan(vals, max_rows=small_threshold):
         vals = cache.track(vals)
         n = vals.count()
         if n == 0:

@@ -147,33 +147,41 @@ def _try_small_stats(
     funnels every row through a single-task GlobalLimit before
     serializing (measured ~1.5× the count+parallel-collect pair on 600k
     rows), and on the persisted input the count is a cache-fill scan.
-    The count job itself is SKIPPED when the scan's file metadata already
-    bounds the input under ``plan_meta.SMALL_INPUT_BYTES`` (rank inputs
-    are filter/project/aggregate pipelines, so plan rows ≤ scan rows —
-    the documented ``plan_meta`` contract): at the corpus SFs that saves
-    one full job per ranked query, and above the byte gate nothing
-    changes. Cut literals are the collected float64 key values
+    The count job itself is SKIPPED when ``plan_meta.small_scan`` already
+    bounds the input: file bytes under the gate AND parquet footer rows
+    under ``gate`` AND no row-expanding plan node (the "plan rows ≤ scan
+    rows" contract checked structurally, not by convention). At the
+    corpus SFs that saves one full job per ranked query; when the
+    metadata can't prove the bound nothing changes — the count gate
+    engages. Cut literals are the collected float64 key values
     themselves, so the JVM-side ``key > cut`` comparisons agree exactly
     with the driver-side ``searchsorted``."""
     import numpy as np
 
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
-        SMALL_INPUT_BYTES,
-        input_bytes,
+        small_scan,
     )
 
-    if input_bytes(base) >= SMALL_INPUT_BYTES and base.count() > gate:
+    if not small_scan(base, max_rows=gate) and base.count() > gate:
         return None
     cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
-    pdf = base.select(*cols).toPandas()
+    # Per-key JVM-side null indicators: toPandas renders both NULL and a
+    # genuine NaN key as float64 NaN, but the distributed _pid_expr
+    # treats them differently (NULL → sentinel bin; NaN is non-null and
+    # Spark's nan-safe compare orders it above every value → last real
+    # bin). Collect `IS NULL` computed on the JVM so the small path can
+    # split the two and bin identically (ADVICE r5).
+    sel = [F.col(c) for c in cols] + [
+        F.isnull(sk).alias(f"__isnull_{si}") for si, sk in enumerate(sk_names)
+    ]
+    pdf = base.select(*sel).toPandas()
     out = []
     for si, sk in enumerate(sk_names):
         keys = pdf[sk].to_numpy(dtype="float64")
         nf = True if null_first is None else bool(null_first[si])
-        # toPandas renders NULL keys as NaN in the float64 column —
-        # route them to the sentinel bin exactly like _pid_expr
-        nullm = np.isnan(keys)
-        nn = keys[~nullm]
+        nullm = pdf[f"__isnull_{si}"].to_numpy(dtype=bool)
+        nanm = np.isnan(keys) & ~nullm  # true NaN keys, not NULLs
+        nn = keys[~nullm & ~nanm]
         n = len(nn)
         srt = np.sort(nn)
         cuts = (
@@ -182,15 +190,20 @@ def _try_small_stats(
             else []
         )
         null_pid = 0 if nf else len(cuts) + 2
-        # pid = 1 + #cuts strictly below key ⟺ _pid_expr's CASE branch
+        # pid = 1 + #cuts strictly below key ⟺ _pid_expr's CASE branch;
+        # NaN > every cut under Spark's nan-safe compare → last real bin
         pid = np.where(
             nullm,
             null_pid,
-            1
-            + np.searchsorted(
-                np.asarray(cuts, dtype="float64"),
-                np.nan_to_num(keys, nan=0.0),
-                side="left",
+            np.where(
+                nanm,
+                1 + len(cuts),
+                1
+                + np.searchsorted(
+                    np.asarray(cuts, dtype="float64"),
+                    np.nan_to_num(keys, nan=0.0),
+                    side="left",
+                ),
             ),
         )
         n_pids = len(cuts) + 3
@@ -242,20 +255,18 @@ def small_keys_frame(
     track_on_fallback: bool = True,
 ):
     """Bounded driver collect of ``cols`` for quantile.py-style small
-    paths: when the scan metadata already bounds the input under
-    ``plan_meta.SMALL_INPUT_BYTES`` the collect is the ONLY action (no
-    count job, no persist); otherwise a count() gates it, with the input
-    persisted (``track_on_fallback``) so the count doubles as the cache
-    fill for whichever path follows. Returns a pandas DataFrame, or
-    ``None`` above the gate — the caller then builds its distributed
-    plan. The bytes→rows bound assumes the documented ``plan_meta``
-    contract (filter/project/aggregate pipelines only)."""
+    paths: when ``plan_meta.small_scan`` already bounds the input (file
+    bytes AND parquet footer rows AND no row-expanding plan node) the
+    collect is the ONLY action (no count job, no persist); otherwise a
+    count() gates it, with the input persisted (``track_on_fallback``)
+    so the count doubles as the cache fill for whichever path follows.
+    Returns a pandas DataFrame, or ``None`` above the gate — the caller
+    then builds its distributed plan."""
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
-        SMALL_INPUT_BYTES,
-        input_bytes,
+        small_scan,
     )
 
-    if input_bytes(df) >= SMALL_INPUT_BYTES:
+    if not small_scan(df, max_rows=gate):
         if track_on_fallback:
             df = cache.track(df)
         if df.count() > gate:

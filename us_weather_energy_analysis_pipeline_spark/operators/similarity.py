@@ -34,12 +34,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def fold_cosine(va, vb) -> float:
+def fold_cosine(va, vb) -> float | None:
     """DRIVER-side sequential-fold cosine — bit-identical to the SQL
     ``cosine()`` expression (zip_with/aggregate fold left-to-right over
     doubles). Worker-side copies are nested closures (see
     ``grouped_candidate_pairs`` for why: workers of a foreign driver
-    cannot import this package, closures serialize by value)."""
+    cannot import this package, closures serialize by value). Zero-norm
+    input → ``None``, mirroring the in-kernel ``fold_cos`` guard (the
+    legacy JVM plan emitted NaN/NULL scores rather than crashing)."""
     d = 0.0
     for x, y in zip(va, vb):
         d = d + x * y
@@ -49,7 +51,8 @@ def fold_cosine(va, vb) -> float:
     nb = 0.0
     for y in vb:
         nb = nb + y * y
-    return d / (math.sqrt(na) * math.sqrt(nb))
+    den = math.sqrt(na) * math.sqrt(nb)
+    return d / den if den != 0.0 else None  # zero-norm → NULL score
 
 
 def py_dround(x: float, n: int) -> float:
@@ -206,9 +209,45 @@ def topk_candidates(
                 )
 
             if vi.size:
-                V = np.vstack(
-                    [np.asarray(v, dtype=np.float64) for v in vec_raw.iloc[vi]]
-                )
+                # vstack assumes the (overwhelmingly common) uniform-dim
+                # batch; ragged or query-width-mismatched vectors fall to
+                # the exact per-row fold below instead of crashing.
+                try:
+                    V = np.vstack(
+                        [np.asarray(v, dtype=np.float64) for v in vec_raw.iloc[vi]]
+                    )
+                    if V.ndim != 2 or (len(q_ids) and V.shape[1] != Q.shape[1]):
+                        raise ValueError("ragged / width-mismatched batch")
+                except ValueError:
+                    # Per-row exact-fold fallback: every eligible row is
+                    # scored with the same sequential fold the candidate
+                    # re-score uses and emitted; the final rank window
+                    # prunes to top-k exactly as in the fast path.
+                    # Width-mismatched pairs score NULL (legacy zip_with
+                    # NULL-padding → NULL cosine); wrong-width vectors
+                    # take plane code 0 (every CASE term falls to ELSE).
+                    pdim = len(planes_l[0]) if planes_l else None
+                    for qi in range(len(q_ids)):
+                        for j in vi:
+                            if int(ids_raw.iloc[j]) == q_ids[qi]:
+                                continue
+                            va = [float(x) for x in vec_raw.iloc[j]]
+                            if P is not None:
+                                code = fold_code(va) if len(va) == pdim else 0
+                                if code != q_match[qi]:
+                                    continue
+                            elif mc is not None:
+                                mv = pdf[mc].iloc[j]
+                                if pd.isna(mv) or int(mv) != q_match[qi]:
+                                    continue
+                            c = (
+                                fold_cos(va, q_vecs[qi])
+                                if len(va) == len(q_vecs[qi])
+                                else None
+                            )
+                            emit(qi, j, None if c is None else drnd6(c))
+                    V = None
+            if vi.size and V is not None:
                 vnorm = np.sqrt((V * V).sum(axis=1))
                 vids = ids_raw.iloc[vi].to_numpy(dtype=np.int64)
                 codes = None
@@ -343,13 +382,19 @@ def ivf_topk(
         if r[label_col] is not None
     ]
     qinfo = []
+
+    def _cell_key(qv, c):
+        # NULL scores (zero-norm query or centroid) rank LAST, matching
+        # the legacy JVM window plan's score DESC ordering (Spark DESC =
+        # NULLS LAST); label ASC breaks ties either way.
+        s = fold_cosine(qv, c[1])
+        return (1, 0.0, c[0]) if s is None else (0, -py_dround(s, 6), c[0])
+
     for r in queries.select(qid_col, qvec_col).collect():
         if r[qid_col] is None or r[qvec_col] is None or not cents:
             continue
         qv = list(r[qvec_col])
-        cell = min(
-            cents, key=lambda c: (-py_dround(fold_cosine(qv, c[1]), 6), c[0])
-        )[0]
+        cell = min(cents, key=lambda c: _cell_key(qv, c))[0]
         qinfo.append((r[qid_col], qv, cell))
     return topk_candidates(
         corpus,
