@@ -143,26 +143,32 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashes), β near 0 flags template/boilerplate floods — the standard
     triage companion to the Zipf slope (`text_zipf_fit`).
 
-    Scale shape: token explode → ONE two-phase aggregate per doc
-    (countDistinct plans the (doc_id, tok) partial-dedup + merge — no
-    per-doc collect_set materialization), then a single global fold to
-    the 5 OLS moments. Per-doc rows never leave the executors; the fit
-    is a one-row aggregate. Guards: docs need ≥2 tokens (ln(1)=0 rows
+    Scale shape (r6): per-doc token totals and type counts are PURE ARRAY
+    expressions (size / array_distinct over the split), so the only
+    exchange in the whole plan is the final one-row OLS fold — the
+    previous explode + countDistinct shape shuffled every (doc_id, token)
+    pair (two-phase dedup + merge); the array form keeps that work inside
+    the scan stage. A/B at sf0.1: 0.047 s vs 0.043 s (floor-bound
+    locally, identical result row) — the win is the exchange that no
+    longer exists at 100 TB. Guards: docs need ≥2 tokens (ln(1)=0 rows
     carry no rank information but are kept by the literal formula —
     both engines keep them identically), the fit needs ≥2 docs AND
     nonzero x-variance (all-same-length corpora would divide by zero in
-    BOTH engines; the shared guard removes the row instead). The 4-dp
-    round absorbs cross-engine ln/exp last-ulp drift."""
+    BOTH engines; the shared guard removes the row instead). NULL text
+    never reaches the sizes (isNotNull pushdown; the oracle's unnest
+    emits nothing for it). The 4-dp round absorbs cross-engine ln/exp
+    last-ulp drift."""
     d = load(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    tk = F.filter(
+        F.split(ascii_lower(F.trim(F.col("text"))), " "), lambda w: w != ""
+    )
     per_doc = (
-        toks.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.countDistinct("tok").alias("n_typ"),
+        d.filter(F.col("text").isNotNull())
+        .select("doc_id", tk.alias("_tk"))
+        .select(
+            "doc_id",
+            F.size("_tk").alias("n_tok"),
+            F.size(F.array_distinct("_tk")).alias("n_typ"),
         )
         .filter(F.col("n_tok") >= 2)
     )
