@@ -328,3 +328,43 @@ class TestKMVSketch:
         skew = spark.range(1000).select(F.lit(7).alias("k"))
         with pytest.raises(Exception, match="kmv_k_smallest"):
             kmv_k_smallest(skew, "k", k=4, over_factor=2).collect()
+
+
+def test_connected_components_small_path_single_job(spark):
+    """r6 gate shape: the small-graph path must materialize the edge
+    list with ONE job (per-partition-limited collect), not count+collect."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup())
+    comp = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    after = set(tracker.getJobIdsForGroup())
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    # one job for the capped edge collect + one for the final collect of
+    # the (broadcast-local) labeling; the old shape needed three
+    assert len(after - before) <= 2, len(after - before)
+
+
+def test_connected_components_truncation_falls_back_distributed(spark):
+    """When the per-partition cap truncates (edges > threshold), the
+    distributed propagate must produce the same labeling."""
+    from us_weather_energy_analysis_pipeline_spark.operators.components import (
+        connected_components,
+    )
+
+    rows = [(i, i + 1) for i in range(0, 40, 2)] + [(100, 101), (101, 102)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    want = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges).collect()
+    }
+    got = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, driver_threshold=3).collect()
+    }
+    assert got == want and len(got) > 0

@@ -37,19 +37,33 @@ def connected_components(
     ``max_iter``; raises if not converged — at that scale, raise the
     bound or move to star-contraction rather than silently stopping).
 
-    The probe is persist→count, NOT ``limit(n).collect()``: candidate
-    edge lists sit on top of expensive FINAL stages (Levenshtein /
-    cosine refine joins), and CollectLimit executes such a stage in
-    incremental partition waves (1, 4, 16, …) — measured 3-4× the whole
-    query re-running the refine per wave. persist+count materializes the
-    pair query exactly once; the collect then reads cache.
+    Gate shape (r6, VERDICT task 3 — one job instead of count+collect):
+    the persisted edges are collected through a JVM-side PER-PARTITION
+    limit after a coalesce(8) (monotonically_increasing_id's low 33 bits
+    are the in-partition index, so a codegen filter keeps ≤ threshold+1
+    rows per coalesced partition — no CollectLimit, whose incremental
+    partition waves re-ran the expensive refine stage 3-4×, and no
+    Python stage; the cache still fills at the persisted plan's own
+    parallelism during this job). If nothing was truncated (≤ threshold
+    rows came back) they ARE the complete edge list → union-find; a
+    truncated partition proves > threshold total → the distributed path
+    reads the same persisted edges, already materialized. Worst-case
+    driver transfer is 8 × (threshold+1) rows (~tens of MB), paid only
+    in the rare over-threshold case. (A .rdd.getNumPartitions probe was
+    measured to schedule AQE materialization jobs of its own — avoid.)
     """
     spark = edges.sparkSession
     edges = edges.select(src, dst).persist()
     try:
-        n_edges = edges.count()
-        if n_edges <= driver_threshold:
-            return _union_find_rows(spark, edges.collect())
+        capped = (
+            edges.coalesce(8)
+            .withColumn("_i", F.monotonically_increasing_id() % F.lit(1 << 33))
+            .filter(F.col("_i") < driver_threshold + 1)
+            .drop("_i")
+        )
+        rows = capped.collect()
+        if len(rows) <= driver_threshold:
+            return _union_find_rows(spark, rows)
         return _propagate(edges, src, dst, max_iter)
     finally:
         edges.unpersist()
