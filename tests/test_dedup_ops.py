@@ -368,3 +368,40 @@ def test_connected_components_truncation_falls_back_distributed(spark):
         for r in connected_components(edges, driver_threshold=3).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_simhash_production_band_config_finds_planted_near_dups(spark):
+    """The 60-bit/15-bit-band production configuration must surface
+    planted near-duplicates (small Hamming via near-identical text) and
+    never emit a pair beyond max_hamming."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [(1, base), (2, base + "extra tail token"), (3, "completely different words entirely unrelated content here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_near_dups(
+        df, max_hamming=6, bits=60, band_bits=15, bucket_cap=64
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in out}
+    assert (1, 2) in pairs
+    assert all(h <= 6 for h in pairs.values())
+
+
+def test_simhash_bucket_cap_drops_overoccupied_buckets(spark):
+    """bucket_cap bounds the bucket-local join: identical docs beyond the
+    cap collapse into one over-occupied bucket per band, and the capped
+    path must emit NO pairs for them (they are dropped, not paired)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+
+    text = "identical boilerplate text repeated across every document here"
+    df = spark.createDataFrame(
+        [(i, text) for i in range(10)], "doc_id long, text string"
+    )
+    uncapped = simhash_near_dups(df, bits=60, band_bits=15).count()
+    capped = simhash_near_dups(df, bits=60, band_bits=15, bucket_cap=5).count()
+    assert uncapped == 45  # C(10,2) identical docs
+    assert capped == 0

@@ -386,7 +386,13 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     via operators.cache. A 64-bit gram-hash collision would overcount
     n_shared (vanishing odds, and the string-keyed oracle doubles as the
     collision check at test SFs)."""
-    d = load(spark, sf_dir, "documents")
+    return decontaminate_from(load(spark, sf_dir, "documents"))
+
+
+def decontaminate_from(d: DataFrame) -> DataFrame:
+    """The ``decontaminate_ngram_overlap`` plan over an arbitrary
+    (doc_id, source, text) frame — exposed so the ×16 training-side
+    scale probe can drive the exact production plan."""
     toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     base = d.select("doc_id", "source", toks.alias("t")).filter(
         F.size("t") >= DECON_K

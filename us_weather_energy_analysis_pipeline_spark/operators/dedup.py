@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
@@ -233,19 +233,22 @@ def minhash_near_dups(
     )
 
 
-def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """32-bit SimHash per doc: per-token md5 → first 8 hex digits parsed
-    ONCE into a 32-bit int; each bit votes ±1 weighted by token occurrence;
-    sign of the vote sum sets the fingerprint bit.
-    Returns (doc_id, simhash bigint).
+def simhash_fingerprint(
+    df: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """``bits``-wide SimHash per doc: per-token md5 → first bits/4 hex
+    digits parsed ONCE into an int; each bit votes ±1 weighted by token
+    occurrence; sign of the vote sum sets the fingerprint bit.
+    Returns (doc_id, simhash bigint). ``bits`` ≤ 63 (the packed
+    fingerprint stays a signed bigint).
 
-    Shape: explode tokens → one groupBy(doc_id) with 32 bit-count sums.
-    The explode + codegen'd shifts keep every operation inside whole-stage
-    codegen, and partial aggregation shrinks the exchange to 32 longs per
-    doc per partition. A zero-shuffle higher-order-function fold was
-    measured 4-10× SLOWER at volume (SCALE_PROBE simhash_map): HOF
-    lambdas evaluate interpreted, outside codegen — the tiny post-combine
-    shuffle is the cheaper currency.
+    Shape: explode tokens → one groupBy(doc_id) with ``bits`` bit-count
+    sums. The explode + codegen'd shifts keep every operation inside
+    whole-stage codegen, and partial aggregation shrinks the exchange to
+    ``bits`` longs per doc per partition. A zero-shuffle higher-order-
+    function fold was measured 4-10× SLOWER at volume (SCALE_PROBE
+    simhash_map): HOF lambdas evaluate interpreted, outside codegen —
+    the tiny post-combine shuffle is the cheaper currency.
     """
     # SQL-string expression building (see minhash_signatures): the
     # per-bit Column arithmetic was the single biggest Py4J plan-build
@@ -256,45 +259,84 @@ def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
     # bit-sum aggregation measured 3× faster than the ±1 formulation at
     # sf0.1 (1.55 s → 0.53 s for the full pass) — the projection feeding
     # the hash-agg is a plain `& 1` mask instead of an affine map.
+    # 60-bit ceiling: the per-token hash is conv(md5-hex-prefix) and 15
+    # hex digits (2⁶⁰−1) is the widest prefix whose decimal string still
+    # casts into a signed bigint under ANSI
+    if not 1 <= bits <= 60:
+        raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
+    hexd = (bits + 3) // 4
     per_tok = df.selectExpr(
         "doc_id", f"explode(split(translate(trim({text_col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok"
     ).selectExpr(
-        "doc_id", "cast(conv(substring(md5(tok), 1, 8), 16, 10) AS bigint) AS hv"
-    )
-    bits = per_tok.selectExpr(
         "doc_id",
-        *[
-            f"cast(shiftright(hv, {p}) & 1 AS int) AS v{p}"
-            for p in range(SIMHASH_BITS)
-        ],
+        f"cast(conv(substring(md5(tok), 1, {hexd}), 16, 10) AS bigint) AS hv",
     )
-    sums = bits.groupBy("doc_id").agg(
+    bit_cols = per_tok.selectExpr(
+        "doc_id",
+        *[f"cast(shiftright(hv, {p}) & 1 AS int) AS v{p}" for p in range(bits)],
+    )
+    sums = bit_cols.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.expr(f"sum(v{p}) AS s{p}") for p in range(SIMHASH_BITS)],
+        *[F.expr(f"sum(v{p}) AS s{p}") for p in range(bits)],
     )
     fingerprint = " + ".join(
-        f"(CASE WHEN 2 * s{p} >= n THEN {2**p}L ELSE 0L END)"
-        for p in range(SIMHASH_BITS)
+        f"(CASE WHEN 2 * s{p} >= n THEN {2**p}L ELSE 0L END)" for p in range(bits)
     )
     return sums.selectExpr("doc_id", f"cast({fingerprint} AS bigint) AS simhash")
 
 
+def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The 32-bit oracle-twin fingerprint — see ``simhash_fingerprint``.
+    DuckDB regenerates identical values (md5-hex prefix votes)."""
+    return simhash_fingerprint(df, text_col, bits=SIMHASH_BITS)
+
+
 def simhash_near_dups(
-    df: DataFrame, text_col: str = "text", max_hamming: int = 6
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    band_bits: int = 8,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit fingerprint into 4 bytes,
-    join bucket-locally on any equal byte, then exact Hamming distance via
-    bit_count(xor). Returns (doc_a, doc_b, hamming)."""
-    sh = simhash32(df, text_col)
-    chunks = ", ".join(f"shiftright(simhash, {8 * b}) & 255" for b in range(4))
-    # explicit exchange on the join key: simhash32 is a pure map stage, so
-    # without it the self-join's two branches would each recompute the
-    # fingerprint pass — the repartition gives ReuseExchange one shared
-    # materialization (tiny shuffle: 4 rows per doc), and the join is then
-    # already co-partitioned on (band, chunk)
+    """SimHash near-dup pairs: band the fingerprint into ``bits //
+    band_bits`` chunks, join bucket-locally on any equal chunk, then
+    exact Hamming via bit_count(xor). Returns (doc_a, doc_b, hamming).
+
+    Defaults (32-bit, byte bands, no cap) are the ORACLE CONTRACT —
+    DuckDB replays the identical banding. They are NOT the scale
+    configuration: a band of b bits has only 2^b buckets, so occupancy
+    grows with corpus size n and the bucket-local join emits
+    Θ(n²/2^b) candidates — the r6 ×16 probe measured 37× wall growth
+    (SCALE_PROBE.md). The PRODUCTION path is ``bits=60, band_bits=15,
+    bucket_cap≈64``: same 4-band shape, but 2¹⁵ buckets per band cut
+    occupancy 128×, and the cap drops over-occupied buckets entirely
+    (the df-cap discipline the ngram/winnow plans use — a bucket holding
+    more than ``cap`` docs is boilerplate-band noise whose members
+    overwhelmingly collide in OTHER bands too), bounding pairs at
+    buckets × C(cap, 2) regardless of corpus size. Banding recall is
+    the standard SimHash contract either way (Manku et al., WWW'07): a
+    pair within ``max_hamming`` is found iff some band matches exactly.
+    """
+    n_bands = bits // band_bits
+    sh = simhash_fingerprint(df, text_col, bits=bits)
+    mask = (1 << band_bits) - 1
+    chunks = ", ".join(
+        f"shiftright(simhash, {band_bits * b}) & {mask}" for b in range(n_bands)
+    )
+    # explicit exchange on the join key: the fingerprint pass is a pure
+    # map stage, so without it the self-join's two branches would each
+    # recompute it — the repartition gives ReuseExchange one shared
+    # materialization (tiny shuffle: n_bands rows per doc), and the join
+    # is then already co-partitioned on (band, chunk)
     banded = sh.selectExpr(
         "doc_id", "simhash", f"posexplode(array({chunks})) AS (band, chunk)"
     ).repartition("band", "chunk")
+    if bucket_cap is not None:
+        w = Window.partitionBy("band", "chunk")
+        banded = banded.withColumn("_occ", F.count(F.lit(1)).over(w)).filter(
+            F.col("_occ") <= bucket_cap
+        ).drop("_occ")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(
         F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
