@@ -126,6 +126,27 @@ SHOWCASE = {
         "repartition exchange; int64 xxhash shingle keys through every "
         "exchange."
     ),
+    "cooccurrence_pairs": (
+        "r6 bitmask plan: the per-(user,day) type set is a codegen "
+        "bit_or over longs (the old collect_set ObjectHashAggregate was "
+        "the measured cost), masks roll up to counts, and the pair HOF "
+        "expands over the <=2^|types| mask relation - one fact shuffle "
+        "carrying one long per key."
+    ),
+    "text_heaps_fit": (
+        "r6 array-side rewrite: per-doc token totals/types are pure "
+        "array expressions inside the scan stage; the ONLY exchange in "
+        "the plan is the single-row OLS moment fold (the old shape "
+        "shuffled every exploded (doc_id, token) pair through a "
+        "two-phase countDistinct)."
+    ),
+    "ewma_daily": (
+        "r6 epoch-chunked EWMA: in-epoch rescaled prefix sums under "
+        "windows PARTITIONED by epoch (exponents bounded by the epoch "
+        "length, any horizon), lagged epoch-end carries on the "
+        "#epochs-row aggregate - the old single-rescale form overflowed "
+        "a double at ~3200 days."
+    ),
 }
 
 

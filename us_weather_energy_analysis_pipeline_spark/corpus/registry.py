@@ -41,11 +41,13 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     what a metastore does for a real deployment. Laziness is unchanged;
     every query still scans parquet with its own pushed filters.
 
-    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects outright; read the raw int64 nanos via the
-    legacy conf and truncate to micros in-plan (integer ``div`` — never a
-    double division, which would lose precision above 2^53). DuckDB performs
-    the same nanos→micros truncation natively, so the two engines agree.
+    ``events.parquet`` stores TIMESTAMP(NANOS). pyspark 4.1 reads it
+    natively as ``timestamp_ntz`` (micros, truncated), matching DuckDB's
+    nanos→micros truncation — so on this runtime the block below is a
+    no-op kept for older 4.x runtimes, where the vectorized reader
+    rejects NANOS unless the legacy conf exposes the raw int64 (then
+    truncated in-plan with integer ``div``, never a double division,
+    which would lose precision above 2^53).
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     cached = _TABLE_CACHE.get(key)
