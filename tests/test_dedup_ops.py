@@ -405,3 +405,19 @@ def test_simhash_bucket_cap_drops_overoccupied_buckets(spark):
     capped = simhash_near_dups(df, bits=60, band_bits=15, bucket_cap=5).count()
     assert uncapped == 45  # C(10,2) identical docs
     assert capped == 0
+
+
+def test_simhash_lane_overflow_raises_loudly(spark):
+    """A document beyond the 2^20-1 token lane capacity must raise, not
+    silently corrupt lane sums. Build the token count synthetically via
+    a repeated single-char token text (cheap to generate)."""
+    import pytest as _pytest
+
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        simhash_fingerprint,
+    )
+
+    big = "a " * (1 << 20)  # 2^20 tokens — above the clean-raise cap
+    df = spark.createDataFrame([(1, big)], "doc_id long, text string")
+    with _pytest.raises(Exception, match="lane overflow"):
+        simhash_fingerprint(df).collect()

@@ -259,6 +259,16 @@ def simhash_fingerprint(
     # bit-sum aggregation measured 3× faster than the ±1 formulation at
     # sf0.1 (1.55 s → 0.53 s for the full pass) — the projection feeding
     # the hash-agg is a plain `& 1` mask instead of an affine map.
+    #
+    # LANE PACKING (r6): the per-position counters ride 3 to a long in
+    # 21-bit lanes, so the hash-agg carries ⌈bits/3⌉ sum columns instead
+    # of ``bits`` — replicated −19% on the fingerprint pass at sf0.1
+    # with bit-identical output (BENCH_AB). Lane capacity caps documents
+    # at 2²⁰−1 tokens: below that the packed per-row value (< 2⁴³)
+    # summed over < 2²⁰ rows stays under 2⁶³ — no silent carry anywhere.
+    # Documents in [2²⁰, 2²¹) fail LOUDLY via raise_error; beyond 2²¹
+    # the ANSI sum itself overflows first (also loud, never silent).
+    #
     # 60-bit ceiling: the per-token hash is conv(md5-hex-prefix) and 15
     # hex digits (2⁶⁰−1) is the widest prefix whose decimal string still
     # casts into a signed bigint under ANSI
@@ -271,18 +281,35 @@ def simhash_fingerprint(
         "doc_id",
         f"cast(conv(substring(md5(tok), 1, {hexd}), 16, 10) AS bigint) AS hv",
     )
-    bit_cols = per_tok.selectExpr(
-        "doc_id",
-        *[f"cast(shiftright(hv, {p}) & 1 AS int) AS v{p}" for p in range(bits)],
-    )
-    sums = bit_cols.groupBy("doc_id").agg(
+    lanes, lane_bits = 3, 21
+    n_longs = (bits + lanes - 1) // lanes
+    packed = []
+    for g in range(n_longs):
+        terms = [
+            f"shiftleft(shiftright(hv, {p}) & 1, {lane_bits * (p - g * lanes)})"
+            for p in range(g * lanes, min((g + 1) * lanes, bits))
+        ]
+        packed.append(f"cast({' + '.join(terms)} AS bigint) AS g{g}")
+    sums = per_tok.selectExpr("doc_id", *packed).groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"),
-        *[F.expr(f"sum(v{p}) AS s{p}") for p in range(bits)],
+        *[F.expr(f"sum(g{g}) AS S{g}") for g in range(n_longs)],
     )
+    lane_mask = (1 << lane_bits) - 1
+
+    def s(p: int) -> str:
+        return f"(shiftright(S{p // lanes}, {lane_bits * (p % lanes)}) & {lane_mask})"
+
     fingerprint = " + ".join(
-        f"(CASE WHEN 2 * s{p} >= n THEN {2**p}L ELSE 0L END)" for p in range(bits)
+        f"(CASE WHEN 2 * {s(p)} >= n THEN {2**p}L ELSE 0L END)" for p in range(bits)
     )
-    return sums.selectExpr("doc_id", f"cast({fingerprint} AS bigint) AS simhash")
+    cap = 1 << (lane_bits - 1)
+    guard = (
+        f"CASE WHEN n >= {cap} THEN "
+        f"raise_error(concat('simhash lane overflow: document has ', n, "
+        f"' tokens (cap {cap - 1}); split the document or widen lanes')) "
+        f"ELSE cast({fingerprint} AS bigint) END"
+    )
+    return sums.selectExpr("doc_id", f"{guard} AS simhash")
 
 
 def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
