@@ -147,22 +147,28 @@ def winnow_selected(
         ).bitwiseAND(F.lit(2147483647))
     else:
         raise ValueError(f"unknown winnow gram-hash family: {hash_fn!r}")
+    # n_grams = size(t) − k + 1 is a per-doc CONSTANT known at the base
+    # projection — carried through the explode instead of recomputed as
+    # a count-over-doc window (r6: that second WindowExec pass shared
+    # the exchange with the run-min window but cost its own full pass)
     grams = base.select(
         "doc_id",
+        (F.size("t") - k + 1).cast("long").alias("n_grams"),
         F.explode(idx).alias("i"),
         F.col("t"),
     ).select(
         "doc_id",
+        "n_grams",
         F.col("i").cast("long").alias("i"),
         h.alias("h"),
     )
-    wdoc = Window.partitionBy("doc_id")
     wrun = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
     keyed = grams.select(
         "doc_id",
+        "n_grams",
         "i",
         (F.col("h") * F.lit(4294967296) + F.col("i")).alias("key"),
-    ).withColumn("n_grams", F.count(F.lit(1)).over(wdoc))
+    )
     winmin = keyed.withColumn("sel", F.min("key").over(wrun)).filter(
         F.col("i") >= F.least(F.lit(w), F.col("n_grams"))
     )
