@@ -64,3 +64,32 @@ def test_empty_and_single_value(spark):
     for thr in (0, 10):
         got = exact_quantiles(one, "x", [0.0, 0.5, 1.0], small_threshold=thr).collect()
         assert {r["q"] for r in got} == {42.0}
+
+
+def test_nan_values_quantile_parity_small_vs_distributed(spark):
+    """r6 (quantile twin of the rank NaN fix): NaN values order above
+    every finite value on both engines' sorts; np.quantile would poison
+    every fraction to NaN on the small path while the distributed path
+    interpolates by rank. Both paths must agree: finite quantiles at
+    low fractions, NaN only where the rank window touches NaN."""
+    import math
+
+    from us_weather_energy_analysis_pipeline_spark.operators.quantile import (
+        exact_quantiles,
+    )
+
+    rows = [(float(v),) for v in range(1, 10)] + [(float("nan"),), (float("nan"),)]
+    df = spark.createDataFrame(rows, "x double")
+    fr = [0.0, 0.25, 0.5, 0.8, 1.0]
+    small = {r["f"]: r["q"] for r in exact_quantiles(df, "x", fr).collect()}
+    dist = {
+        r["f"]: r["q"]
+        for r in exact_quantiles(df, "x", fr, small_threshold=0).collect()
+    }
+    assert set(small) == set(dist) == set(fr)
+    for f in fr:
+        a, b = small[f], dist[f]
+        assert (a == b) or (math.isnan(a) and math.isnan(b)), (f, a, b)
+    # low fractions are finite (9 finite values of 11 → f<=0.8 finite)
+    assert not math.isnan(small[0.5])
+    assert math.isnan(small[1.0])

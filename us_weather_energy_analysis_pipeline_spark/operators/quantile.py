@@ -100,9 +100,21 @@ def exact_quantiles(
         if len(arr) == 0:
             return local_df(spark, [], "f double, q double")
         fl = [float(f) for f in fractions]
-        qs = np.quantile(arr, fl, method="linear")
+        # np.quantile poisons EVERY fraction to NaN when any value is
+        # NaN; the distributed path (and DuckDB/Spark orderings) treat
+        # NaN as larger than every value. Interpolate over the sorted
+        # array by index instead — np.sort places NaN last, so the two
+        # paths agree (the rank.py NaN parity fix's quantile twin).
+        srt = np.sort(arr)
+        n_v = len(srt)
+        qs = []
+        for f in fl:
+            pos = f * (n_v - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))  # == lo at integer ranks (same as fr)
+            qs.append(float(srt[lo] + (pos - lo) * (srt[hi] - srt[lo])))
         return local_df(
-            spark, [(f, float(q)) for f, q in zip(fl, qs)], "f double, q double"
+            spark, [(f, q) for f, q in zip(fl, qs)], "f double, q double"
         )
 
     # ---- distributed exact path -------------------------------------------
