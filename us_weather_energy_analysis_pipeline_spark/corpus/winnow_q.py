@@ -105,6 +105,7 @@ def winnow_selected(
     k: int = WINNOW_K,
     w: int = WINNOW_W,
     hash_fn: str = "md5",
+    dedupe: bool = True,
 ) -> DataFrame:
     """(doc_id, n_grams, sel) — the distinct winnowing selections, where
     ``sel = gram_hash·2³² + gram_position`` (``sel >> 32`` recovers the
@@ -172,7 +173,12 @@ def winnow_selected(
     winmin = keyed.withColumn("sel", F.min("key").over(wrun)).filter(
         F.col("i") >= F.least(F.lit(w), F.col("n_grams"))
     )
-    return winmin.select("doc_id", "n_grams", "sel").distinct()
+    out = winmin.select("doc_id", "n_grams", "sel")
+    # ``dedupe=False`` skips the (doc, sel) distinct exchange — correct
+    # whenever the consumer applies its own coarser distinct downstream
+    # (winnow_near_dups distincts on (doc, sel>>32): distinct∘project ≡
+    # distinct∘project∘distinct, so the inner pass is pure extra work)
+    return out.distinct() if dedupe else out
 
 
 # ---------------------------------------------------------------------------
@@ -269,7 +275,7 @@ def winnow_near_dups(
     )
     from us_weather_energy_analysis_pipeline_spark.operators import cache
 
-    fps_all = winnow_selected(d, text_col, hash_fn=hash_fn).select(
+    fps_all = winnow_selected(d, text_col, hash_fn=hash_fn, dedupe=False).select(
         "doc_id", F.shiftrightunsigned("sel", 32).alias("h")
     ).distinct()
     # df-cap map-side, same broadcast-anti shape as capped_shingles: the
