@@ -46,6 +46,11 @@ FUZZ_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "text_tfidf_topk",
+    # r6-rewritten plans: epoch-chunked EWMA (subsampling moves epoch
+    # boundaries), array-side heaps fit, lane-packed simhash votes
+    "ewma_daily",
+    "text_heaps_fit",
+    "dedup_simhash_pairs",
 ]
 
 
