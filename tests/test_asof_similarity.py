@@ -561,3 +561,66 @@ def test_centroid_vectorized_ragged_empty_fallback(spark):
     assert got[0]["dim1_mean"] == pytest.approx(4.0)
     assert got[0]["mean_sq_norm"] == pytest.approx((4 + 16 + 36) / 2)
     assert got[1]["dim0_mean"] is None and got[1]["mean_sq_norm"] == 0.0
+
+
+def test_asof_same_source_equals_two_frame_operator(spark, sf_dir):
+    """r6 single-scan variant: identical output to asof_join_backward on
+    the two filtered frames, on real data AND with a null-ts right row."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import load
+    from us_weather_energy_analysis_pipeline_spark.operators.asof import (
+        asof_backward_same_source,
+        asof_join_backward,
+    )
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    want = {
+        r["event_id"]: (r["ts_asof"], r["value_asof"])
+        for r in asof_join_backward(
+            purchases, views, ["user_id"], "ts", ["value"]
+        ).collect()
+    }
+    got = {
+        r["event_id"]: (r["ts_asof"], r["value_asof"])
+        for r in asof_backward_same_source(
+            e,
+            ["user_id"],
+            "ts",
+            F.col("event_type") == "purchase",
+            F.col("event_type") == "view",
+            ["event_id", "user_id", "ts"],
+            ["value"],
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_asof_same_source_null_ts_right_dropped(spark):
+    import datetime as _dt
+
+    from us_weather_energy_analysis_pipeline_spark.operators.asof import (
+        asof_backward_same_source,
+    )
+
+    rows = [
+        (1, 10, _dt.datetime(2024, 1, 1, 12), "p", None),
+        (2, 10, None, "v", 5.0),  # null-ts view: never matches
+        (3, 10, _dt.datetime(2024, 1, 1, 11), "v", 7.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    out = asof_backward_same_source(
+        df,
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "p",
+        F.col("event_type") == "v",
+        ["event_id", "user_id", "ts"],
+        ["value"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["value_asof"] == 7.0

@@ -203,17 +203,25 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Backward as-of join (operators/asof.py): each purchase aligned with
     the user's most recent prior view. Spark lacks ASOF JOIN; the
     union-and-carry window construction costs ONE shuffle on the key —
-    the oracle uses DuckDB's native ASOF LEFT JOIN to cross-check."""
+    the oracle uses DuckDB's native ASOF LEFT JOIN to cross-check.
+    Both sides are predicates over the SAME event stream, so the r6
+    single-scan variant replaces the two filtered scans + union with one
+    scan and a CASE side tag (equality-tested against the two-frame
+    operator in tests/test_asof_similarity.py)."""
     from us_weather_energy_analysis_pipeline_spark.operators.asof import (
-        asof_join_backward,
+        asof_backward_same_source,
     )
 
     e = load(spark, sf_dir, "events")
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
+    joined = asof_backward_same_source(
+        e,
+        ["user_id"],
+        "ts",
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+        ["event_id", "user_id", "ts"],
+        ["value"],
     )
-    views = e.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
-    joined = asof_join_backward(purchases, views, ["user_id"], "ts", ["value"])
     return joined.select(
         "event_id",
         "user_id",

@@ -82,3 +82,53 @@ def asof_join_backward(
         F.col("__car")["__ts"].alias(f"{ts_col}{suffix}"),
     )
     return carried.filter(F.col("__side") == 1).drop("__side")
+
+
+def asof_backward_same_source(
+    events: DataFrame,
+    on: Sequence[str],
+    ts_col: str,
+    left_pred,
+    right_pred,
+    left_cols: Sequence[str],
+    right_value_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """``asof_join_backward`` for the common case where BOTH sides are
+    predicates over ONE event stream (purchases vs views of the same
+    table): a single scan with a CASE side tag replaces the two filtered
+    scans + unionByName — the union-and-carry window is identical, so
+    results match ``asof_join_backward(events.filter(left_pred),
+    events.filter(right_pred), ...)`` exactly (equality-tested).
+
+    ``left_cols`` are the left-side output columns (must include ``on``
+    and ``ts_col``); right value columns appear as ``{col}{suffix}`` plus
+    ``{ts_col}{suffix}``. NULL-ts right rows are dropped up front (they
+    can never satisfy r.ts <= l.ts; the ASC sort would otherwise adopt
+    them NULLS FIRST as a bogus carry).
+    """
+    side = F.when(left_pred, 1).when(right_pred & F.col(ts_col).isNotNull(), 0)
+    base = events.withColumn("__side", side).filter(F.col("__side").isNotNull())
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    payload = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            *[F.col(c).alias(c) for c in right_value_cols],
+            F.col(ts_col).alias("__ts"),
+        ),
+    )
+    carried = base.select(
+        *left_cols,
+        "__side",
+        F.last(payload, ignorenulls=True).over(w).alias("__car"),
+    ).select(
+        *left_cols,
+        "__side",
+        *[F.col("__car")[c].alias(f"{c}{suffix}") for c in right_value_cols],
+        F.col("__car")["__ts"].alias(f"{ts_col}{suffix}"),
+    )
+    return carried.filter(F.col("__side") == 1).drop("__side")
