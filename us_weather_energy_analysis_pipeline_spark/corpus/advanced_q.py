@@ -251,16 +251,23 @@ def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user modal event type — pandas ``value_counts().idxmax()``
-    recast as count-then-rank with an explicit lexicographic tie-break
-    (built-in ``mode()`` is tie-nondeterministic in both engines, so the
-    window form is the portable one). Two map-side-combinable shuffles."""
+    recast as count-then-argmin with an explicit lexicographic tie-break
+    (built-in ``mode()`` is tie-nondeterministic in both engines). The
+    second stage is ``min_by`` over the struct (−n, event_type) — struct
+    ordering IS the (n DESC, type ASC) tie-break — a hash aggregate
+    instead of the r5 per-user sort window: same two exchanges, but the
+    second is a partial-combinable agg rather than a WindowExec sort
+    (the better shape at 100 TB user counts)."""
     e = load(spark, sf_dir, "events")
     counts = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    best = F.min_by(
+        F.struct(F.col("event_type").alias("t"), F.col("n").alias("n")),
+        F.struct((-F.col("n")).alias("a"), F.col("event_type").alias("b")),
+    )
     return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("mode_type"), "n")
+        counts.groupBy("user_id")
+        .agg(best.alias("_m"))
+        .select("user_id", F.col("_m.t").alias("mode_type"), F.col("_m.n").alias("n"))
     )
 
 
