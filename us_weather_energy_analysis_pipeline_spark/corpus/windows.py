@@ -33,19 +33,30 @@ def iso_ts(col) -> Column:
 )
 def last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Latest row per key (reference A4 `app.py:599`,
-    sort_values+groupby.last). row_number over a desc-ordered window with a
-    deterministic event_id tie-break; at scale this is one shuffle on
-    user_id, no join."""
+    sort_values+groupby.last). r6: ``max_by`` over the (ts, event_id)
+    struct — struct ordering IS the (ts DESC, event_id DESC) pick, and
+    null ts sorts smallest on both forms (desc window = NULLS LAST), so
+    results match the r5 row_number window exactly. The aggregate is
+    partial-combinable: map-side combine reduces every partition to one
+    row per user BEFORE the exchange, where the sort window shuffled
+    every event row — the decisive shape at 100 TB."""
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    best = F.max_by(
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_type").alias("t"),
+            F.col("value").alias("v"),
+        ),
+        F.struct(F.col("ts").alias("a"), F.col("event_id").alias("b")),
+    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        e.groupBy("user_id")
+        .agg(best.alias("_m"))
         .select(
             "user_id",
-            iso_ts("ts").alias("last_ts"),
-            F.col("event_type").alias("last_type"),
-            r2(F.col("value")).alias("last_value"),
+            iso_ts(F.col("_m.ts")).alias("last_ts"),
+            F.col("_m.t").alias("last_type"),
+            r2(F.col("_m.v")).alias("last_value"),
         )
     )
 
@@ -64,14 +75,26 @@ def last_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-dedup keeping the first row in a deterministic order (reference
     O3 `data_processor.py:16` drop_duplicates keep='first'; tie-break made
-    explicit per SURVEY §7.3 — raw-API order becomes (ts, event_id))."""
+    explicit per SURVEY §7.3 — raw-API order becomes (ts, event_id)).
+    r6: ``min_by`` over the (ts, event_id) struct replaces the sort
+    window — same pick incl. NULLS FIRST asc semantics (null struct
+    fields sort smallest), with map-side partial combine instead of a
+    full per-key sort shuffle (see ``last_per_group``)."""
     e = load(spark, sf_dir, "events")
     day = iso_day("ts")
-    w = Window.partitionBy("user_id", day).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first = F.min_by(
+        F.struct(F.col("event_id").alias("e"), F.col("event_type").alias("t")),
+        F.struct(F.col("ts").alias("a"), F.col("event_id").alias("b")),
+    )
     return (
-        e.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("user_id", day.alias("day"), "event_id", "event_type")
+        e.groupBy("user_id", day.alias("day"))
+        .agg(first.alias("_m"))
+        .select(
+            "user_id",
+            "day",
+            F.col("_m.e").alias("event_id"),
+            F.col("_m.t").alias("event_type"),
+        )
     )
 
 
