@@ -179,7 +179,11 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SPAN_CTES
     + """
     , cov AS (
-      SELECT doc_id, SUM(span_end - span_start + 1) AS dup_tokens
+      -- CAST: DuckDB SUM(BIGINT) yields HUGEINT, which lands in pandas as
+      -- float64 (83.0) while Spark emits int64 (83) — the r6 driver hash
+      -- compares stringified values per dtype, so the uncasted form
+      -- hash-mismatches despite equal values (CORRECTNESS_r06.json).
+      SELECT doc_id, CAST(SUM(span_end - span_start + 1) AS BIGINT) AS dup_tokens
       FROM spans GROUP BY doc_id
     ),
     ntok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens FROM toks)

@@ -18,7 +18,14 @@ def register_views(con, sf_dir: str) -> None:
 
 
 def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
-    """Columns sorted by name; every cell stringified; rows sorted."""
+    """Columns sorted by name; every cell stringified; rows sorted.
+
+    Deliberately STRICTER than any plausible driver normalization: an
+    integral float (83.0) does NOT collapse to the int string ("83"), so a
+    Spark int64 column paired with a DuckDB HUGEINT→float64 column fails
+    here the way it failed the r6 driver hash (doc_span_dup_ratio) instead
+    of passing locally and failing remotely. If this gate passes, any
+    stringify-and-hash compare passes."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v) -> str:
@@ -27,8 +34,6 @@ def normalize(df: pd.DataFrame) -> list[tuple[str, ...]]:
         if isinstance(v, float):
             if pd.isna(v):
                 return "∅"
-            if v == int(v) and abs(v) < 1e15:
-                return str(int(v))
             return repr(v)
         try:
             if pd.isna(v):
