@@ -248,3 +248,27 @@ def test_cooccurrence_fallback_guard_on_quoted_types(spark):
                 behavior_q._TYPE_DICT_CACHE[key2] = saved
     finally:
         behavior_q._TYPE_DICT_CACHE.pop(key, None)
+
+
+def test_cooccurrence_stale_dictionary_fails_loudly(spark):
+    """ADVICE r6: an event_type absent from the memoized dictionary must
+    raise at execution (array_position = 0 would otherwise silently set
+    bit 63 via shiftleft(1L, -1) and corrupt the co-occurrence mask)."""
+    import conftest
+    import pytest as _pt
+
+    from us_weather_energy_analysis_pipeline_spark.corpus import behavior_q
+
+    key = (spark.sparkContext.applicationId, conftest.SF_DIR)
+    saved = behavior_q._TYPE_DICT_CACHE.get(key)
+    # a stale dictionary: passes every plan-time guard but misses types
+    # that exist in the data
+    behavior_q._TYPE_DICT_CACHE[key] = ["view"]
+    try:
+        with _pt.raises(Exception, match="absent from memoized dictionary"):
+            behavior_q.cooccurrence_pairs(spark, conftest.SF_DIR).collect()
+    finally:
+        if saved is None:
+            behavior_q._TYPE_DICT_CACHE.pop(key, None)
+        else:
+            behavior_q._TYPE_DICT_CACHE[key] = saved

@@ -624,3 +624,64 @@ def test_asof_same_source_null_ts_right_dropped(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["value_asof"] == 7.0
+
+
+def test_asof_same_source_overlap_both_matches_two_frame(spark):
+    """ADVICE r6: with OVERLAPPING predicates the default single tag marks
+    a both-row left-only (never a right carry) — overlap='both' must
+    reproduce asof_join_backward on the two filtered frames exactly."""
+    import datetime as _dt
+
+    from us_weather_energy_analysis_pipeline_spark.operators.asof import (
+        asof_backward_same_source,
+        asof_join_backward,
+    )
+
+    dt = _dt.datetime
+    rows = [
+        # value>=1 is "left", value>=2 is "right": rows 2,3,5 satisfy both
+        (1, 10, dt(2024, 1, 1, 9), 1.0),
+        (2, 10, dt(2024, 1, 1, 10), 2.0),
+        (3, 10, dt(2024, 1, 1, 11), 3.0),
+        (4, 11, dt(2024, 1, 1, 9), 1.0),
+        (5, 11, dt(2024, 1, 1, 10), 5.0),
+        (6, 12, dt(2024, 1, 1, 9), 1.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+    lp, rp = F.col("value") >= 1.0, F.col("value") >= 2.0
+    want = {
+        r["event_id"]: (r["ts_asof"], r["value_asof"])
+        for r in asof_join_backward(
+            df.filter(lp).select("event_id", "user_id", "ts"),
+            df.filter(rp).select("user_id", "ts", "value"),
+            ["user_id"],
+            "ts",
+            ["value"],
+        ).collect()
+    }
+    got = {
+        r["event_id"]: (r["ts_asof"], r["value_asof"])
+        for r in asof_backward_same_source(
+            df,
+            ["user_id"],
+            "ts",
+            lp,
+            rp,
+            ["event_id", "user_id", "ts"],
+            ["value"],
+            overlap="both",
+        ).collect()
+    }
+    assert got == want and len(got) == 6
+    # a both-row carries ITSELF (r.ts <= l.ts includes equality)
+    assert got[2] == (dt(2024, 1, 1, 10), 2.0)
+    # the left-only row sees the earlier both-row as its carry
+    assert got[6] == (None, None)
+
+    with pytest.raises(ValueError, match="overlap"):
+        asof_backward_same_source(
+            df, ["user_id"], "ts", lp, rp,
+            ["event_id", "user_id", "ts"], ["value"], overlap="bogus",
+        )

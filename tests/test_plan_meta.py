@@ -103,3 +103,21 @@ def test_try_cast_prefix_guard_is_superset_of_try_cast(spark):
         g, b = r["guarded"], r["bare"]
         same = (g == b) or (g != g and b != b)  # NaN-safe
         assert same, (g, b)
+
+
+def test_small_scan_rejects_mixed_source_union(docs, spark):
+    """ADVICE r6: a parquet scan unioned with a non-file source (Range)
+    has non-empty inputFiles() while footer rows undercount the Range
+    branch — the gate must reject it rather than under-bound the rows."""
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    u = ids.unionByName(spark.range(5).select(F.col("id").alias("doc_id")))
+    assert not small_scan(u, max_rows=1 << 40)
+
+
+def test_small_scan_rejects_local_relation_union(docs, spark):
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    extra = local_df(spark, [(10_000_001,)], "doc_id long")
+    u = ids.unionByName(extra)
+    assert not small_scan(u, max_rows=1 << 40)

@@ -93,3 +93,24 @@ def test_nan_values_quantile_parity_small_vs_distributed(spark):
     # low fractions are finite (9 finite values of 11 → f<=0.8 finite)
     assert not math.isnan(small[0.5])
     assert math.isnan(small[1.0])
+
+
+def test_infinite_values_exact_integer_ranks(spark):
+    """ADVICE r6: at integer ranks over ±inf both paths must return inf
+    (DuckDB quantile_cont parity), not inf + 0*(inf-inf) = NaN."""
+    import math
+
+    rows = [(float("-inf"),), (1.0,), (2.0,), (float("inf"),)]
+    df = spark.createDataFrame(rows, "x double")
+    # fractions hitting exact integer ranks 0 and 3, plus an interior one
+    fracs = [0.0, 1.0 / 3.0, 1.0]
+    for small_threshold in (10_000, 0):  # small path, then distributed
+        got = {
+            r["f"]: r["q"]
+            for r in exact_quantiles(
+                df, "x", fracs, small_threshold=small_threshold
+            ).collect()
+        }
+        assert got[0.0] == float("-inf"), small_threshold
+        assert got[1.0] == float("inf"), small_threshold
+        assert math.isfinite(got[1.0 / 3.0]), small_threshold

@@ -192,8 +192,17 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ):
         return _cooccurrence_collect_set(base)
     tarr = "array(" + ", ".join(f"'{t}'" for t in types) + ")"
+    # loud staleness guard (ADVICE r6): if an event_type reaches execution
+    # that is absent from the memoized dictionary (data changed between
+    # dict build and lazy execution), array_position returns 0 and
+    # shiftleft(1L, -1) would silently set bit 63, corrupting the mask.
+    # Fail the job instead. NULL event_type keeps its old behavior:
+    # array_position → NULL → bit NULL → skipped by bit_or.
     bit = F.expr(
-        f"shiftleft(1L, cast(array_position({tarr}, event_type) as int) - 1)"
+        f"CASE WHEN array_position({tarr}, event_type) = 0 THEN "
+        f"CAST(raise_error(concat('cooccurrence_pairs: event_type absent "
+        f"from memoized dictionary: ', event_type)) AS BIGINT) "
+        f"ELSE shiftleft(1L, cast(array_position({tarr}, event_type) as int) - 1) END"
     )
     masks = (
         base.select("user_id", "day", bit.alias("b"))

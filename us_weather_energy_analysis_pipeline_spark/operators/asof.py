@@ -93,6 +93,7 @@ def asof_backward_same_source(
     left_cols: Sequence[str],
     right_value_cols: Sequence[str],
     suffix: str = "_asof",
+    overlap: str = "disjoint",
 ) -> DataFrame:
     """``asof_join_backward`` for the common case where BOTH sides are
     predicates over ONE event stream (purchases vs views of the same
@@ -101,14 +102,43 @@ def asof_backward_same_source(
     results match ``asof_join_backward(events.filter(left_pred),
     events.filter(right_pred), ...)`` exactly (equality-tested).
 
+    ``overlap`` states the contract for rows satisfying BOTH predicates
+    (ADVICE r6): the default ``"disjoint"`` requires that no row can
+    satisfy both — under the single CASE tag such a row would be tagged
+    left only and never serve as a right-side carry, silently diverging
+    from the two-frame form (the in-repo caller, purchase vs view on
+    ``event_type``, is disjoint by construction). Pass ``"both"`` for
+    overlapping predicates: rows matching both are tagged on both sides
+    via an array tag + explode (still one scan; the right copy sorts
+    before the left copy at equal ts, so a both-row carries itself —
+    exactly the two-frame ``r.ts <= l.ts`` semantics, equality-tested).
+
     ``left_cols`` are the left-side output columns (must include ``on``
     and ``ts_col``); right value columns appear as ``{col}{suffix}`` plus
     ``{ts_col}{suffix}``. NULL-ts right rows are dropped up front (they
     can never satisfy r.ts <= l.ts; the ASC sort would otherwise adopt
     them NULLS FIRST as a bogus carry).
     """
-    side = F.when(left_pred, 1).when(right_pred & F.col(ts_col).isNotNull(), 0)
-    base = events.withColumn("__side", side).filter(F.col("__side").isNotNull())
+    if overlap not in ("disjoint", "both"):
+        raise ValueError(f"overlap must be 'disjoint' or 'both', got {overlap!r}")
+    if overlap == "both":
+        r_ok = right_pred & F.col(ts_col).isNotNull()
+        tags = (
+            F.when(left_pred & r_ok, F.array(F.lit(1), F.lit(0)))
+            .when(left_pred, F.array(F.lit(1)))
+            .when(r_ok, F.array(F.lit(0)))
+        )
+        base = (
+            events.withColumn("__sides", tags)
+            .filter(F.col("__sides").isNotNull())
+            .withColumn("__side", F.explode("__sides"))
+            .drop("__sides")
+        )
+    else:
+        side = F.when(left_pred, 1).when(
+            right_pred & F.col(ts_col).isNotNull(), 0
+        )
+        base = events.withColumn("__side", side).filter(F.col("__side").isNotNull())
     w = (
         Window.partitionBy(*on)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())

@@ -43,6 +43,19 @@ _ROW_EXPANDING_NODES = (
     "MapInPandas",  # arbitrary batch → batch cardinality
     "PythonMapInArrow",
     "MapPartitions",
+    # non-file leaves / mixed sources (ADVICE r6): a plan unioning a
+    # parquet scan with a Range/LocalRelation/InMemoryRelation branch has
+    # non-empty inputFiles() while footer rows undercount the non-file
+    # branch — footer rows would NOT bound plan output. Rejecting these
+    # tokens keeps "footer rows ≥ plan rows" true for every accepted plan;
+    # a false positive (e.g. a column name containing one of these words)
+    # merely routes to the count-gated path.
+    "Union",
+    "Range",
+    "OneRowRelation",
+    "LocalRelation",
+    "InMemoryRelation",
+    "LogicalRDD",
 )
 
 _LARGE = 1 << 60

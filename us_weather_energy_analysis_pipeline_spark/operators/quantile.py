@@ -112,7 +112,13 @@ def exact_quantiles(
             pos = f * (n_v - 1)
             lo = int(np.floor(pos))
             hi = int(np.ceil(pos))  # == lo at integer ranks (same as fr)
-            qs.append(float(srt[lo] + (pos - lo) * (srt[hi] - srt[lo])))
+            if hi == lo:
+                # short-circuit: inf + 0*(inf-inf) would poison an exact
+                # integer-rank hit over ±inf to NaN, diverging from
+                # DuckDB quantile_cont; NaN values still round-trip (ADVICE r6)
+                qs.append(float(srt[lo]))
+            else:
+                qs.append(float(srt[lo] + (pos - lo) * (srt[hi] - srt[lo])))
         return local_df(
             spark, [(f, q) for f, q in zip(fl, qs)], "f double, q double"
         )
@@ -160,7 +166,12 @@ def exact_quantiles(
     ).select("f2", F.col("v").alias("v_hi"))
     return lo.join(hi, lo.f == hi.f2).select(
         "f",
-        (F.col("v_lo") + F.col("wt") * (F.col("v_hi") - F.col("v_lo"))).alias("q"),
+        # wt = 0 short-circuit mirrors the small path: an exact integer-rank
+        # hit returns v_lo itself, so ±inf values stay inf instead of
+        # inf + 0*(inf-inf) = NaN (ADVICE r6; DuckDB quantile_cont parity)
+        F.when(F.col("wt") == 0, F.col("v_lo"))
+        .otherwise(F.col("v_lo") + F.col("wt") * (F.col("v_hi") - F.col("v_lo")))
+        .alias("q"),
     )
 
 
