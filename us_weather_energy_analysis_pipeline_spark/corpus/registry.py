@@ -120,66 +120,70 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-6 window (VERDICT r5 item 1): the 24 stale/never-sampled queries —
-# the 10 round-5 additions (winnow/cleanse/corpstats, positions 0-9) and
-# the 14 whose last driver row was r02 (tpch q4/13/14/17/19/22 + behavior
-# family, positions 10-23) — then 26 fill slots for queries whose plans
-# change in round 6 (text-stats tokenize staging, iterative-dedup job
-# cuts, ewma epoch chunking, rank/embed ADVICE fixes).
+# Round-7 window: position 0 re-proves the r6 red row (doc_span_dup_ratio
+# failed the driver's value hash on the HUGEINT→float64 oracle dtype, fixed
+# this round); positions 1-4 are the only queries whose last driver row is
+# r03; positions 5-7 had their plans touched by the r6 ADVICE fixes
+# (cooccurrence staleness guard, quantile ±inf short-circuit); the rest are
+# 42 of the 46 queries whose last driver row is r04 (the four left out —
+# union_slices, top_k_orders, distinct_event_types, filter_date_set — are
+# single-operator trivia whose operator families have fresher coverage
+# elsewhere; they rotate in next round).
 WINDOW: tuple[str, ...] = (
-    # -- never driver-sampled (added round 5) --
-    "text_winnow_fingerprint",
-    "dedup_winnow_pairs",
-    "dedup_substring_spans",
+    # -- r6 driver hash mismatch, fixed this round --
     "doc_span_dup_ratio",
-    "corpus_temperature_resample",
-    "decontaminate_ngram_overlap",
-    "text_zipf_fit",
-    "text_heaps_fit",
-    "embed_dim_stats",
-    "embed_corr_pairs_topk",
-    # -- last driver row r02 --
-    "tpch_q4_order_priority",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q22_dormant_customers",
-    "cohort_retention",
-    "funnel_conversion",
+    # -- last driver row r03 --
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "sessionize_gap",
+    "tumbling_window_rollup",
+    # -- plans touched by the r6 ADVICE fixes --
     "cooccurrence_pairs",
-    "grouped_quantiles",
-    "moments_skew_kurt",
-    "yoy_monthly",
-    "trailing_range_7d",
-    "argmax_supplier",
-    # -- fill: plans changing in round 6 (fresh rows guard the rewrites) --
-    "gopher_quality_filter",
-    "text_repetition_ratio",
-    "bigram_topk",
-    "text_token_count",
-    "text_fingerprint",
-    "text_quality_score",
-    "text_lang_id",
-    "text_tfidf_topk",
-    "dedup_cluster_assign",
-    "dedup_ngram_jaccard",
-    "dedup_pipeline_e2e",
-    "embed_dedup_pipeline_e2e",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "ewma_daily",
-    "embed_ivf_topk",
-    "embed_centroid_by_label",
-    "embed_cosine_topk",
-    "embed_lsh_bucket_topk",
-    "embed_int8_quantize",
-    "dist_percent_rank",
-    "ntile_deciles",
     "quantiles_exact",
-    "map_view_decorated",
-    "range_join_price_band",
-    "dedup_embed_cosine",
+    "grouped_quantiles",
+    # -- last driver row r04 --
+    "asof_join_last_view",
+    "bin_quantity_case",
+    "corr_pearson",
+    "count_distinct_users",
+    "cube_priority_status",
+    "date_spine_completion",
+    "dates_except",
+    "dedup_keep_first",
+    "heatmap_pivot",
+    "hourly_profile",
+    "join_dims_broadcast",
+    "join_fact_orders",
+    "lag_diff_pct",
+    "last_per_group",
+    "mean_impute_group",
+    "missing_days_anti",
+    "monthly_rollup",
+    "moving_avg_7d",
+    "ols_by_group",
+    "ols_ci_frame",
+    "ols_closed_form",
+    "pivot_eav",
+    "problem_rows",
+    "quality_daily",
+    "quality_report",
+    "regexp_normalize",
+    "resample_hourly_daily",
+    "revenue_share",
+    "rollup_revenue",
+    "sample_hash_mod",
+    "scalar_stats",
+    "semi_join_customers",
+    "skew_salted_agg",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "ts_daily_rollup",
+    "unit_convert_project",
+    "unpivot_measures",
+    "user_journey_path",
+    "weekday_profile",
 )
 
 
