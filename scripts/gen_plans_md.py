@@ -73,8 +73,12 @@ SHOWCASE = {
     ),
     "top_k_orders": "TakeOrderedAndProject — per-partition partial top-k, no full sort.",
     "last_per_group": (
-        "One Exchange on user_id feeds the row_number window; filter rn=1 — "
-        "no self-join."
+        "max_by struct aggregate (r6 rewrite): the partial SortAggregate "
+        "compresses every partition to one row per user BEFORE the single "
+        "user_id Exchange — the r5 row_number window sorted and shuffled "
+        "the full event stream. SortAggregate (not Hash) because struct "
+        "agg buffers are not UnsafeRow-mutable; the sort is per-partition "
+        "over already-reduced rows."
     ),
     "dedup_minhash_lsh": (
         "The only pair-producing join keys on (band, digest) — the O(n²) doc "

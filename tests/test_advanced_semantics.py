@@ -272,3 +272,53 @@ def test_cooccurrence_stale_dictionary_fails_loudly(spark):
             behavior_q._TYPE_DICT_CACHE.pop(key, None)
         else:
             behavior_q._TYPE_DICT_CACHE[key] = saved
+
+
+def test_mode_event_type_packed_matches_struct_fallback(spark):
+    """r7 packed-long mode plan: identical output to the dictionary-free
+    min_by-struct fallback on real data (the fallback is forced via a
+    poisoned memo dictionary, same pattern as the cooccurrence guards)."""
+    import conftest
+
+    from us_weather_energy_analysis_pipeline_spark.corpus import advanced_q, behavior_q
+
+    key = (spark.sparkContext.applicationId, conftest.SF_DIR)
+    saved = behavior_q._TYPE_DICT_CACHE.get(key)
+    want_df = advanced_q.mode_event_type(spark, conftest.SF_DIR)
+    # the packed plan is the point: both aggregates must hash, not sort
+    plan = want_df._jdf.queryExecution().executedPlan().toString()
+    assert "SortAggregate" not in plan, plan
+    want = {tuple(r) for r in want_df.collect()}
+    # quote-bearing dictionary forces the struct fallback
+    behavior_q._TYPE_DICT_CACHE[key] = ["a'b"]
+    try:
+        got_df = advanced_q.mode_event_type(spark, conftest.SF_DIR)
+        assert "min_by" in got_df._jdf.queryExecution().analyzed().toString()
+        got = {tuple(r) for r in got_df.collect()}
+    finally:
+        if saved is None:
+            behavior_q._TYPE_DICT_CACHE.pop(key, None)
+        else:
+            behavior_q._TYPE_DICT_CACHE[key] = saved
+    assert got == want and len(got) > 0
+
+
+def test_mode_event_type_stale_dictionary_fails_loudly(spark):
+    """A type absent from the memoized dictionary must raise at execution
+    rather than silently mis-rank (mirrors the cooccurrence guard)."""
+    import conftest
+    import pytest as _pt
+
+    from us_weather_energy_analysis_pipeline_spark.corpus import advanced_q, behavior_q
+
+    key = (spark.sparkContext.applicationId, conftest.SF_DIR)
+    saved = behavior_q._TYPE_DICT_CACHE.get(key)
+    behavior_q._TYPE_DICT_CACHE[key] = ["view"]
+    try:
+        with _pt.raises(Exception, match="absent from memoized dictionary"):
+            advanced_q.mode_event_type(spark, conftest.SF_DIR).collect()
+    finally:
+        if saved is None:
+            behavior_q._TYPE_DICT_CACHE.pop(key, None)
+        else:
+            behavior_q._TYPE_DICT_CACHE[key] = saved

@@ -23,6 +23,7 @@ ROTATED_R7 = (
     "cooccurrence_pairs",
     "quantiles_exact",
     "grouped_quantiles",
+    "mode_event_type",
 )
 
 

@@ -128,7 +128,8 @@ _LOADED = False
 # 42 of the 46 queries whose last driver row is r04 (the four left out —
 # union_slices, top_k_orders, distinct_event_types, filter_date_set — are
 # single-operator trivia whose operator families have fresher coverage
-# elsewhere; they rotate in next round).
+# elsewhere; they rotate in next round, as does bin_quantity_case, whose
+# P10 binning family heatmap_pivot covers in-window).
 WINDOW: tuple[str, ...] = (
     # -- r6 driver hash mismatch, fixed this round --
     "doc_span_dup_ratio",
@@ -137,13 +138,13 @@ WINDOW: tuple[str, ...] = (
     "multimodal_frame_sample",
     "sessionize_gap",
     "tumbling_window_rollup",
-    # -- plans touched by the r6 ADVICE fixes --
+    # -- plans touched by the r6 ADVICE fixes / r7 packed-mode rewrite --
     "cooccurrence_pairs",
     "quantiles_exact",
     "grouped_quantiles",
+    "mode_event_type",
     # -- last driver row r04 --
     "asof_join_last_view",
-    "bin_quantity_case",
     "corr_pearson",
     "count_distinct_users",
     "cube_priority_status",
