@@ -363,3 +363,55 @@ def test_differenced_view_window_sits_on_daily_series(spark):
     assert widx, plan
     below = "\n".join(lines[widx[-1]:])
     assert "Aggregate [date" in below, plan
+
+
+def test_compact_parquet_range_clustering_disjoint_files(spark, tmp_path):
+    """r7 cluster_by: output files must own DISJOINT slices of the cluster
+    key (footer min/max is what file-skipping consults), and target_bytes
+    must derive a sane file count from on-disk size without a job."""
+    import glob
+
+    from us_weather_energy_analysis_pipeline_spark.operators.compact import (
+        compact_parquet,
+        file_column_ranges,
+    )
+
+    path = str(tmp_path / "clust")
+    base = spark.createDataFrame(
+        [((i * 7919) % 10_000, float(i)) for i in range(10_000)], "k long, v double"
+    )
+    # shuffled appends: every file spans nearly the whole keyspace
+    for i in range(4):
+        base.filter(f"v >= {i*2500} and v < {(i+1)*2500}").repartition(2).write.mode(
+            "append"
+        ).parquet(path)
+    spans = file_column_ranges(path, "k")
+    assert len(spans) >= 8
+    # un-clustered: ranges overlap massively (each file ~ full keyspace)
+    overlapping = sum(
+        1
+        for i, (lo, hi) in enumerate(spans)
+        for lo2, hi2 in spans[i + 1 :]
+        if lo <= hi2 and lo2 <= hi
+    )
+    assert overlapping > 0
+
+    n = compact_parquet(spark, path, target_files=4, cluster_by=("k",))
+    assert n == 10_000
+    spans = sorted(file_column_ranges(path, "k"))
+    assert len(spans) == len(glob.glob(f"{path}/*.parquet")) == 4
+    # clustered: consecutive file ranges must not overlap
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, spans
+    # a range predicate now matches exactly one file's span
+    got = spark.read.parquet(path).filter("k >= 0 and k <= 100").count()
+    assert got == 101
+
+    # byte-targeted compaction: no absolute file count needed
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        compact_parquet(spark, path, cluster_by=("k",), partition_by=("k",))
+    n2 = compact_parquet(spark, path, cluster_by=("k",), target_bytes=1 << 16)
+    assert n2 == 10_000
+    assert len(glob.glob(f"{path}/*.parquet")) >= 2
