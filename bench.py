@@ -57,6 +57,24 @@ def main() -> None:
     spark.range(100).mapInPandas(lambda it: it, "id long").write.format("noop").mode(
         "overwrite"
     ).save()
+    # C2 warmup: tiered compilation of the scan/hash-agg/sort/shuffle/
+    # codegen paths takes real executed work, not one tiny noop — measured
+    # r7: the floor probe read 0.26 s on a fresh JVM vs 0.17 s after a few
+    # warm queries, and min-of-3 per query cannot fix it because all three
+    # runs of the EARLY queries land cold. Run a few representative
+    # queries once, untimed, so the probe and the sweep start steady-state.
+    for _wname in (
+        "tpch_q1_pricing_summary",
+        "join_fact_orders",
+        "moving_avg_7d",
+        "text_quality_score",
+        "dedup_exact",
+    ):
+        if _wname in REGISTRY:
+            REGISTRY[_wname].spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cache.release_all()
 
     # Empirical per-query scheduling FLOOR (benchlib.probe_floor): a
     # minimal-but-real query through the same plan/schedule/execute

@@ -49,6 +49,21 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()
+    # C2 warmup (see bench.py): the floor probe and the first timed
+    # queries read 1.3-1.5× high on a fresh JVM — run a few representative
+    # queries once, untimed, so the whole sweep measures steady state.
+    for wname in (
+        "tpch_q1_pricing_summary",
+        "join_fact_orders",
+        "moving_avg_7d",
+        "text_quality_score",
+        "dedup_exact",
+    ):
+        if wname in REGISTRY:
+            REGISTRY[wname].spark_fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            cache.release_all()
     con = duckdb.connect()
     register_views(con, sf_dir)
 
