@@ -385,11 +385,16 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (100 TB): the eval gram set is small by construction
     (eval suites are MBs, not TBs) → broadcast inner join against the
-    training gram stream; the only shuffle is the per-document distinct +
-    count. The gram projection feeds both branches → digest-materialized
-    via operators.cache. A 64-bit gram-hash collision would overcount
-    n_shared (vanishing odds, and the string-keyed oracle doubles as the
-    collision check at test SFs)."""
+    training gram stream FIRST, so the per-document distinct+count
+    shuffle carries only MATCHED grams — contamination is rare by
+    construction, so the exchange shrinks from ~n_tokens rows to the
+    handful of shared grams (r7 rewrite; the old shape distinct'd the
+    full training gram stream before joining: 0.87-0.96 → 0.75 s
+    replicated at sf0.1, identical output, and the win grows with the
+    training side). The gram projection feeds both branches →
+    digest-materialized via operators.cache. A 64-bit gram-hash
+    collision would overcount n_shared (vanishing odds, and the
+    string-keyed oracle doubles as the collision check at test SFs)."""
     return decontaminate_from(load(spark, sf_dir, "documents"))
 
 
@@ -418,13 +423,13 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
     eg = (
         grams.filter(F.col("source") == EVAL_SOURCE).select("gh").distinct()
     )
-    tg = (
+    # broadcast-join FIRST, dedup after: count(DISTINCT gh) over the
+    # matched stream ≡ count(*) over distinct-then-joined, but the
+    # distinct's exchange now carries only shared grams
+    return (
         grams.filter(F.col("source") != EVAL_SOURCE)
         .select("doc_id", "source", "gh")
-        .distinct()
-    )
-    return (
-        tg.join(F.broadcast(eg), "gh")
+        .join(F.broadcast(eg), "gh")
         .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(F.count_distinct("gh").alias("n_shared"))
     )
