@@ -116,7 +116,10 @@ def test_fuzzed_tables_match_oracle(spark, tmp_path, seed, frac):
 
 
 NULL_COLS = {
-    "events": ["value"],
+    # event_type added r7: exercises the dictionary-gated mode/cooccurrence
+    # paths, journey string_agg-vs-array_join NULL semantics, and every
+    # event_type group/filter key corpus-wide
+    "events": ["value", "event_type"],
     "lineitem": ["l_quantity", "l_discount"],
     "documents": ["text"],
     "orders": ["o_totalprice"],

@@ -217,17 +217,22 @@ def user_journey_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered event-path aggregation (product-analytics journey strings):
     collect_list gives NO ordering guarantee in a distributed agg, so the
     deterministic construction is collect structs → array_sort → project —
-    matching DuckDB's string_agg(... ORDER BY)."""
+    matching DuckDB's string_agg(... ORDER BY).
+
+    NULL event_type contract (r7 event_type null-fuzz): string_agg skips
+    NULL values and returns NULL when ALL values are NULL; array_join
+    also skips NULL elements but returns '' for the all-NULL case — the
+    count(event_type) gate (non-null count) restores the NULL, without
+    the nullif('') trap that would corrupt a genuine empty-string type."""
     e = load(spark, sf_dir, "events").filter(F.col("user_id") < 10)
     steps = F.array_sort(
         F.collect_list(F.struct("ts", "event_id", "event_type"))
     )
+    joined = F.array_join(F.transform(steps, lambda s: s["event_type"]), "->")
     return (
         e.groupBy("user_id", iso_day("ts").alias("day"))
         .agg(
-            F.array_join(
-                F.transform(steps, lambda s: s["event_type"]), "->"
-            ).alias("path"),
+            F.when(F.count("event_type") > 0, joined).alias("path"),
             F.count(F.lit(1)).alias("n_steps"),
         )
     )
