@@ -121,7 +121,10 @@ NULL_COLS = {
     # event_type group/filter key corpus-wide
     "events": ["value", "event_type"],
     "lineitem": ["l_quantity", "l_discount"],
-    "documents": ["text"],
+    # lang/source added r7: NULL grouping keys for the corpus-mix /
+    # temperature-resample / stratified-sampling families (both engines
+    # group NULL keys together — pinned green on first run)
+    "documents": ["text", "lang", "source"],
     "orders": ["o_totalprice"],
 }
 
