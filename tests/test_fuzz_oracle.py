@@ -119,7 +119,10 @@ NULL_COLS = {
     # event_type added r7: exercises the dictionary-gated mode/cooccurrence
     # paths, journey string_agg-vs-array_join NULL semantics, and every
     # event_type group/filter key corpus-wide
-    "events": ["value", "event_type"],
+    # user_id added r7 after fixing the two real divergences it found:
+    # the as-of NULL-key carry (operators/asof.py) and the cooccurrence
+    # phantom NULL basket (behavior_q.py)
+    "events": ["value", "event_type", "user_id"],
     "lineitem": ["l_quantity", "l_discount"],
     # lang/source added r7: NULL grouping keys for the corpus-mix /
     # temperature-resample / stratified-sampling families (both engines

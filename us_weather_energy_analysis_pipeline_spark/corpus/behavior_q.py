@@ -180,7 +180,13 @@ def cooccurrence_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality). Types beyond 60 (mask width) or an empty dictionary fall
     back to the collect_set plan."""
     e = load(spark, sf_dir, "events")
-    base = e.select("user_id", F.to_date("ts").alias("day"), "event_type")
+    # NULL basket keys never pair: the oracle's self-join condition
+    # a.user_id = b.user_id AND a.day = b.day excludes NULLs, while a
+    # Spark groupBy would pool all NULL-key rows into one phantom basket
+    # (r7 user_id null-fuzz)
+    base = e.select("user_id", F.to_date("ts").alias("day"), "event_type").filter(
+        F.col("user_id").isNotNull() & F.col("day").isNotNull()
+    )
     types = _event_type_dict(spark, sf_dir)
     # fallback guards: mask width (60 bits), empty dict, and literal
     # safety — dictionary values are embedded as SQL literals, so any

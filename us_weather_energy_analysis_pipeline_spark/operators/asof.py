@@ -40,8 +40,16 @@ def asof_join_backward(
     # A NULL-ts right row can never satisfy r.ts <= l.ts (SQL ASOF joins
     # never match it), but the ASC sort would place it NULLS FIRST —
     # ahead of every left row — and the carry would adopt it as the
-    # "most recent" match. Drop such rows up front.
-    tagged_r = right.filter(F.col(ts_col).isNotNull()).select(
+    # "most recent" match. Drop such rows up front. Same for NULL join
+    # keys (r7 user_id null-fuzz): ASOF's equality condition never
+    # matches NULL = NULL, but partitionBy groups all NULL-key rows into
+    # one partition where they would serve as carries — dropping NULL-key
+    # RIGHT rows restores equality semantics while NULL-key LEFT rows
+    # stay (left-outer, NULL carry, their partition has no right rows).
+    r_ok = F.col(ts_col).isNotNull()
+    for k in on:
+        r_ok = r_ok & F.col(k).isNotNull()
+    tagged_r = right.filter(r_ok).select(
         *on,
         F.col(ts_col),
         F.lit(0).alias("__side"),
@@ -121,8 +129,14 @@ def asof_backward_same_source(
     """
     if overlap not in ("disjoint", "both"):
         raise ValueError(f"overlap must be 'disjoint' or 'both', got {overlap!r}")
+    # NULL-key right rows never match under ASOF equality semantics
+    # (see asof_join_backward); NULL-key left rows pass through with
+    # NULL carries since their partition then holds no right rows.
+    key_ok = F.lit(True)
+    for k in on:
+        key_ok = key_ok & F.col(k).isNotNull()
     if overlap == "both":
-        r_ok = right_pred & F.col(ts_col).isNotNull()
+        r_ok = right_pred & F.col(ts_col).isNotNull() & key_ok
         tags = (
             F.when(left_pred & r_ok, F.array(F.lit(1), F.lit(0)))
             .when(left_pred, F.array(F.lit(1)))
@@ -136,7 +150,7 @@ def asof_backward_same_source(
         )
     else:
         side = F.when(left_pred, 1).when(
-            right_pred & F.col(ts_col).isNotNull(), 0
+            right_pred & F.col(ts_col).isNotNull() & key_ok, 0
         )
         base = events.withColumn("__side", side).filter(F.col("__side").isNotNull())
     w = (
