@@ -122,13 +122,18 @@ NULL_COLS = {
     # user_id added r7 after fixing the two real divergences it found:
     # the as-of NULL-key carry (operators/asof.py) and the cooccurrence
     # phantom NULL basket (behavior_q.py)
-    "events": ["value", "event_type", "user_id"],
-    "lineitem": ["l_quantity", "l_discount"],
+    # ts added r7 after pinning the NULL-timestamp contract (time-ordered
+    # operators exclude NULL ts on BOTH sides — Spark windows order NULLS
+    # FIRST, DuckDB NULLS LAST, and DuckDB ASOF treats a NULL probe as
+    # +inf; six queries diverged before the contract)
+    "events": ["value", "event_type", "user_id", "ts"],
+    # join keys: equi-join NULL exclusion is symmetric in both engines
+    "lineitem": ["l_quantity", "l_discount", "l_partkey"],
     # lang/source added r7: NULL grouping keys for the corpus-mix /
     # temperature-resample / stratified-sampling families (both engines
     # group NULL keys together — pinned green on first run)
     "documents": ["text", "lang", "source"],
-    "orders": ["o_totalprice"],
+    "orders": ["o_totalprice", "o_custkey"],
 }
 
 

@@ -127,6 +127,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pts"),
         )
     )
+    # NULL-user semantics (r7 user_id null-fuzz): the oracle's
+    # p JOIN v ON e.user_id = v.user_id never matches NULL keys, so the
+    # pooled NULL-user group counts as a viewer (v is a GROUP BY, NULLs
+    # group) but can never convert — null out its pts
+    per_user = per_user.withColumn(
+        "pts", F.when(F.col("user_id").isNotNull(), F.col("pts"))
+    )
     converted = F.col("pts").isNotNull() & (
         F.col("pts") <= F.col("vts") + F.expr("INTERVAL 24 HOURS")
     )

@@ -253,7 +253,9 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type,
              LEAD(event_type) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) AS next_type
-      FROM events
+      -- NULL ts out of scope for a time-ordered sequence (r7 ts null-fuzz:
+      -- Spark orders NULLS FIRST, DuckDB NULLS LAST)
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT event_type, next_type, COUNT(*) AS n,
            ROUND(COUNT(*) * 1.0 /
@@ -269,7 +271,7 @@ def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordered window pass partitioned by user_id (same shuffle the
     sessionizer uses), then a 25-cell aggregate; transition probabilities
     are exact integer ratios — cross-engine identical."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = e.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")

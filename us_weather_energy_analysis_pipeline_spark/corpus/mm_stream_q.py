@@ -96,7 +96,9 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL 30 MINUTE
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      -- NULL ts cannot start or extend a session (r7 ts null-fuzz);
+      -- session_window drops NULL-ts rows, the lag construction must too
+      FROM events WHERE ts IS NOT NULL
     ),
     tagged AS (
       SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
@@ -139,7 +141,9 @@ def sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
            event_type,
            ROUND(SUM(value), 2) AS total,
            COUNT(*) AS n
-    FROM events
+    -- NULL ts has no bucket: F.window(NULL) emits no group while
+    -- time_bucket(NULL) would keep a NULL bucket (r7 ts null-fuzz)
+    FROM events WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
     tags=("streaming", "window", "A2"),

@@ -138,8 +138,13 @@ def problem_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN value < 1 THEN NULL ELSE value END AS v
       FROM events
     )
+    -- order-independent mean (r7 null-fuzz found a 1-ulp float-sum-order
+    -- flip at a 4dp rounding boundary): exact DECIMAL(28,10) sum, cast
+    -- the SUM to double, ONE double division — both engines replicate
     SELECT event_id, event_type,
-           ROUND(COALESCE(v, AVG(v) OVER (PARTITION BY event_type)), 4) AS value_imputed,
+           ROUND(COALESCE(v,
+             CAST(SUM(CAST(v AS DECIMAL(28,10))) OVER (PARTITION BY event_type) AS DOUBLE)
+               / COUNT(v) OVER (PARTITION BY event_type)), 4) AS value_imputed,
            CASE WHEN v IS NULL THEN 1 ELSE 0 END AS was_imputed
     FROM base
     """,
@@ -157,9 +162,14 @@ def mean_impute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = F.when(F.col("value") < 1, F.lit(None).cast("double")).otherwise(F.col("value"))
     base = e.select("event_id", "event_type", v.alias("v"))
     w = Window.partitionBy("event_type")
+    # exact decimal sum → double → one division: float AVG's summation
+    # order is plan-dependent and flipped a 4dp boundary under null-fuzz
+    mean = F.sum(F.col("v").cast("decimal(28,10)")).over(w).cast(
+        "double"
+    ) / F.count("v").over(w)
     return base.select(
         "event_id",
         "event_type",
-        r4(F.coalesce(F.col("v"), F.avg("v").over(w))).alias("value_imputed"),
+        r4(F.coalesce(F.col("v"), mean)).alias("value_imputed"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("was_imputed"),
     )

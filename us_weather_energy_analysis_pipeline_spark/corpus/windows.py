@@ -102,9 +102,12 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     "lag_diff_pct",
     oracle="""
     WITH daily AS (
+      -- NULL ts is out of scope for a time-ordered series (r7 ts
+      -- null-fuzz): a NULL day would sort NULLS FIRST in Spark's lag
+      -- window and NULLS LAST here, shifting every lag by one
       SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
              SUM(value) AS total
-      FROM events GROUP BY 1, 2
+      FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     )
     SELECT event_type, day,
            ROUND(total, 2) AS total,
@@ -121,7 +124,7 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prev-period lookup via lag — subsumes the reference's prev-day join
     (J3 `app.py:605`), first-order differencing (P15 `app.py:714-716`) and
     guarded percent-change (P14 `app.py:610-613`) in one window pass."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy("event_type", iso_day("ts").alias("day")).agg(
         F.sum("value").alias("total")
     )
@@ -210,7 +213,12 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_join_last_view",
     oracle="""
     WITH purchases AS (
-      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+      -- NULL-ts purchases are out of scope on both sides (r7 ts
+      -- null-fuzz): NULL >= v.ts is never true, but DuckDB's ASOF sort
+      -- treats a NULL probe as +inf and matches the LATEST view, while
+      -- the Spark carry yields NULL — neither is SQL-derivable; excluded
+      SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase' AND ts IS NOT NULL
     ),
     views AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view')
     SELECT p.event_id, p.user_id,
@@ -240,7 +248,7 @@ def asof_join_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         ["user_id"],
         "ts",
-        F.col("event_type") == "purchase",
+        (F.col("event_type") == "purchase") & F.col("ts").isNotNull(),
         F.col("event_type") == "view",
         ["event_id", "user_id", "ts"],
         ["value"],
@@ -261,8 +269,10 @@ EWMA_ALPHA = 0.2
     "ewma_daily",
     oracle=f"""
     WITH daily AS (
+      -- NULL ts out of scope: a NULL day would seed the recursion on the
+      -- Spark side (NULLS FIRST) and trail it here (r7 ts null-fuzz)
       SELECT strftime(ts, '%Y-%m-%d') AS day, SUM(value) AS total
-      FROM events GROUP BY 1
+      FROM events WHERE ts IS NOT NULL GROUP BY 1
     ),
     seq AS (
       SELECT day, total,
@@ -306,7 +316,7 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     PARTITIONED by epoch (distributed-friendly); only the t-assignment
     row_number and the #epochs-row lag frame are global, both on bounded
     inputs (daily rollup / epoch aggregate — allowlisted)."""
-    e = load(spark, sf_dir, "events")
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     daily = e.groupBy(iso_day("ts").alias("day")).agg(F.sum("value").alias("total"))
     return ewma_frame(daily)
 
