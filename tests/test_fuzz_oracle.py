@@ -128,12 +128,17 @@ NULL_COLS = {
     # +inf; six queries diverged before the contract)
     "events": ["value", "event_type", "user_id", "ts"],
     # join keys: equi-join NULL exclusion is symmetric in both engines
-    "lineitem": ["l_quantity", "l_discount", "l_partkey"],
+    # l_shipdate/o_orderdate: time-ordered operators exclude NULL dates
+    # (same contract as events.ts); embedding: NULL vectors are excluded
+    # at the vector-operator boundary (they crashed the block-pack
+    # kernels and DuckDB's list_* functions before the r7 contract)
+    "lineitem": ["l_quantity", "l_discount", "l_partkey", "l_shipdate"],
     # lang/source added r7: NULL grouping keys for the corpus-mix /
     # temperature-resample / stratified-sampling families (both engines
     # group NULL keys together — pinned green on first run)
     "documents": ["text", "lang", "source"],
-    "orders": ["o_totalprice", "o_custkey"],
+    "orders": ["o_totalprice", "o_custkey", "o_orderdate"],
+    "embeddings": ["embedding"],
 }
 
 

@@ -131,8 +131,11 @@ def _embed_pipeline_oracle() -> str:
     )
     return f"""
     WITH RECURSIVE coded AS (
+      -- NULL vectors produce no candidate pairs (r7 embedding null-fuzz;
+      -- list_dot_product rejects NULL) — they survive as singletons via
+      -- the final LEFT JOIN against the full table, same as Spark's path
       SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     pairs AS (
       SELECT a.vec_id AS ia, b.vec_id AS ib

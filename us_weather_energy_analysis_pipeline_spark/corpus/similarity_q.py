@@ -236,7 +236,10 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 3, n_q: int = N_QUERI
     )
     return f"""
     WITH coded AS (
-      SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket FROM embeddings
+      -- NULL vectors are out of scope (r7 null-fuzz; list_dot_product /
+      -- list_inner_product reject NULL inputs outright)
+      SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM coded WHERE vec_id < {n_q}),
     cand AS (
@@ -327,9 +330,11 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_int8_quantize",
     oracle="""
     WITH v AS (
+      -- NULL vectors are out of scope for quantization (r7 null-fuzz:
+      -- GREATEST(list_max(NULL), 1e-12) fabricated a 1.27e14 scale)
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]), x -> x) AS e
-      FROM embeddings
+      FROM embeddings WHERE embedding IS NOT NULL
     ),
     s AS (
       SELECT vec_id, e,
@@ -375,7 +380,7 @@ def embed_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         input_bytes as _input_bytes,
     )
 
-    d = load(spark, sf_dir, "embeddings")
+    d = load(spark, sf_dir, "embeddings").filter(F.col("embedding").isNotNull())
     if _input_bytes(d) < _CENTROID_GATE_BYTES:
         # STAGED projections: `scale` must be a bound per-row attribute
         # before any per-element lambda references it — an inline

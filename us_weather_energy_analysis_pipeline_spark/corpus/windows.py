@@ -145,8 +145,11 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moving_avg_7d",
     oracle="""
     WITH daily AS (
+      -- NULL ship dates are out of scope for the time-ordered series
+      -- (r7 null-fuzz: the NULL day would lead the Spark frame and
+      -- trail the DuckDB one, shifting the trailing average)
       SELECT strftime(l_shipdate, '%Y-%m-%d') AS day, SUM(l_extendedprice) AS total
-      FROM lineitem GROUP BY 1
+      FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1
     )
     SELECT day, ROUND(total, 2) AS total,
            ROUND(AVG(total) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4)
@@ -159,7 +162,7 @@ def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row trailing moving average over the daily series — explicit rows
     frame (the only frame spec family the reference needs, SURVEY §2.8,
     extended to a bounded trailing window)."""
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
     daily = li.groupBy(iso_day("l_shipdate").alias("day")).agg(
         F.sum("l_extendedprice").alias("total")
     )
@@ -201,7 +204,12 @@ def weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy(F.dayofweek("l_shipdate").alias("_dw"))
         .agg(F.count(F.lit(1)).alias("n"), r4(F.avg("l_quantity")).alias("avg_qty"))
         .select(
-            F.element_at(names, F.col("_dw")).alias("day_of_week"),
+            # explicit NULL guard (r7 l_shipdate null-fuzz): Spark 4.1's
+            # element_at(arr, NULL) returns the LAST element, not NULL —
+            # the NULL-date group was silently labeled 'Saturday'
+            F.when(
+                F.col("_dw").isNotNull(), F.element_at(names, F.col("_dw"))
+            ).alias("day_of_week"),
             F.when(F.col("_dw") == 7, 1).otherwise(0).alias("is_saturday"),
             "n",
             "avg_qty",

@@ -469,6 +469,10 @@ def lsh_topk(
     restricted to bucket matches — no bucket shuffle at all (the old plan
     equi-joined on the code; here the bucket test is a per-row mask
     against the ≤2^P query codes riding in the closure)."""
+    # NULL vectors are out of scope on both sides (r7 embedding null-fuzz;
+    # DuckDB's list_inner_product rejects NULL elements outright)
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(qvec_col).isNotNull())
     planes = hyperplanes(n_planes, dim)
 
     def code_of(qv: list[float]) -> int:
@@ -579,6 +583,10 @@ def grouped_candidate_pairs(
     two more (left/right of the pair join) — both are persisted via
     operators.cache so no branch re-executes the upstream subtree
     (exchange reuse measurably does not collapse them)."""
+    # NULL vectors produce no candidates (r7 embedding null-fuzz: a None
+    # row crashed the block-pack np.stack); the e2e pipelines keep such
+    # ids as singletons via their outer join, matching the oracle
+    df = df.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
 
@@ -779,6 +787,10 @@ def cosine_pairs_filter_refine(
     re-score happens IN-TASK (``exact=True`` — the block payloads hold
     the vectors), so no join back to ``emb`` appears in the plan.
     """
+    # NULL vectors cannot be scored (r7 embedding null-fuzz: np.stack on a
+    # None row crashed the pack kernel); excluded here so every caller —
+    # incl. the e2e pipelines — inherits the contract
+    emb = emb.filter(F.col(vec_col).isNotNull())
     return grouped_candidate_pairs(
         emb.withColumn("_g", F.lit(0)),
         threshold,
