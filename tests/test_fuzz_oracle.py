@@ -136,10 +136,17 @@ NULL_COLS = {
     # lang/source added r7: NULL grouping keys for the corpus-mix /
     # temperature-resample / stratified-sampling families (both engines
     # group NULL keys together — pinned green on first run)
-    "documents": ["text", "lang", "source"],
+    "documents": ["text", "lang", "source", "n_chars"],
     "orders": ["o_totalprice", "o_custkey", "o_orderdate"],
     "embeddings": ["embedding"],
+    "customer": ["c_mktsegment"],
 }
+# Deliberately NOT fuzzed: primary-id columns (doc_id, vec_id, event_id,
+# *_key identity keys). The data model declares them NOT NULL — the same
+# schema contract TPC-H keys carry — and the engines' join-vs-window
+# treatment of a NULL identity is undefined by construction (an r7 probe
+# confirmed 8 queries diverge there, all via oracle joins dropping
+# NULL = NULL while windowed Spark forms keep the rows).
 
 
 def test_null_injected_tables_match_oracle_full_corpus(spark, tmp_path):
