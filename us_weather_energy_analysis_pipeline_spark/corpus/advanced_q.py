@@ -200,8 +200,13 @@ def dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "above_group_avg",
     oracle="""
     WITH w AS (
+      -- order-independent mean (r7 null-fuzz: the float AVG's summation
+      -- order flipped a 4dp rounding boundary once nulls changed the
+      -- group membership): exact DECIMAL sum, cast, one division
       SELECT o_custkey, o_orderkey, o_totalprice,
-             AVG(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+                    OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(o_totalprice) OVER (PARTITION BY o_custkey) AS cavg
       FROM orders
     )
     SELECT o_custkey, o_orderkey,
@@ -218,7 +223,9 @@ def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_custkey instead of a per-row subquery."""
     o = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey")
-    cavg = F.avg("o_totalprice").over(w)
+    cavg = F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).cast(
+        "double"
+    ) / F.count("o_totalprice").over(w)
     return (
         o.withColumn("cavg", cavg)
         .filter(F.col("o_totalprice") > F.col("cavg"))

@@ -33,12 +33,13 @@ TOP_K = 5
     "embed_cosine_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     scored AS (
+      -- NULL vectors out of scope on both sides (r7 embedding null-fuzz)
       SELECT q.qid, e.vec_id, e.label,
              ROUND(list_cosine_similarity(q.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
       FROM q CROSS JOIN embeddings e
-      WHERE e.vec_id <> q.qid
+      WHERE e.vec_id <> q.qid AND e.embedding IS NOT NULL
     )
     SELECT qid, vec_id, label, cosine,
            CAST(rnk AS INTEGER) AS rnk
@@ -64,7 +65,9 @@ def embed_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         topk_candidates,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull()
+    )
     qinfo = [
         (r["vec_id"], list(r["embedding"]), None)
         for r in emb.filter(F.col("vec_id") < N_QUERIES)
@@ -281,7 +284,7 @@ def embed_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embed_ivf_topk",
     oracle=f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id < {N_QUERIES}),
+               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
     per_dim AS (
       SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
       FROM embeddings
@@ -304,6 +307,7 @@ def embed_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.qid, a.cell, e.vec_id,
              ROUND(list_cosine_similarity(a.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
       FROM assign a JOIN embeddings e ON e.label = a.cell AND e.vec_id <> a.qid
+      WHERE e.embedding IS NOT NULL
     )
     SELECT qid, cell, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
