@@ -132,14 +132,38 @@ NULL_COLS = {
     # (same contract as events.ts); embedding: NULL vectors are excluded
     # at the vector-operator boundary (they crashed the block-pack
     # kernels and DuckDB's list_* functions before the r7 contract)
-    "lineitem": ["l_quantity", "l_discount", "l_partkey", "l_shipdate"],
+    "lineitem": [
+        "l_quantity",
+        "l_discount",
+        "l_partkey",
+        "l_shipdate",
+        "l_suppkey",
+        "l_linenumber",
+        "l_extendedprice",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+    ],
     # lang/source added r7: NULL grouping keys for the corpus-mix /
     # temperature-resample / stratified-sampling families (both engines
     # group NULL keys together — pinned green on first run)
     "documents": ["text", "lang", "source", "n_chars"],
-    "orders": ["o_totalprice", "o_custkey", "o_orderdate"],
+    "orders": [
+        "o_totalprice",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        "o_orderpriority",
+    ],
     "embeddings": ["embedding"],
-    "customer": ["c_mktsegment"],
+    # r7 full-surface extension: every remaining non-PK dimension and
+    # measure column (c_acctbal surfaced the dist_percent_rank NULL
+    # sort-key divergence; the rest pinned green on first run)
+    "customer": ["c_mktsegment", "c_name", "c_nationkey", "c_acctbal"],
+    "region": ["r_name"],
+    "nation": ["n_name", "n_regionkey"],
+    "supplier": ["s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_name", "p_brand", "p_type", "p_size", "p_retailprice"],
 }
 # Deliberately NOT fuzzed: primary-id columns (doc_id, vec_id, event_id,
 # *_key identity keys). The data model declares them NOT NULL — the same

@@ -171,7 +171,9 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(c_acctbal, 2) AS acctbal,
            ROUND(PERCENT_RANK() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS pr,
            ROUND(CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal), 6) AS cd
-    FROM customer
+    -- non-null sort-key contract (same as rank/ntile, r4): Spark ranks
+    -- NULLS FIRST asc, DuckDB NULLS LAST — NULL balances are out of scope
+    FROM customer WHERE c_acctbal IS NOT NULL
     """,
     tags=("window", "distribution"),
 )
@@ -179,8 +181,9 @@ def dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Empirical distribution position of every customer's balance within
     its segment: percent_rank = (rank-1)/(n-1) and cume_dist = rank/n are
     rank arithmetic — exact, engine-independent doubles. One shuffle on the
-    segment key serves both functions."""
-    c = load(spark, sf_dir, "customer")
+    segment key serves both functions. NULL balances are excluded on both
+    sides (non-null sort-key contract; engines disagree on NULL order)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
     w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
     return c.select(
         "c_custkey",

@@ -671,7 +671,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY c.c_custkey
                                 ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
       FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
-      WHERE c.c_custkey < 100
+      -- NULL order dates are out of scope for the latest/prev logic
+      -- (time-ordered contract, r7 null-fuzz: engines disagree on NULL
+      -- order in both the lag and the rn=1 sort)
+      WHERE c.c_custkey < 100 AND o.o_orderdate IS NOT NULL
     ),
     l2 AS (SELECT * FROM latest WHERE rn = 1),
     stats AS (
@@ -708,8 +711,10 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
     o = load(spark, sf_dir, "orders")
-    j = c.join(o, c.c_custkey == o.o_custkey).select(
-        "c_custkey", "o_orderkey", "o_totalprice", "o_orderdate"
+    j = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate").isNotNull())
+        .select("c_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
     )
     w_ord = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
     w_last = Window.partitionBy("c_custkey").orderBy(
