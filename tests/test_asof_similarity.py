@@ -685,3 +685,22 @@ def test_asof_same_source_overlap_both_matches_two_frame(spark):
             df, ["user_id"], "ts", lp, rp,
             ["event_id", "user_id", "ts"], ["value"], overlap="bogus",
         )
+
+
+def test_ragged_embeddings_fail_with_actionable_error(spark):
+    """r7 ragged-embedding fuzz: mixed vector lengths must raise a clear
+    dimensionality error (both engines define similarity only over
+    uniform dims — DuckDB's list_* reject mixed lengths outright), not an
+    opaque numpy inhomogeneous-shape worker traceback."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        cosine_pairs_filter_refine,
+        topk_candidates,
+    )
+
+    rows = [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]), (2, [1.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="uniform dimensionality"):
+        cosine_pairs_filter_refine(emb, 0.1).collect()
+    with pytest.raises(ValueError, match="uniform dimensionality"):
+        # ragged QUERY block fails driver-side before any job runs
+        topk_candidates(emb, [(0, [1.0, 0.0, 0.0], None), (2, [1.0, 0.0], None)], 2)

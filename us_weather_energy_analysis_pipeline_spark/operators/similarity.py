@@ -127,6 +127,15 @@ def topk_candidates(
     ANN surface; this operator is the brief's training-data-pipeline
     extension, Spark-first.
     """
+    q_dims = sorted({len(q[1]) for q in qinfo if q[1] is not None})
+    if len(q_dims) > 1:
+        # fail on the driver with an actionable message instead of an
+        # opaque np.asarray worker traceback (r7 ragged-embedding fuzz);
+        # both engines define similarity only over uniform dimensionality
+        raise ValueError(
+            f"ragged query block: embedding lengths {q_dims} — similarity "
+            "ops require uniform dimensionality"
+        )
     from pyspark.sql import Window
 
     q_ids = [int(q[0]) for q in qinfo]
@@ -529,7 +538,18 @@ def _pack_blocks(
             # vstack is C-speed; fall back for plain-list rows.
             mat = np.vstack(vals).astype(dtype, copy=False)
         except (ValueError, TypeError):
-            mat = np.array([list(v) for v in vals], dtype=dtype)
+            try:
+                mat = np.array([list(v) for v in vals], dtype=dtype)
+            except (ValueError, TypeError) as e:
+                lens = sorted({len(v) for v in vals})
+                # actionable failure instead of numpy's inhomogeneous-shape
+                # traceback (r7 ragged-embedding fuzz); DuckDB's list_*
+                # similarity functions reject mixed lengths the same way
+                raise ValueError(
+                    f"ragged embedding block in {vec_col!r}: vector "
+                    f"lengths {lens} — similarity ops require uniform "
+                    "dimensionality"
+                ) from e
         return pd.DataFrame(
             {
                 grp_col: [pdf[grp_col].iloc[0]],
