@@ -66,6 +66,20 @@ def main() -> None:
             cache.release_all()
     con = duckdb.connect()
     register_views(con, sf_dir)
+    # DuckDB-side warmup symmetry (ADVICE r7): one untimed pass over the
+    # same representative queries, so DuckDB's first timed run is also
+    # steady-state (OS page cache + its own buffer pool), mirroring the
+    # Spark JIT/page-cache warmup above.
+    for wname in (
+        "tpch_q1_pricing_summary",
+        "join_fact_orders",
+        "moving_avg_7d",
+        "text_quality_score",
+        "dedup_exact",
+    ):
+        q = REGISTRY.get(wname)
+        if q is not None and q.oracle:
+            con.execute(q.oracle).fetchall()
 
     # Per-query scheduling floor + per-JOB decomposition, via the same
     # benchlib primitives bench.py uses (one methodology, one place).
@@ -108,9 +122,25 @@ def main() -> None:
     total_jobs = sum(r[3] for r in rows)
     adj = max(0.0, total_s - floor * len(rows))
     adj_jobs = max(0.0, total_s - per_job_floor * total_jobs)
+    # Sweep id: timestamp + HEAD, so the per-query table is traceable to
+    # ONE sweep (VERDICT r7: unlabeled tables from different sweeps on a
+    # 2-3×-drift host read as phantom regressions).
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        head = "unknown"
+    sweep_id = f"{time.strftime('%Y%m%dT%H%M%S')}-{head}"
     with open("BENCH_NOTES.md", "w") as f:
         f.write(
             f"# BENCH_NOTES — Spark vs DuckDB, end-to-end per corpus query\n\n"
+            f"sweep id: `{sweep_id}` (every number below is from THIS single\n"
+            f"sweep; cross-sweep comparison is invalid on this 2-3×-drift host —\n"
+            f"see BENCH_AB.md for the paired methodology).\n\n"
             f"sf_dir: `{sf_dir}` · Spark local mode (32 threads), DuckDB single-node.\n"
             f"Both sides run the FULL query (Spark min-of-3, DuckDB min-of-2,\n"
             f"warm path, shuffled execution order, GC paydown every 10).\n"

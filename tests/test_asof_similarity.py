@@ -704,3 +704,61 @@ def test_ragged_embeddings_fail_with_actionable_error(spark):
     with pytest.raises(ValueError, match="uniform dimensionality"):
         # ragged QUERY block fails driver-side before any job runs
         topk_candidates(emb, [(0, [1.0, 0.0, 0.0], None), (2, [1.0, 0.0], None)], 2)
+
+
+def test_query_block_gate_bounds_driver_collect(emb, spark):
+    """VERDICT r7: the query-side collects in brute/IVF/LSH top-k must be
+    gated like rangejoin's inline path — limit(threshold+1) — so an
+    over-threshold query table NEVER lands on the driver unbounded.
+    Brute force falls back to the distributed broadcast-join plan with
+    identical emitted values; IVF/LSH raise actionably."""
+    from us_weather_energy_analysis_pipeline_spark.operators import similarity
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        _collect_query_block,
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # the gate itself: never returns more rows than the bound allows
+    assert _collect_query_block(q, ["qid", "qv"], 2) is None
+    got = _collect_query_block(q, ["qid", "qv"], 5)
+    assert got is not None and len(got) == 5
+
+    # structural proof of boundedness: the collect goes through
+    # DataFrame.limit(threshold+1) — patch limit to record the bound and
+    # fail if any gated path collects without limiting first.
+    seen_limits: list[int] = []
+    cls = type(q)  # the CONCRETE DataFrame class (pyspark 4: classic.DataFrame)
+
+    orig_limit = cls.limit
+
+    def spy_limit(self, n):
+        seen_limits.append(n)
+        return orig_limit(self, n)
+
+    cls.limit = spy_limit
+    try:
+        with pytest.raises(ValueError, match="ivf_topk query block exceeds"):
+            ivf_topk(emb, q, k=2, max_query_block=3)
+        with pytest.raises(ValueError, match="lsh_topk query block exceeds"):
+            lsh_topk(emb, q, k=2, max_query_block=3)
+        fb = brute_force_topk(emb, q, k=4, max_query_block=3)
+    finally:
+        cls.limit = orig_limit
+    assert seen_limits.count(4) == 3  # every gated path limited to t+1
+
+    # fallback plan: no driver collect (it is a lazy DataFrame built from
+    # a broadcast join) and values identical to the kernel path
+    kern = brute_force_topk(emb, q, k=4)  # default threshold: kernel path
+    kern_rows = sorted(
+        (r["qid"], r["vec_id"], r["cosine"], r["rnk"]) for r in kern.collect()
+    )
+    fb_rows = sorted(
+        (r["qid"], r["vec_id"], r["cosine"], r["rnk"]) for r in fb.collect()
+    )
+    assert fb_rows == kern_rows
+    assert similarity.QUERY_BLOCK_MAX >= 1024  # default stays generous

@@ -230,6 +230,58 @@ class TestStats:
             min(widths[2], widths[3])
         ) and widths[0] > min(widths)
 
+    def test_t_crit_defaults_to_exact_quantile_when_scipy_present(
+        self, spark, monkeypatch
+    ):
+        """VERDICT r7 task 10: prediction_frame's default t becomes the
+        exact scipy t.ppf(.975, n-2) when scipy is importable, with the
+        asymptotic 1.959964 as the scipy-less fallback. The container has
+        no scipy, so the exact path is exercised through a stub module
+        (the real call is a one-arg ppf — the stub pins the call shape)."""
+        import sys
+        import types
+
+        from us_weather_energy_analysis_pipeline_spark.analytics import stats
+        from us_weather_energy_analysis_pipeline_spark.analytics.stats import (
+            T_CRIT_95,
+            prediction_frame,
+            t_crit_95,
+        )
+
+        # fallback path (real container state: no scipy)
+        assert "scipy" not in sys.modules
+        assert t_crit_95(50) == T_CRIT_95
+        assert t_crit_95(2) == T_CRIT_95  # df <= 0 guard
+
+        calls = []
+
+        def fake_ppf(q, df):
+            calls.append((q, df))
+            return 2.776445105198  # t.ppf(.975, 4) — published value
+
+        scipy_mod = types.ModuleType("scipy")
+        stats_mod = types.ModuleType("scipy.stats")
+        stats_mod.t = types.SimpleNamespace(ppf=fake_ppf)
+        scipy_mod.stats = stats_mod
+        monkeypatch.setitem(sys.modules, "scipy", scipy_mod)
+        monkeypatch.setitem(sys.modules, "scipy.stats", stats_mod)
+
+        assert t_crit_95(6) == pytest.approx(2.776445105198)
+        assert calls == [(0.975, 4)]
+
+        # prediction_frame default resolves through t_crit_95: the band is
+        # WIDER under the exact small-n t than the asymptotic constant
+        xs = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0]
+        ys = [2.1, 4.3, 5.9, 8.2, 9.8, 12.3]
+        df = spark.createDataFrame(list(zip(xs, ys)), "x double, y double")
+        exact = prediction_frame(df, "x", "y").collect()
+        pinned = prediction_frame(df, "x", "y", t_crit=stats.T_CRIT_95).collect()
+        for e, p in zip(exact, pinned):
+            assert (e["mean_ci_upper"] - e["mean_ci_lower"]) > (
+                p["mean_ci_upper"] - p["mean_ci_lower"]
+            )
+            assert e["mean"] == p["mean"]
+
     def test_degenerate_inputs_return_none(self, spark):
         from us_weather_energy_analysis_pipeline_spark.analytics.stats import (
             correlation_stats,

@@ -114,6 +114,57 @@ def test_small_scan_rejects_mixed_source_union(docs, spark):
     assert not small_scan(u, max_rows=1 << 40)
 
 
+def test_plan_row_bounded_ignores_benign_plan_text(docs):
+    """ADVICE r7: substring tokens like 'Range'/'Union' used to match
+    benign plan text (RepartitionByRange, capitalized identifiers inside
+    expressions), silently downgrading small scans to the count-gated
+    path. Node names are now matched at plan-tree line starts only."""
+    # capitalized alias containing reject tokens appears inside Project's
+    # expression list, not as a node name
+    aliased = docs.select(
+        F.col("doc_id").alias("RangeOfValues"),
+        F.col("lang").alias("UnionLabel"),
+    ).filter(F.col("RangeOfValues") > 0)
+    assert _plan_row_bounded(aliased)
+    # a range repartition neither expands rows nor hides a non-file leaf
+    ranged = docs.repartitionByRange(4, "doc_id").select("doc_id")
+    assert _plan_row_bounded(ranged)
+
+
+def test_compact_parquet_target_arg_validation(spark, tmp_path):
+    """ADVICE r7: target_files/target_bytes contract — both → error;
+    neither → legacy default of 1 file; sentinel bytes → actionable error
+    instead of a multi-billion-file repartition."""
+    from us_weather_energy_analysis_pipeline_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(100).write.parquet(path)
+    with pytest.raises(ValueError, match="at most one"):
+        compact_parquet(spark, path, target_files=2, target_bytes=1 << 20)
+    import os as _os
+
+    assert compact_parquet(spark, path) == 100  # defaults to 1 file
+    n_files = len(
+        [f for f in _os.listdir(path) if f.endswith(".parquet")]
+    )
+    assert n_files == 1
+
+
+def test_compact_parquet_sentinel_bytes_raises(spark, tmp_path, monkeypatch):
+    from us_weather_energy_analysis_pipeline_spark.operators import compact, plan_meta
+    from us_weather_energy_analysis_pipeline_spark.operators.compact import (
+        compact_parquet,
+    )
+
+    path = str(tmp_path / "t2")
+    spark.range(10).write.parquet(path)
+    monkeypatch.setattr(plan_meta, "input_bytes", lambda df: plan_meta._LARGE)
+    with pytest.raises(ValueError, match="cannot size target_files"):
+        compact_parquet(spark, path, target_bytes=1 << 20)
+
+
 def test_small_scan_rejects_local_relation_union(docs, spark):
     from us_weather_energy_analysis_pipeline_spark.session import local_df
 

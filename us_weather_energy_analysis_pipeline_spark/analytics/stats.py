@@ -13,9 +13,25 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# t_{∞,0.975}; the reference uses alpha=0.05 (analysis.py:33). For exact
-# small-n parity with statsmodels, pass t_crit = scipy.stats.t.ppf(.975, n-2).
+# t_{∞,0.975}; the reference uses alpha=0.05 (analysis.py:33). When scipy
+# is importable, prediction_frame defaults to the EXACT t.ppf(.975, n-2)
+# quantile (statsmodels parity at small n, VERDICT r7 task 10); this
+# asymptotic constant is the fallback in scipy-less environments.
 T_CRIT_95 = 1.959964
+
+
+def t_crit_95(n: int) -> float:
+    """Two-sided 95% t critical value for an OLS mean-prediction band on
+    ``n`` observations (df = n − 2): ``scipy.stats.t.ppf(.975, n-2)`` when
+    scipy is present, else the asymptotic ``T_CRIT_95``. Driver-side
+    scalar — never evaluated per row."""
+    if n <= 2:
+        return T_CRIT_95  # df ≤ 0: band is NaN anyway (mse is NaN)
+    try:
+        from scipy.stats import t as _t  # import-gated: not in the container
+    except ImportError:
+        return T_CRIT_95
+    return float(_t.ppf(0.975, n - 2))
 
 
 @dataclass
@@ -69,7 +85,7 @@ def correlation_stats(df: DataFrame, x: str, y: str) -> OlsFit | None:
 
 
 def prediction_frame(
-    df: DataFrame, x: str, y: str, t_crit: float = T_CRIT_95
+    df: DataFrame, x: str, y: str, t_crit: float | None = None
 ) -> DataFrame | None:
     """Mean-prediction band over the observed x values (reference
     `analysis.py:24-37` statsmodels get_prediction().summary_frame():
@@ -77,10 +93,15 @@ def prediction_frame(
 
     ŷ ± t·√(MSE·(1/n + (x₀−x̄)²/Sxx)) — the fit is one aggregate pass;
     the band is then a scalar-broadcast projection over the x values.
+    ``t_crit=None`` (default) resolves to :func:`t_crit_95` of the fitted
+    n — exact statsmodels parity when scipy is importable, the asymptotic
+    1.959964 otherwise. Pass an explicit value to pin either behavior.
     """
     fit = correlation_stats(df, x, y)
     if fit is None:
         return None
+    if t_crit is None:
+        t_crit = t_crit_95(fit.n)
     xs = df.na.drop(subset=[x, y]).select(F.col(x).alias("x")).distinct()
     y_hat = F.lit(fit.intercept) + F.lit(fit.slope) * F.col("x")
     se = F.sqrt(

@@ -357,6 +357,43 @@ def bin_quantity_case(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bin_quantity_case_low",
+    oracle="""
+    SELECT CASE WHEN l_quantity >= 40 THEN '40+'
+                WHEN l_quantity >= 30 THEN '30-40'
+                WHEN l_quantity >= 20 THEN '20-30'
+                WHEN l_quantity >= 10 THEN '10-20'
+                WHEN l_quantity IS NOT NULL THEN '<10'
+                ELSE NULL END AS qty_bin,
+           COUNT(*) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("project", "P10", "binning"),
+)
+def bin_quantity_case_low(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DASHBOARD binning variant (reference `dashboards/app.py:63-65`:
+    pd.cut with a leading 0 edge and a catch-all '<50°F' first label — vs
+    the canonical src variant where below-range rows fall out as NULL,
+    `bin_quantity_case` above). Exercises the documented library path:
+    `functions.temp_range_bin` with a prepended −inf edge. NULL measures
+    stay NULL in either variant (pd.cut propagates NaN)."""
+    from us_weather_energy_analysis_pipeline_spark.functions import temp_range_bin
+
+    li = load(spark, sf_dir, "lineitem")
+    qty_bin = temp_range_bin(
+        "l_quantity",
+        edges=(float("-inf"), 10.0, 20.0, 30.0, 40.0),
+        labels=("<10", "10-20", "20-30", "30-40", "40+"),
+    )
+    return li.groupBy(qty_bin.alias("qty_bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        r4(F.avg("l_extendedprice")).alias("avg_price"),
+    )
+
+
+@register(
     "scalar_stats",
     oracle="""
     SELECT strftime(MIN(ts), '%Y-%m-%d')        AS min_day,

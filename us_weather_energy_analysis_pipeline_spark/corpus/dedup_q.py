@@ -15,7 +15,7 @@ Hashes are md5-based so the DuckDB oracle computes bit-identical signatures.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
@@ -208,41 +208,40 @@ def ngram_jaccard_pairs(
     # and the broadcast anti drops hot rows map-side, so only capped,
     # bounded posting lists ever reach the shingle groupBy below.
     #
-    # TWO persists (r5 A/B, BENCH_NOTES): the RAW index so the hot-count
-    # groupBy and the capped fill share one tokenize→hash pass, AND the
-    # capped output so the three consumers (sizes, posts, and the join
-    # back) read cache instead of re-running the broadcast anti per
-    # branch. Raw-only was fastest on data-seconds but re-ran the anti
-    # in every branch (19 jobs); capped-only re-ran the hash pass for
-    # the hot count (slowest); both = fastest wall AND 14 jobs. The raw
-    # cache is ~16 bytes/shingle and released with the query.
-    sh = cache.track(capped_shingles(cache.track(word_shingles(d)), cap))
-    # sizes persisted too: it feeds BOTH join sides (sa/sb) and AQE does
-    # not reuse the exchange across the two joins (different attribute
-    # ids) — without the persist the groupBy subtree executes twice
-    # (replicated ~5% wall win, BENCH_AB r5; one fewer exchange either way)
-    sizes = cache.track(sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    # ONE persist (r8 rewrite, VERDICT task 1 — was two persists + a
+    # sizes persist + two sizes joins at 14 jobs): the RAW index, so the
+    # hot-count groupBy and the anti probe share one tokenize→hash pass
+    # (~16 bytes/shingle, released with the query). The capped index now
+    # has a single consumer — per-doc sizes became a COUNT OVER
+    # (PARTITION BY doc_id) window (doc-bounded, skew-safe) carried INTO
+    # the posting-list structs, so the Jaccard denominator rides along
+    # with each pair and the sizes branch + its two joins disappear.
+    sh = capped_shingles(cache.track(word_shingles(d)), cap)
+    sized = sh.withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+    )
     posts = (
         # collect_set, not collect_list: (doc, shingle) rows are unique
         # by construction (per-doc array_distinct + unique doc_ids), but
         # a duplicate slipping through a changed upstream would turn
         # into a nonsense self-pair — the set dedup is free at ≤cap rows
-        sh.groupBy("shingle")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        sized.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = (
-        posts.select(F.explode(ordered_pairs("ds", "doc_a", "doc_b")).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    jac = F.col("inter").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    jac = F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter"))
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", r4(jac).alias("jaccard"))
     )
 

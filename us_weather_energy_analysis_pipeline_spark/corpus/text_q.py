@@ -217,38 +217,60 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF scoring with top-3 terms per document — the classic
-    keyword-extraction pass: term counts, doc lengths and doc frequencies
-    are three aggregations sharing one exploded token stream; scores rank
-    per doc on the rounded value (deterministic tie-break on token)."""
+    keyword-extraction pass (VERDICT r7 task 3 rewrite: 8 jobs → 4).
+
+    After the one real aggregation (term counts per doc — map-side
+    combine collapses the raw token stream to distinct (doc, tok) pairs
+    before any shuffle), EVERYTHING else is windows over that deduped
+    grain: docfreq = COUNT(doc_id) OVER (PARTITION BY tok) — tf already
+    has one row per (doc, tok), so the per-token row count IS the
+    distinct-doc frequency (non-null count keeps COUNT(DISTINCT)'s
+    null-skipping) — and doclen = SUM(cnt) OVER (PARTITION BY doc_id),
+    whose doc_id exchange is then REUSED by the rank window. No IDF join
+    branch, no broadcast build, no separate doclen aggregate: 3 exchanges
+    total, all at the deduped tf grain. Corpus size comes from the
+    parquet footer (job-free, exact — the same metadata a count() would
+    read), falling back to a broadcast 1-row aggregate for non-parquet
+    inputs.
+
+    Measured sf0.1 (paired, same session): 0.73 s / 4 jobs vs the r7
+    join-plan's 0.81 s / 8 jobs; a size(split())-before-explode variant
+    was 4 s — CollapseProject re-inlines the split per TOKEN row
+    (quadratic per doc), the same trap as the per-token md5 dead end."""
     from pyspark.sql import Window
 
     from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        _LARGE,
+        input_rows,
+    )
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok"),
-    )
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    dfreq = tf.groupBy("tok").agg(F.countDistinct("doc_id").alias("docfreq"))
-    # corpus size as a broadcast 1-row aggregate inside the plan — no
-    # eager count() action; doc length as a window sum over the SAME
-    # doc_id partitioning the rank needs, so one exchange serves both
-    # (replaces a separate doclen aggregate + equi-join branch)
-    n_docs = d.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    w_tok = Window.partitionBy("tok")
     w_doc = Window.partitionBy("doc_id")
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok").asc()
     )
+    nd = input_rows(d)
+    if nd < _LARGE:
+        n_docs = F.lit(float(nd))
+        scored = tf
+    else:  # non-parquet input: in-plan 1-row aggregate, one broadcast job
+        n_docs = F.col("n_docs")
+        scored = tf.crossJoin(
+            F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))
+        )
     return (
-        tf.join(dfreq, "tok")
-        .crossJoin(F.broadcast(n_docs))
+        scored.withColumn("docfreq", F.count("doc_id").over(w_tok))
         .withColumn("doclen", F.sum("cnt").over(w_doc))
         .withColumn(
             "tfidf",
             r6(
                 (F.col("cnt").cast("double") / F.col("doclen"))
-                * F.log(F.col("n_docs") / F.col("docfreq"))
+                * F.log(n_docs / F.col("docfreq"))
             ),
         )
         .withColumn("rnk", F.row_number().over(w_rank))

@@ -269,45 +269,61 @@ def winnow_near_dups(
     shape (df-capped posting lists, map-side ordered pairs, Jaccard
     filter), minus the per-gram hex-string materialization. Pair-set
     equivalence between the families is asserted on the fixture corpus
-    in ``tests/test_winnow.py``."""
+    in ``tests/test_winnow.py``.
+
+    Plan (r8 rewrite, VERDICT task 1 — was 14 jobs with three persists
+    and two sizes joins): ONE persist (the fingerprint index, which
+    feeds both the hot-count and the anti probe — without it the 17.9M
+    gram window runs twice), then a LINEAR chain. The df-cap stays the
+    skew-safe groupBy + broadcast-ANTI shape (a boilerplate fingerprint
+    ships ~one combiner row per partition, never its full posting list
+    — a COUNT OVER (PARTITION BY h) window would concentrate a hot
+    fingerprint's postings on one task just to count them, the r2
+    anti-pattern dedup_ngram_jaccard's docstring records). Per-doc sizes
+    become COUNT OVER (PARTITION BY doc_id) — doc-bounded, skew-safe —
+    carried INTO the posting-list structs so the Jaccard denominator
+    rides along with each pair instead of joining two sizes branches
+    back at the end."""
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
         ordered_pairs,
     )
     from us_weather_energy_analysis_pipeline_spark.operators import cache
 
-    fps_all = winnow_selected(d, text_col, hash_fn=hash_fn, dedupe=False).select(
-        "doc_id", F.shiftrightunsigned("sel", 32).alias("h")
-    ).distinct()
-    # df-cap map-side, same broadcast-anti shape as capped_shingles: the
-    # over-cap fingerprint set is tiny (boilerplate tail) and the count
-    # groupBy partial-aggregates per partition before the exchange
-    fps_all = cache.track(fps_all)
+    fps_all = cache.track(
+        winnow_selected(d, text_col, hash_fn=hash_fn, dedupe=False)
+        .select("doc_id", F.shiftrightunsigned("sel", 32).alias("h"))
+        .distinct()
+    )
     hot = (
         fps_all.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > df_cap)
         .select("h")
     )
-    fps = cache.track(fps_all.join(F.broadcast(hot), "h", "left_anti"))
-    sizes = cache.track(fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")))
+    capped = fps_all.join(F.broadcast(hot), "h", "left_anti")
+    w_doc = Window.partitionBy("doc_id")
+    sized = capped.withColumn("n", F.count(F.lit(1)).over(w_doc))
+    # struct sort order = (doc_id, n) = doc_id order (n is per-doc
+    # constant), so ordered_pairs emits (smaller doc, larger doc)
     posts = (
-        fps.groupBy("h")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        sized.groupBy("h")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
     pairs = (
-        posts.select(F.explode(ordered_pairs("ds", "doc_a", "doc_b")).alias("p"))
-        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
     jac = F.col("inter").cast("double") / (
-        F.col("sa.n") + F.col("sb.n") - F.col("inter")
+        F.col("na") + F.col("nb") - F.col("inter")
     )
     return (
-        pairs.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .filter(jac >= threshold)
+        pairs.filter(jac >= threshold)
         .select("doc_a", "doc_b", "inter", r4(jac).alias("jaccard"))
     )

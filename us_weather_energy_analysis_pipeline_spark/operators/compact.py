@@ -29,7 +29,7 @@ from pyspark.sql import SparkSession
 def compact_parquet(
     spark: SparkSession,
     path: str,
-    target_files: int | None = 1,
+    target_files: int | None = None,
     partition_by: tuple[str, ...] = (),
     sort_within_by: tuple[str, ...] = (),
     cluster_by: tuple[str, ...] = (),
@@ -51,13 +51,30 @@ def compact_parquet(
     """
     if cluster_by and partition_by:
         raise ValueError("cluster_by and partition_by are mutually exclusive")
+    if target_files is not None and target_bytes is not None:
+        raise ValueError(
+            "provide at most one of target_files / target_bytes "
+            f"(got target_files={target_files}, target_bytes={target_bytes})"
+        )
+    if target_files is None and target_bytes is None:
+        target_files = 1
     df = spark.read.parquet(path)
     if target_bytes is not None:
         from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+            _LARGE,
             input_bytes,
         )
 
-        target_files = max(1, math.ceil(input_bytes(df) / target_bytes))
+        nbytes = input_bytes(df)
+        if nbytes >= _LARGE:
+            # ADVICE r7: the sentinel (unreadable / concurrently-deleted
+            # file) would otherwise size a multi-billion-file repartition.
+            raise ValueError(
+                f"cannot size target_files from on-disk bytes of {path!r}: "
+                "input files are unreadable or not a plain file scan; pass "
+                "target_files explicitly"
+            )
+        target_files = max(1, math.ceil(nbytes / target_bytes))
     if cluster_by:
         out = df.repartitionByRange(target_files, *cluster_by)
         if not sort_within_by:

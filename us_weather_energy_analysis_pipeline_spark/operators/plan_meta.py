@@ -30,33 +30,53 @@ from pyspark.sql import DataFrame
 # count-gated / fully distributed paths engage.
 SMALL_INPUT_BYTES = 64 << 20
 
-# Plan nodes that can emit more rows than they consume. Substring match
-# against the optimized logical plan — conservative by design: a false
-# positive merely routes the caller to its (always-correct) distributed
-# or count-gated path.
-_ROW_EXPANDING_NODES = (
-    "Join",  # all join flavors incl. LateralJoin
-    "Generate",  # explode / posexplode / inline / lateral view
-    "Expand",  # grouping sets / cube / rollup
-    "CoGroup",  # applyInPandas cogroup
-    "FlatMap",  # flatMapGroupsInPandas and friends
-    "MapInPandas",  # arbitrary batch → batch cardinality
-    "PythonMapInArrow",
-    "MapPartitions",
-    # non-file leaves / mixed sources (ADVICE r6): a plan unioning a
-    # parquet scan with a Range/LocalRelation/InMemoryRelation branch has
-    # non-empty inputFiles() while footer rows undercount the non-file
-    # branch — footer rows would NOT bound plan output. Rejecting these
-    # tokens keeps "footer rows ≥ plan rows" true for every accepted plan;
-    # a false positive (e.g. a column name containing one of these words)
-    # merely routes to the count-gated path.
-    "Union",
-    "Range",
-    "OneRowRelation",
-    "LocalRelation",
-    "InMemoryRelation",
-    "LogicalRDD",
+# Plan nodes that can emit more rows than they consume, matched against
+# the NODE NAME at the start of each optimized-plan tree line (ADVICE r7:
+# raw substring containment also hit benign plan text like
+# RepartitionByRange or capitalized identifiers inside expressions,
+# silently routing small scans to the slower count-gated path).
+# Node-name match semantics:
+#   exact  — the node name is exactly the token
+#   suffix — Join matches Join and LateralJoin (all logical join flavors)
+#   prefix — FlatMap* (flatMapGroupsInPandas and friends), MapPartitions*
+_EXPANDING_EXACT = frozenset(
+    {
+        "Generate",  # explode / posexplode / inline / lateral view
+        "Expand",  # grouping sets / cube / rollup
+        "CoGroup",  # applyInPandas cogroup
+        "MapInPandas",  # arbitrary batch → batch cardinality
+        "PythonMapInArrow",
+        # non-file leaves / mixed sources (ADVICE r6): a plan unioning a
+        # parquet scan with a Range/LocalRelation/InMemoryRelation branch
+        # has non-empty inputFiles() while footer rows undercount the
+        # non-file branch — footer rows would NOT bound plan output.
+        "Union",
+        "Range",
+        "OneRowRelation",
+        "LocalRelation",
+        "InMemoryRelation",
+        "InMemoryTableScan",
+        "LogicalRDD",
+    }
 )
+_EXPANDING_PREFIX = ("FlatMap", "MapPartitions")
+_EXPANDING_SUFFIX = ("Join",)
+
+# First identifier on a plan-tree line, after the tree-drawing prefix
+# (spaces, ':', '+', '-', '|', '*') and an optional unresolved-plan quote.
+_NODE_NAME_RE = None  # compiled lazily below
+
+
+def _iter_node_names(plan: str):
+    global _NODE_NAME_RE
+    if _NODE_NAME_RE is None:
+        import re
+
+        _NODE_NAME_RE = re.compile(r"^[\s:+\-|*]*'?([A-Za-z][A-Za-z0-9]*)")
+    for line in plan.splitlines():
+        m = _NODE_NAME_RE.match(line)
+        if m:
+            yield m.group(1)
 
 _LARGE = 1 << 60
 
@@ -118,7 +138,14 @@ def _plan_row_bounded(df: DataFrame) -> bool:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return False
-    return not any(tok in plan for tok in _ROW_EXPANDING_NODES)
+    for name in _iter_node_names(plan):
+        if (
+            name in _EXPANDING_EXACT
+            or name.startswith(_EXPANDING_PREFIX)
+            or name.endswith(_EXPANDING_SUFFIX)
+        ):
+            return False
+    return True
 
 
 def small_scan(

@@ -137,6 +137,7 @@ def _try_small_stats(
     nb: int,
     gate: int = SMALL_KEY_THRESHOLD,
     null_first: Sequence[bool] | None = None,
+    known_bounded: bool | None = None,
 ):
     """Bounded small path: count-gate, then a PARALLEL Arrow collect of
     ONLY the sort keys (+ cum columns), deriving exact cuts, per-bin
@@ -162,7 +163,17 @@ def _try_small_stats(
         small_scan,
     )
 
-    if not small_scan(base, max_rows=gate) and base.count() > gate:
+    # ``known_bounded``: callers that persist their input probe the gate
+    # on the PRE-persist plan and pass the verdict down — the persisted
+    # plan's InMemoryRelation leaf always fails small_scan (its footer
+    # contract can't see through the cache), which silently cost a count
+    # job per ranked query (r8, VERDICT task 5).
+    bounded = (
+        known_bounded
+        if known_bounded is not None
+        else small_scan(base, max_rows=gate)
+    )
+    if not bounded and base.count() > gate:
         return None
     cols = list(sk_names) + [c for c in cum_cols if c not in sk_names]
     # Per-key JVM-side null indicators: toPandas renders both NULL and a
@@ -253,6 +264,7 @@ def small_keys_frame(
     cols: Sequence[str],
     gate: int = SMALL_KEY_THRESHOLD,
     track_on_fallback: bool = True,
+    known_bounded: bool | None = None,
 ):
     """Bounded driver collect of ``cols`` for quantile.py-style small
     paths: when ``plan_meta.small_scan`` already bounds the input (file
@@ -266,7 +278,12 @@ def small_keys_frame(
         small_scan,
     )
 
-    if not small_scan(df, max_rows=gate):
+    bounded = (
+        known_bounded
+        if known_bounded is not None
+        else small_scan(df, max_rows=gate)
+    )
+    if not bounded:
         if track_on_fallback:
             df = cache.track(df)
         if df.count() > gate:
@@ -306,6 +323,7 @@ def _try_small_ntile_exprs(
     specs: Sequence["OrderSpec"],
     k: int,
     gate: int = SMALL_KEY_THRESHOLD,
+    known_bounded: bool | None = None,
 ):
     """Small-path NTILE with ZERO extra shuffles: collect the sort keys
     + tiebreaks once (bounded — ``small_keys_frame``), locate each
@@ -332,7 +350,7 @@ def _try_small_ntile_exprs(
         for t in s.tiebreaks:
             if t not in need:
                 need.append(t)
-    pdf = small_keys_frame(base, need, gate)
+    pdf = small_keys_frame(base, need, gate, known_bounded=known_bounded)
     if pdf is None:
         return None
     exprs = []
@@ -464,6 +482,13 @@ def global_order_stats(
     stats), zero extra plan cost."""
     spec = OrderSpec(key, ascending, tuple(tiebreaks), cum_cols=tuple(cum_cols))
     base = df.withColumn("_sk0", spec.sort_key())
+    # probe the gate BEFORE persisting: the persisted plan's
+    # InMemoryRelation leaf always fails small_scan (see _try_small_stats)
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        small_scan,
+    )
+
+    bounded = small_scan(base, max_rows=small_threshold)
     if persist:
         base = cache.track(base)
     nb = max(2, num_bins)
@@ -474,6 +499,7 @@ def global_order_stats(
         nb,
         gate=small_threshold,
         null_first=[spec.ascending],
+        known_bounded=bounded,
     )
     if small is not None:
         cuts, stats = small[0]
@@ -559,6 +585,13 @@ def multi_global_ntile(
     base = df
     for i, s in enumerate(specs):
         base = base.withColumn(f"_sk{i}", s.sort_key())
+    # probe the gate BEFORE persisting: the persisted plan's
+    # InMemoryRelation leaf always fails small_scan (see _try_small_stats)
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        small_scan,
+    )
+
+    bounded = small_scan(base, max_rows=small_threshold)
     if persist:
         base = cache.track(base)
     nb = max(2, num_bins)
@@ -567,7 +600,10 @@ def multi_global_ntile(
     # no per-ordering shuffle (the dominant job count of this shape).
     # Bails (rarely: duplicate boundary tuples, null/non-numeric keys)
     # to the pid-window small path below, which re-collects.
-    lit_exprs = _try_small_ntile_exprs(base, specs, k, gate=small_threshold)
+    lit_exprs = _try_small_ntile_exprs(
+        base, specs, k, gate=small_threshold,
+        known_bounded=bounded,
+    )
     if lit_exprs is not None:
         out = base
         for spec, ex in zip(specs, lit_exprs):
@@ -580,6 +616,7 @@ def multi_global_ntile(
         nb,
         gate=small_threshold,
         null_first=[s.ascending for s in specs],
+        known_bounded=bounded,
     )
     if small is not None:
         per_ordering = small

@@ -34,6 +34,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+# Gate on the driver-collected query block (VERDICT r7): 16 384 queries ×
+# dim-64 float64 ≈ 8 MB in the task closure — the upper end of "rides in
+# every task's closure for free". Beyond it brute force falls back to a
+# fully distributed broadcast-join plan; IVF/LSH raise actionably (their
+# probe assignment is inherently driver-side — a huge query set should be
+# run in bounded blocks, which is also the right plan on a real cluster).
+QUERY_BLOCK_MAX = 16_384
+
+
+def _collect_query_block(
+    queries: DataFrame, cols: list[str], max_rows: int
+) -> list | None:
+    """Bounded collect of the query block: never materializes more than
+    ``max_rows + 1`` rows on the driver (same ``limit(threshold+1)``
+    technique as rangejoin._try_inline_bands). Returns None when the
+    block exceeds the bound — the caller picks its distributed fallback
+    or raises."""
+    rows = queries.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        return None
+    return rows
+
+
 def fold_cosine(va, vb) -> float | None:
     """DRIVER-side sequential-fold cosine — bit-identical to the SQL
     ``cosine()`` expression (zip_with/aggregate fold left-to-right over
@@ -325,6 +348,56 @@ def topk_candidates(
     return part.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= kk)
 
 
+def _dround6(c: Column) -> Column:
+    """Column twin of the in-kernel ``drnd6`` / corpus `_util.dround(…, 6)`
+    (DuckDB's binary std::round): signum·floor(|x|·1e6 + 0.5)/1e6, same
+    IEEE op order, so both paths emit the same bits."""
+    c = c.cast("double")
+    return F.signum(c) * F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def _brute_force_join_plan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Fully distributed brute-force plan for an over-threshold query
+    block: broadcast-join corpus × queries, score with the sequential-fold
+    HOF cosine (bit-identical to the kernel's ``fold_cos`` — same
+    left-to-right fold over doubles, zero-norm → NULL), rank per query.
+    Slower per pair than the BLAS kernel but has NO driver collect — the
+    scale-safe shape when the query block itself is big data."""
+    from pyspark.sql import Window
+
+    q = queries.select(qid_col, qvec_col).filter(
+        F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull()
+    )
+    den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
+    scored = (
+        corpus.filter(F.col(id_col).isNotNull())
+        .join(F.broadcast(q), F.col(id_col) != F.col(qid_col))
+        .withColumn(
+            "cosine",
+            F.when(
+                den != F.lit(0.0),
+                _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den),
+            ),
+        )
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(qid_col, id_col, "cosine", "rnk")
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,15 +406,23 @@ def brute_force_topk(
     vec_col: str = "embedding",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    max_query_block: int = QUERY_BLOCK_MAX,
 ) -> DataFrame:
-    """Exact cosine top-k: collect the (bounded) query block, scan the
-    corpus once through the vectorized ``topk_candidates`` kernel, rank
-    per query (rounded score + id tie-break → deterministic). 2 jobs
-    (query collect + ranked action) — same as the old broadcast plan,
-    with BLAS instead of interpreted HOF folds in the pair loop."""
+    """Exact cosine top-k: collect the GATED query block (never more than
+    ``max_query_block + 1`` driver rows — VERDICT r7), scan the corpus
+    once through the vectorized ``topk_candidates`` kernel, rank per query
+    (rounded score + id tie-break → deterministic). 2 jobs (query collect
+    + ranked action). An over-threshold query block falls back to the
+    fully distributed broadcast-join plan (`_brute_force_join_plan`) —
+    same emitted values, no driver collect."""
+    rows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
+    if rows is None:
+        return _brute_force_join_plan(
+            corpus, queries, k, id_col, vec_col, qid_col, qvec_col
+        )
     qinfo = [
         (r[qid_col], list(r[qvec_col]), None)
-        for r in queries.select(qid_col, qvec_col).collect()
+        for r in rows
         if r[qid_col] is not None and r[qvec_col] is not None
     ]
     return topk_candidates(
@@ -374,6 +455,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    max_query_block: int = QUERY_BLOCK_MAX,
 ) -> DataFrame:
     """IVF search: nearest centroid per query (rounded score, ties →
     smallest label), then exact cosine top-k within that cell only.
@@ -399,7 +481,15 @@ def ivf_topk(
         s = fold_cosine(qv, c[1])
         return (1, 0.0, c[0]) if s is None else (0, -py_dround(s, 6), c[0])
 
-    for r in queries.select(qid_col, qvec_col).collect():
+    qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
+    if qrows is None:
+        raise ValueError(
+            f"ivf_topk query block exceeds {max_query_block} rows: the "
+            "probe assignment is driver-side by design — run the query "
+            "set in bounded blocks (filter/limit the queries DataFrame) "
+            "or raise max_query_block explicitly"
+        )
+    for r in qrows:
         if r[qid_col] is None or r[qvec_col] is None or not cents:
             continue
         qv = list(r[qvec_col])
@@ -469,6 +559,7 @@ def lsh_topk(
     id_col: str = "vec_id",
     qid_col: str = "qid",
     qvec_col: str = "qv",
+    max_query_block: int = QUERY_BLOCK_MAX,
 ) -> DataFrame:
     """Bucketed ANN: candidates share the query's exact P-bit code, ranked
     by exact cosine within the bucket. Corpus codes are computed in the
@@ -497,7 +588,15 @@ def lsh_topk(
     # contract: query vectors are non-null (null rows are dropped — the
     # legacy plan emitted all-null cosines for them, never exercised)
     qinfo = []
-    for r in queries.select(qid_col, qvec_col).collect():
+    qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
+    if qrows is None:
+        raise ValueError(
+            f"lsh_topk query block exceeds {max_query_block} rows: query "
+            "bucket codes are assigned driver-side by design — run the "
+            "query set in bounded blocks (filter/limit the queries "
+            "DataFrame) or raise max_query_block explicitly"
+        )
+    for r in qrows:
         if r[qid_col] is None or r[qvec_col] is None:
             continue
         qv = list(r[qvec_col])
