@@ -88,13 +88,21 @@ _SPAN_CTES = f"""
 """
 
 
-def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
+def duplicated_spans(
+    d: DataFrame, k: int = SPAN_K, with_ntok: bool = False
+) -> DataFrame:
     """(doc_id, span_start, span_end) — maximal token spans covered by
     k-grams that occur in ≥2 DISTINCT documents (cross-document verbatim
     duplication at k-token resolution; within-document repeats alone do
     not qualify). Factored out so the span property (a planted shared run
     of ≥ k tokens surfaces as one span in every sharing document) is
     testable directly.
+
+    ``with_ntok=True`` carries the per-doc token count (``n_tokens``,
+    O(1) ``size`` on the token array the Generate node already holds per
+    row) through the pipeline so ratio consumers need no second
+    documents scan + join-back branch (r8, −2 jobs in
+    doc_span_dup_ratio).
 
     Scale shape (100 TB): gram explode → ONE shuffle keyed on the gram
     hash serving both the dup-detection aggregate and the position join
@@ -106,6 +114,9 @@ def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
     operators.cache (same pattern as decontamination_check)."""
     toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
+    ntok_cols = (
+        [F.size("t").cast("long").alias("n_tokens")] if with_ntok else []
+    )
     grams = cache.track(
         base.select(
             "doc_id",
@@ -113,6 +124,7 @@ def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
             "t",
         ).select(
             "doc_id",
+            *ntok_cols,
             F.col("i").cast("long").alias("pos"),
             F.xxhash64(F.array_join(F.slice("t", F.col("i"), k), " ")).alias("gh"),
         )
@@ -123,7 +135,8 @@ def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
         .filter(F.col("_mn") != F.col("_mx"))
         .select("gh")
     )
-    hits = grams.join(dup, "gh").select("doc_id", "pos")
+    carry = ["doc_id", "n_tokens"] if with_ntok else ["doc_id"]
+    hits = grams.join(dup, "gh").select(*carry, "pos")
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -142,7 +155,8 @@ def duplicated_spans(d: DataFrame, k: int = SPAN_K) -> DataFrame:
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn("isl_id", F.sum("brk").over(w_run))
-    return isl.groupBy("doc_id", "isl_id").agg(
+    grp = ["doc_id", "n_tokens", "isl_id"] if with_ntok else ["doc_id", "isl_id"]
+    return isl.groupBy(*grp).agg(
         F.min("pos").alias("span_start"),
         (F.max("pos") + k - 1).alias("span_end"),
     ).drop("isl_id")
@@ -203,15 +217,13 @@ def doc_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup_tokens·2 ≥ n_tokens), so no float boundary can diverge between
     engines; only the display ratio is floating (4 dp, dround twin)."""
     d = load(spark, sf_dir, "documents")
-    spans = duplicated_spans(d)
-    cov = spans.groupBy("doc_id").agg(
+    # n_tokens rides through the span pipeline (duplicated_spans
+    # with_ntok) — no second documents scan, no ntok join-back branch
+    spans = duplicated_spans(d, with_ntok=True)
+    cov = spans.groupBy("doc_id", "n_tokens").agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
     )
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    ntok = d.select(
-        "doc_id", F.size(toks).cast("long").alias("n_tokens")
-    ).filter(F.col("n_tokens") >= SPAN_K)
-    return ntok.join(cov, "doc_id").select(
+    return cov.select(
         "doc_id",
         "n_tokens",
         "dup_tokens",

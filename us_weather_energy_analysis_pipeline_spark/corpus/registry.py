@@ -120,71 +120,76 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-7 window: position 0 re-proves the r6 red row (doc_span_dup_ratio
-# failed the driver's value hash on the HUGEINT→float64 oracle dtype, fixed
-# this round); positions 1-4 are the only queries whose last driver row is
-# r03; positions 5-7 had their plans touched by the r6 ADVICE fixes
-# (cooccurrence staleness guard, quantile ±inf short-circuit); the rest are
-# 42 of the 46 queries whose last driver row is r04 (the four left out —
-# union_slices, top_k_orders, distinct_event_types, filter_date_set — are
-# single-operator trivia whose operator families have fresher coverage
-# elsewhere; they rotate in next round, as does bin_quantity_case, whose
-# P10 binning family heatmap_pivot covers in-window).
+# Round-8 window: position 0 is the query registered this round (never
+# driver-verified); positions 1-5 are the r04-stale stragglers the r7
+# rotation owed (union_slices, top_k_orders, distinct_event_types,
+# filter_date_set, bin_quantity_case); positions 6-23 are every query
+# whose PLAN changed this round (VERDICT tasks 1/3/5/6 rewrites: the
+# tfidf window plan, the winnow/ngram linear chains and their
+# cluster/pipeline consumers, the rank-gate fix and its ranked-query
+# family, the similarity query-block gates, the span n_tokens carry, the
+# spine single-aggregate grid — doc_span_dup_ratio and
+# date_spine_completion re-enter from the r7 window because their plans
+# changed again); the rest are the 24 r05-stale queries plus the two
+# r06-verified entries on the verdict's weak list (bigram_topk,
+# gopher_quality_filter). The 29 left out are all r06-verified and
+# untouched this round; they rotate in r9.
 WINDOW: tuple[str, ...] = (
-    # -- r6 driver hash mismatch, fixed this round --
+    # -- registered this round, never driver-verified --
+    "bin_quantity_case_low",
+    # -- last driver row r04 (owed from the r7 rotation) --
+    "bin_quantity_case",
+    "distinct_event_types",
+    "filter_date_set",
+    "top_k_orders",
+    "union_slices",
+    # -- plans changed this round (r8 rewrites) --
+    "text_tfidf_topk",
+    "dedup_winnow_pairs",
+    "text_winnow_fingerprint",
+    "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
+    "dedup_pipeline_e2e",
+    "embed_dedup_pipeline_e2e",
+    "dedup_substring_spans",
     "doc_span_dup_ratio",
-    # -- last driver row r03 --
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "sessionize_gap",
-    "tumbling_window_rollup",
-    # -- plans touched by the r6 ADVICE fixes / r7 packed-mode rewrite --
-    "cooccurrence_pairs",
-    "quantiles_exact",
-    "grouped_quantiles",
-    "mode_event_type",
-    # -- last driver row r04 --
-    "asof_join_last_view",
-    "corr_pearson",
-    "count_distinct_users",
-    "cube_priority_status",
     "date_spine_completion",
-    "dates_except",
-    "dedup_keep_first",
-    "heatmap_pivot",
-    "hourly_profile",
-    "join_dims_broadcast",
-    "join_fact_orders",
-    "lag_diff_pct",
-    "last_per_group",
-    "mean_impute_group",
-    "missing_days_anti",
-    "monthly_rollup",
-    "moving_avg_7d",
-    "ols_by_group",
-    "ols_ci_frame",
-    "ols_closed_form",
-    "pivot_eav",
-    "problem_rows",
-    "quality_daily",
-    "quality_report",
-    "regexp_normalize",
-    "resample_hourly_daily",
-    "revenue_share",
-    "rollup_revenue",
-    "sample_hash_mod",
-    "scalar_stats",
-    "semi_join_customers",
-    "skew_salted_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "ts_daily_rollup",
-    "unit_convert_project",
-    "unpivot_measures",
-    "user_journey_path",
-    "weekday_profile",
+    "rfm_segments",
+    "ntile_deciles",
+    "pareto_revenue_concentration",
+    "gini_customer_revenue",
+    "dist_percent_rank",
+    "embed_cosine_topk",
+    "embed_ivf_topk",
+    "embed_lsh_bucket_topk",
+    # -- last driver row r05 --
+    "above_group_avg",
+    "approx_distinct_hll_sanity",
+    "chi2_weekday_event",
+    "corpus_mix_summary",
+    "decontamination_check",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_simhash",
+    "distinct_kmv_estimate",
+    "entropy_user_events",
+    "filtered_agg_status",
+    "full_outer_nation_counts",
+    "grouping_sets_flags",
+    "histogram_price",
+    "locf_gap_fill",
+    "markov_event_transitions",
+    "multimodal_blob_stats",
+    "sql_revenue_by_nation",
+    "sql_window_rank",
+    "stratified_sample_hash",
+    "streak_islands",
+    "token_budget_packing",
+    "topk_per_group",
+    "zscore_outliers",
+    # -- r06-verified but on the verdict's weak list --
+    "bigram_topk",
+    "gopher_quality_filter",
 )
 
 

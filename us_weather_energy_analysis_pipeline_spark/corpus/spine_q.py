@@ -45,15 +45,34 @@ from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, regi
 def date_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar completion (reference J4 `data_processor.py:10-22`): generated
     day spine × key dimension, LEFT JOIN facts — unmatched days surface as
-    null-measure rows exactly like pandas reindex."""
+    null-measure rows exactly like pandas reindex.
+
+    Plan (r8): the day bounds AND the key dimension come from ONE
+    single-row aggregate over the scan (min/max date + a filtered
+    collect_set of the event types), then the grid is two explodes off
+    that row — the old separate spine-bounds and types-distinct branches
+    (each its own scan + exchange) collapse into it. 6 → ~4 jobs."""
     e = load(spark, sf_dir, "events")
     sub = e.filter(F.col("event_type").isin("purchase", "signup"))
-    spine = day_spine(e, "ts")
-    types = sub.select("event_type").distinct()
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"),
+        F.max(F.to_date("ts")).alias("hi"),
+        F.array_sort(
+            F.collect_set(
+                F.when(
+                    F.col("event_type").isin("purchase", "signup"),
+                    F.col("event_type"),
+                )
+            )
+        ).alias("tps"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        "tps",
+    ).select("day", F.explode("tps").alias("event_type"))
     daily = sub.groupBy("event_type", F.to_date("ts").alias("day")).agg(
         F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
     )
-    grid = spine.crossJoin(F.broadcast(types))
     return (
         grid.join(daily, ["day", "event_type"], "left")
         .select(
