@@ -139,9 +139,25 @@ def main() -> None:
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
+    # sweep id (timestamp + HEAD): every per-query number in the artifact
+    # is from THIS one sweep — cross-sweep comparison is invalid on this
+    # 2-3×-drift host (same label scripts/bench_vs_duckdb.py stamps into
+    # BENCH_NOTES.md, so the two artifacts are attributable)
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except OSError:
+        head = "unknown"
+    sweep_id = f"{time.strftime('%Y%m%dT%H%M%S')}-{head}"
     with open(detail_path, "w") as f:
         json.dump(
             {
+                "sweep_id": sweep_id,
                 "metric": "corpus_total_sec",
                 "value": total,
                 "unit": "sec",
