@@ -762,3 +762,41 @@ def test_query_block_gate_bounds_driver_collect(emb, spark):
     )
     assert fb_rows == kern_rows
     assert similarity.QUERY_BLOCK_MAX >= 1024  # default stays generous
+
+
+def test_brute_force_fallback_null_and_zero_norm_parity(spark):
+    """The distributed fallback must keep the kernel's edge semantics:
+    NULL corpus vectors -> NULL cosine (ranked last), zero-norm vectors
+    -> NULL cosine (0/0 must not become NaN, which Spark's DESC would
+    rank FIRST), NULL ids dropped, id == qid excluded."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    corpus = local_df(
+        spark,
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.9, 0.1]),
+            (3, None),            # NULL vector -> NULL cosine, still emitted
+            (4, [0.0, 0.0]),      # zero norm -> NULL cosine, not NaN
+            (None, [1.0, 1.0]),   # NULL id -> dropped
+            (5, [0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    q = local_df(
+        spark, [(1, [1.0, 0.0]), (9, [0.5, 0.5])], "qid long, qv array<double>"
+    )
+    kern = brute_force_topk(corpus, q, k=10)
+    fb = brute_force_topk(corpus, q, k=10, max_query_block=1)  # force fallback
+    kr = sorted((r["qid"], r["vec_id"], r["cosine"], r["rnk"]) for r in kern.collect())
+    fr = sorted((r["qid"], r["vec_id"], r["cosine"], r["rnk"]) for r in fb.collect())
+    assert kr == fr
+    # NULL-id row never appears; self-pair excluded; NULL cosines rank last
+    ids_for_q1 = [r for r in kr if r[0] == 1]
+    assert all(r[1] is not None and r[1] != 1 for r in ids_for_q1)
+    null_rnks = [r[3] for r in ids_for_q1 if r[2] is None]
+    real_rnks = [r[3] for r in ids_for_q1 if r[2] is not None]
+    assert null_rnks and real_rnks and min(null_rnks) > max(real_rnks)
