@@ -800,3 +800,69 @@ def test_brute_force_fallback_null_and_zero_norm_parity(spark):
     null_rnks = [r[3] for r in ids_for_q1 if r[2] is None]
     real_rnks = [r[3] for r in ids_for_q1 if r[2] is not None]
     assert null_rnks and real_rnks and min(null_rnks) > max(real_rnks)
+
+
+def test_lsh_multiprobe_recall_supersets_single_probe(emb):
+    """n_probes=2 must (a) never lose a single-probe candidate, (b) agree
+    with brute force on every emitted score, and (c) raise recall against
+    the exact top-k on this corpus (the whole point of probing the
+    nearest-boundary neighbor bucket)."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    K = 5
+    single = lsh_topk(emb, q, n_planes=6, dim=64, k=K)
+    multi = lsh_multiprobe_topk(emb, q, n_planes=6, dim=64, k=K, n_probes=2)
+    one = lsh_multiprobe_topk(emb, q, n_planes=6, dim=64, k=K, n_probes=1)
+    bf = brute_force_topk(emb, q, k=K)
+
+    s_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in single.collect()}
+    m_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in multi.collect()}
+    o_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in one.collect()}
+    bf_rows = {(r["qid"], r["vec_id"]): r["cosine"] for r in bf.collect()}
+
+    # n_probes=1 degenerates to the single-table variant exactly
+    assert o_rows == s_rows
+    # scores agree with brute force wherever both emit the pair
+    for key, cos in m_rows.items():
+        if key in bf_rows:
+            assert cos == bf_rows[key], key
+    # per query, the multi-probe top-k is at least as close to the exact
+    # top-k as the single-probe one (set overlap with brute force)
+    def overlap(rows):
+        per_q = {}
+        for (qid, vid) in rows:
+            per_q.setdefault(qid, set()).add(vid)
+        bf_q = {}
+        for (qid, vid) in bf_rows:
+            bf_q.setdefault(qid, set()).add(vid)
+        return {qid: len(per_q.get(qid, set()) & bf_q[qid]) for qid in bf_q}
+
+    ov_s, ov_m = overlap(s_rows), overlap(m_rows)
+    assert all(ov_m[qid] >= ov_s[qid] for qid in ov_m)
+    assert sum(ov_m.values()) > sum(ov_s.values())  # recall strictly improves
+
+
+def test_lsh_multiprobe_gate_and_probe_validation(emb):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    with _pytest.raises(ValueError, match="query block exceeds"):
+        lsh_multiprobe_topk(emb, q, k=2, max_query_block=2)
+    with _pytest.raises(ValueError, match="n_probes"):
+        lsh_multiprobe_topk(emb, q, k=2, n_probes=0)

@@ -18,6 +18,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus import registry
 # plan changes).
 ROTATED_R8 = (
     "bin_quantity_case_low",
+    "embed_lsh_multiprobe_topk",
     "bin_quantity_case",
     "distinct_event_types",
     "filter_date_set",

@@ -259,6 +259,91 @@ def _lsh_oracle(n_planes: int = 6, dim: int = 64, k: int = 3, n_q: int = N_QUERI
     """
 
 
+def _lsh_multiprobe_oracle(
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    n_q: int = N_QUERIES,
+    n_probes: int = 2,
+) -> str:
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(n_planes, dim)
+    code = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_plane_sql_literal(w)}) >= 0 "
+        f"THEN {2**p} ELSE 0 END)"
+        for p, w in enumerate(planes)
+    )
+    plane_rows = ", ".join(
+        f"({p}, {_plane_sql_literal(w)})" for p, w in enumerate(planes)
+    )
+    return f"""
+    WITH coded AS (
+      SELECT vec_id, embedding, CAST({code} AS INTEGER) AS bucket
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM coded WHERE vec_id < {n_q}),
+    planes AS (SELECT * FROM (VALUES {plane_rows}) t(p, w)),
+    -- flip ranking: smallest 6-dp-rounded hyperplane margin first, plane
+    -- index tie-break — the binary ROUND twin keeps the probe CHOICE
+    -- identical across engines even when raw doubles differ in last bits
+    flips AS (
+      SELECT qid, qv, bucket, p,
+             ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY ROUND(ABS(list_dot_product(qv::DOUBLE[], w::DOUBLE[])), 6) ASC,
+                        p ASC) AS pr
+      FROM q CROSS JOIN planes
+    ),
+    probes AS (
+      SELECT qid, qv, bucket AS probe FROM q
+      UNION ALL
+      SELECT qid, qv, CAST(xor(bucket, 1 << p) AS INTEGER)
+      FROM flips WHERE pr <= {n_probes - 1}
+    ),
+    cand AS (
+      SELECT pr.qid, pr.probe AS bucket, c.vec_id,
+             ROUND(list_cosine_similarity(pr.qv::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cosine
+      FROM probes pr JOIN coded c ON c.bucket = pr.probe
+      WHERE c.vec_id <> pr.qid
+    )
+    SELECT qid, bucket, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM cand)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "embed_lsh_multiprobe_topk",
+    oracle=_lsh_multiprobe_oracle(),
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def embed_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. 2007 — the production recall
+    lever the single-table variant's docstring promises): each query also
+    probes the neighbor bucket across its nearest hyperplane boundary
+    (n_probes=2), roughly doubling candidate recall with NO extra hash
+    tables and the same one-corpus-pass plan shape
+    (operators/similarity.lsh_multiprobe_topk). Probe choice is
+    engine-deterministic: margins compare at 6 dp with a plane-index
+    tie-break on both sides."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return lsh_multiprobe_topk(emb, q, n_planes=6, dim=64, k=3, n_probes=2).select(
+        "qid", "bucket", "vec_id", "cosine", "rnk"
+    )
+
+
 @register(
     "embed_lsh_bucket_topk",
     oracle=_lsh_oracle(),

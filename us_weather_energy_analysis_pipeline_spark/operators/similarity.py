@@ -613,6 +613,79 @@ def lsh_topk(
     ).select(qid_col, "bucket", id_col, "cosine", "rnk")
 
 
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_planes: int = 6,
+    dim: int = 64,
+    k: int = 3,
+    n_probes: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "qid",
+    qvec_col: str = "qv",
+    max_query_block: int = QUERY_BLOCK_MAX,
+) -> DataFrame:
+    """Multi-probe hyperplane LSH (Lv et al. 2007): each query probes its
+    own code PLUS the ``n_probes − 1`` neighboring codes obtained by
+    flipping the sign bits whose hyperplane margins |dot(q, w_p)| are
+    smallest — the standard recall lever that avoids building multiple
+    hash tables. Same plan shape as ``lsh_topk`` (one corpus pass, no
+    bucket shuffle): the probe set is just EXTRA query-block entries fed
+    to ``topk_candidates`` (a corpus row matches at most one probe — its
+    own code — so the union needs no dedup), and the final rank window
+    per qid takes the global top-k across probes.
+
+    Cross-engine determinism of the probe CHOICE: margins are compared
+    at 6 dp (binary-round twin) with the plane index as tie-break, so an
+    oracle recomputing |dot| in another engine picks the same flips even
+    when the raw doubles differ in the last bits. ``bucket`` in the
+    output is the probe bucket that found the candidate (= the
+    candidate's own code)."""
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
+    queries = queries.filter(F.col(qvec_col).isNotNull())
+    planes = hyperplanes(n_planes, dim)
+    if not 1 <= n_probes <= 2**n_planes:
+        raise ValueError(f"n_probes must be in [1, {2**n_planes}], got {n_probes}")
+
+    qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
+    if qrows is None:
+        raise ValueError(
+            f"lsh_multiprobe_topk query block exceeds {max_query_block} "
+            "rows: probe assignment is driver-side by design — run the "
+            "query set in bounded blocks or raise max_query_block"
+        )
+    qinfo = []
+    for r in qrows:
+        if r[qid_col] is None or r[qvec_col] is None:
+            continue
+        qv = list(r[qvec_col])
+        dots = []
+        for w in planes:
+            d = 0.0
+            for x, y in zip(qv, w):
+                d = d + x * y
+            dots.append(d)
+        code = sum(2**p for p, d in enumerate(dots) if d >= 0)
+        # flip order: smallest 6-dp-rounded margin first, plane idx ties
+        order = sorted(
+            range(len(planes)), key=lambda p: (py_dround(abs(dots[p]), 6), p)
+        )
+        probe_codes = [code] + [code ^ (1 << p) for p in order[: n_probes - 1]]
+        for c in probe_codes:
+            qinfo.append((r[qid_col], qv, c))
+    return topk_candidates(
+        corpus,
+        qinfo,
+        k,
+        id_col=id_col,
+        vec_col=vec_col,
+        qid_name=qid_col,
+        planes=planes,
+        out_match="bucket",
+    ).select(qid_col, "bucket", id_col, "cosine", "rnk")
+
+
 def _pack_blocks(
     emb: DataFrame, id_col: str, vec_col: str, grp_col: str = "_grp", fp32: bool = False
 ) -> DataFrame:
