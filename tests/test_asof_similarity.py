@@ -866,3 +866,44 @@ def test_lsh_multiprobe_gate_and_probe_validation(emb):
         lsh_multiprobe_topk(emb, q, k=2, max_query_block=2)
     with _pytest.raises(ValueError, match="n_probes"):
         lsh_multiprobe_topk(emb, q, k=2, n_probes=0)
+
+
+def test_ivf_multiprobe_recall_supersets_single_cell(emb):
+    """nprobe=2 must degenerate to nprobe=1 exactly when asked, agree
+    with brute force on scores, and strictly improve exact-top-k recall
+    on this corpus (it probes the second-nearest coarse cell)."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    K = 5
+    single = {(r["qid"], r["vec_id"]): r["cosine"] for r in ivf_topk(emb, q, k=K).collect()}
+    one = {(r["qid"], r["vec_id"]): r["cosine"] for r in ivf_topk(emb, q, k=K, n_probes=1).collect()}
+    multi = {(r["qid"], r["vec_id"]): r["cosine"] for r in ivf_topk(emb, q, k=K, n_probes=2).collect()}
+    bf = {(r["qid"], r["vec_id"]): r["cosine"] for r in brute_force_topk(emb, q, k=K).collect()}
+    assert one == single
+    for key, cos in multi.items():
+        if key in bf:
+            assert cos == bf[key], key
+
+    def per_q_overlap(rows):
+        per_q, bf_q = {}, {}
+        for (qid, vid) in rows:
+            per_q.setdefault(qid, set()).add(vid)
+        for (qid, vid) in bf:
+            bf_q.setdefault(qid, set()).add(vid)
+        return {qid: len(per_q.get(qid, set()) & bf_q[qid]) for qid in bf_q}
+
+    ov_s, ov_m = per_q_overlap(single), per_q_overlap(multi)
+    assert all(ov_m[qid] >= ov_s[qid] for qid in ov_m)
+    assert sum(ov_m.values()) > sum(ov_s.values())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_probes"):
+        ivf_topk(emb, q, k=2, n_probes=0)

@@ -19,6 +19,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus import registry
 ROTATED_R8 = (
     "bin_quantity_case_low",
     "embed_lsh_multiprobe_topk",
+    "embed_ivf_multiprobe_topk",
     "bin_quantity_case",
     "distinct_event_types",
     "filter_date_set",

@@ -120,24 +120,25 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-8 window: positions 0-1 are the queries registered this round
-# (never driver-verified: the dashboard low-bin variant and multi-probe
-# LSH); positions 2-6 are the r04-stale stragglers the r7 rotation owed
-# (union_slices, top_k_orders, distinct_event_types, filter_date_set,
-# bin_quantity_case); the next block is every query whose PLAN changed
-# this round (VERDICT tasks 1/3/5/6 rewrites: the tfidf window plan, the
-# winnow/ngram linear chains and their cluster/pipeline consumers, the
-# rank-gate fix and its ranked-query family, the similarity query-block
-# gates, the span n_tokens carry, the spine single-aggregate grid —
-# doc_span_dup_ratio and date_spine_completion re-enter from the r7
-# window because their plans changed again); the rest are the 24
-# r05-stale queries plus one r06-verified entry on the verdict's weak
-# list (gopher_quality_filter). The 30 left out (incl. bigram_topk) are
-# all r06-verified and untouched this round; they rotate in r9.
+# Round-8 window: positions 0-2 are the queries registered this round
+# (never driver-verified: the dashboard low-bin variant, multi-probe
+# LSH, multi-cell IVF); positions 3-7 are the r04-stale stragglers the
+# r7 rotation owed (union_slices, top_k_orders, distinct_event_types,
+# filter_date_set, bin_quantity_case); the next block is every query
+# whose PLAN changed this round (VERDICT tasks 1/3/5/6 rewrites: the
+# tfidf window plan, the winnow/ngram linear chains and their
+# cluster/pipeline consumers, the rank-gate fix and its ranked-query
+# family, the similarity query-block gates, the span n_tokens carry, the
+# spine single-aggregate grid — doc_span_dup_ratio and
+# date_spine_completion re-enter from the r7 window because their plans
+# changed again); the rest are the 24 r05-stale queries. The 31 left out
+# (incl. bigram_topk and gopher_quality_filter) are all r06-verified and
+# untouched this round; they rotate in r9.
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
     "bin_quantity_case_low",
     "embed_lsh_multiprobe_topk",
+    "embed_ivf_multiprobe_topk",
     # -- last driver row r04 (owed from the r7 rotation) --
     "bin_quantity_case",
     "distinct_event_types",
@@ -188,8 +189,6 @@ WINDOW: tuple[str, ...] = (
     "token_budget_packing",
     "topk_per_group",
     "zscore_outliers",
-    # -- r06-verified but on the verdict's weak list --
-    "gopher_quality_filter",
 )
 
 

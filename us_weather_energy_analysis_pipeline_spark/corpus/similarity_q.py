@@ -365,6 +365,65 @@ def embed_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_oracle(k: int = 3, n_q: int = N_QUERIES, n_probes: int = 1) -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+               WHERE vec_id < {n_q} AND embedding IS NOT NULL),
+    per_dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
+    ),
+    cvec AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
+    assign AS (
+      SELECT qid, qv, label AS cell FROM (
+        SELECT q.qid, q.qv, c.label,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.qid
+                 ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.centroid), 6) DESC,
+                          c.label ASC) AS rn
+        FROM q CROSS JOIN cvec c
+      ) WHERE rn <= {n_probes}
+    ),
+    scored AS (
+      SELECT a.qid, a.cell, e.vec_id,
+             ROUND(list_cosine_similarity(a.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
+      FROM assign a JOIN embeddings e ON e.label = a.cell AND e.vec_id <> a.qid
+      WHERE e.embedding IS NOT NULL
+    )
+    SELECT qid, cell, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
+          FROM scored)
+    WHERE rnk <= {k}
+    """
+
+
+@register(
+    "embed_ivf_multiprobe_topk",
+    oracle=_ivf_oracle(n_probes=2),
+    tags=("similarity", "ann", "ivf", "multiprobe"),
+)
+def embed_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the standard IVF recall knob: exact top-k over
+    the TWO nearest coarse cells (operators/similarity.ivf_topk
+    n_probes). Probe cells are extra gated query-block entries; a corpus
+    row belongs to one cell, so the per-query union dedups itself and
+    the final rank window takes the global top-k. Probed fraction
+    2/n_cells."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    return ivf_topk(emb, q, k=3, n_probes=2).select(
+        "qid", "cell", "vec_id", "cosine", "rnk"
+    )
+
+
 @register(
     "embed_ivf_topk",
     oracle=f"""

@@ -456,9 +456,16 @@ def ivf_topk(
     qid_col: str = "qid",
     qvec_col: str = "qv",
     max_query_block: int = QUERY_BLOCK_MAX,
+    n_probes: int = 1,
 ) -> DataFrame:
     """IVF search: nearest centroid per query (rounded score, ties →
     smallest label), then exact cosine top-k within that cell only.
+
+    ``n_probes > 1`` probes the n nearest cells (the standard IVF recall
+    knob): probe cells become EXTRA query-block entries — a corpus row
+    belongs to exactly one cell, so the per-query union needs no dedup
+    and the final rank window takes the global top-k across probed
+    cells. Probed fraction becomes n_probes/n_cells.
 
     Probed fraction = 1/n_cells of the corpus. Centroids (n_cells rows)
     and queries (bounded) are collected; the assignment replicates the
@@ -489,12 +496,15 @@ def ivf_topk(
             "set in bounded blocks (filter/limit the queries DataFrame) "
             "or raise max_query_block explicitly"
         )
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     for r in qrows:
         if r[qid_col] is None or r[qvec_col] is None or not cents:
             continue
         qv = list(r[qvec_col])
-        cell = min(cents, key=lambda c: _cell_key(qv, c))[0]
-        qinfo.append((r[qid_col], qv, cell))
+        ranked = sorted(cents, key=lambda c: _cell_key(qv, c))
+        for cell, _ in ranked[:n_probes]:
+            qinfo.append((r[qid_col], qv, cell))
     return topk_candidates(
         corpus,
         qinfo,
