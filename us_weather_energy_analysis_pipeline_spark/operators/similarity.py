@@ -757,10 +757,23 @@ def grouped_candidate_pairs(
     margin: float = 1e-6,
     block_rows: int = 8192,
     exact: bool = False,
+    persist_input: bool = True,
 ) -> DataFrame:
     """Candidate pairs ``(id_a < id_b)`` with numpy-filtered cosine >=
     ``threshold - margin``, WITHIN each group of ``grp_col`` — the bounded
     in-bucket verifier for LSH pipelines.
+
+    ``persist_input`` (default True) caches the coded input so the two
+    plan branches that read it (sizes agg + block pack) share one
+    upstream execution — the right call when the input fits cluster
+    cache (every corpus/bench scale) or its upstream is expensive
+    (LSH coding CASEs). At 100 TB DO NOT cache the raw corpus: pass
+    ``persist_input=False`` and let both branches re-scan parquet (a
+    columnar scan + cheap projection twice beats materializing the
+    whole corpus into the cache tier), or checkpoint the coded frame to
+    a table first. The packed-blocks persist below stays either way —
+    it is the expensive, already-reduced intermediate both join sides
+    consume.
 
     With ``exact=True`` the survivors are re-scored IN-TASK with the
     sequential fold formula (``_seq_cosine`` — the vectors are already in
@@ -807,7 +820,8 @@ def grouped_candidate_pairs(
         vec_field.elementType, T.FloatType
     )
 
-    df = cache.track(df)
+    if persist_input:
+        df = cache.track(df)
     sizes = df.groupBy(grp_col).agg(
         F.ceil(F.count(F.lit(1)) / F.lit(block_rows)).cast("int").alias("nb")
     )
