@@ -907,3 +907,28 @@ def test_ivf_multiprobe_recall_supersets_single_cell(emb):
 
     with _pytest.raises(ValueError, match="n_probes"):
         ivf_topk(emb, q, k=2, n_probes=0)
+
+
+def test_cosine_pairs_persist_opt_out_identical(emb):
+    """persist_input=False (the 100 TB posture: re-scan instead of caching
+    the raw corpus) must produce the identical pair set and scores."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        grouped_candidate_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 60).select(
+        "vec_id", "embedding", F.lit(0).alias("g")
+    )
+    a = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in grouped_candidate_pairs(sub, 0.2, "g", exact=True).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in grouped_candidate_pairs(
+            sub, 0.2, "g", exact=True, persist_input=False
+        ).collect()
+    )
+    assert a == b and len(a) > 0
