@@ -11,38 +11,58 @@ from __future__ import annotations
 
 from us_weather_energy_analysis_pipeline_spark.corpus import registry
 
-# Round-8 must-haves: the never-verified new registration, the five
-# r04-stale stragglers the r7 rotation owed, and every query whose plan
-# the r8 rewrites touched (tfidf/winnow/ngram/cluster/pipeline, the
-# rank-gate family, the similarity query-block gates, the span and spine
-# plan changes).
-ROTATED_R8 = (
-    "bin_quantity_case_low",
-    "embed_lsh_multiprobe_topk",
-    "embed_ivf_multiprobe_topk",
-    "bin_quantity_case",
-    "distinct_event_types",
-    "filter_date_set",
-    "top_k_orders",
-    "union_slices",
-    "text_tfidf_topk",
-    "dedup_winnow_pairs",
-    "text_winnow_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    "dedup_pipeline_e2e",
+# Round-9 must-haves: the 33 queries whose latest driver row is r06
+# (VERDICT r8 task 1 — after this round the whole union is ≤2 rounds
+# stale), then every query whose plan the r9 tasks touch (e2e pipeline
+# job cuts, rfm expression-build rewrite, distributed ANN probe
+# assignment, KMV pre-prune, brute-force fallback schema).
+ROTATED_R9 = (
+    "argmax_supplier",
+    "bigram_topk",
+    "cohort_retention",
+    "corpus_temperature_resample",
+    "decontaminate_ngram_overlap",
+    "dedup_embed_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embed_centroid_by_label",
+    "embed_corr_pairs_topk",
+    "embed_dim_stats",
+    "embed_int8_quantize",
+    "ewma_daily",
+    "funnel_conversion",
+    "gopher_quality_filter",
+    "map_view_decorated",
+    "moments_skew_kurt",
+    "range_join_price_band",
+    "text_fingerprint",
+    "text_heaps_fit",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_count",
+    "text_zipf_fit",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "trailing_range_7d",
+    "yoy_monthly",
     "embed_dedup_pipeline_e2e",
-    "dedup_substring_spans",
-    "doc_span_dup_ratio",
-    "date_spine_completion",
+    "dedup_pipeline_e2e",
+    "dedup_cluster_assign",
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard",
+    "tpch_q5_local_supplier",
     "rfm_segments",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "gini_customer_revenue",
-    "dist_percent_rank",
     "embed_cosine_topk",
     "embed_ivf_topk",
     "embed_lsh_bucket_topk",
+    "embed_lsh_multiprobe_topk",
+    "embed_ivf_multiprobe_topk",
+    "distinct_kmv_estimate",
 )
 
 
@@ -51,13 +71,13 @@ def test_window_occupies_leading_positions():
     assert order[: len(registry.WINDOW)] == list(registry.WINDOW)
 
 
-def test_rotated_r8_sit_in_driver_window():
+def test_rotated_r9_sit_in_driver_window():
     positions = {n: i for i, n in enumerate(registry.queries())}
     stragglers = {
-        n: positions.get(n) for n in ROTATED_R8 if positions.get(n, 99) >= 50
+        n: positions.get(n) for n in ROTATED_R9 if positions.get(n, 99) >= 50
     }
     assert not stragglers, f"outside driver window (first 50): {stragglers}"
-    assert list(registry.WINDOW[: len(ROTATED_R8)]) == list(ROTATED_R8)
+    assert list(registry.WINDOW[: len(ROTATED_R9)]) == list(ROTATED_R9)
 
 
 def test_window_has_no_duplicates_and_all_registered():
@@ -66,7 +86,7 @@ def test_window_has_no_duplicates_and_all_registered():
     assert set(registry.WINDOW) <= names
     # every rotated query stays oracle-twinned
     oracles = registry.oracle_sql()
-    missing = [n for n in ROTATED_R8 if n not in oracles]
+    missing = [n for n in ROTATED_R9 if n not in oracles]
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 

@@ -120,75 +120,64 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-8 window: positions 0-2 are the queries registered this round
-# (never driver-verified: the dashboard low-bin variant, multi-probe
-# LSH, multi-cell IVF); positions 3-7 are the r04-stale stragglers the
-# r7 rotation owed (union_slices, top_k_orders, distinct_event_types,
-# filter_date_set, bin_quantity_case); the next block is every query
-# whose PLAN changed this round (VERDICT tasks 1/3/5/6 rewrites: the
-# tfidf window plan, the winnow/ngram linear chains and their
-# cluster/pipeline consumers, the rank-gate fix and its ranked-query
-# family, the similarity query-block gates, the span n_tokens carry, the
-# spine single-aggregate grid — doc_span_dup_ratio and
-# date_spine_completion re-enter from the r7 window because their plans
-# changed again); the rest are the 24 r05-stale queries. The 31 left out
-# (incl. bigram_topk and gopher_quality_filter) are all r06-verified and
-# untouched this round; they rotate in r9.
+# Round-9 window (VERDICT r8 task 1): positions 0-32 are the 33 queries
+# whose latest driver row is r06 — every other registered query was
+# driver-verified in r07 or r08 — so after this round the whole 131-query
+# union is at most two rounds stale. Positions 33+ are the queries whose
+# PLANS this round's tasks touch (VERDICT r8 tasks 2/3/5/6 + ADVICE:
+# the e2e dedup pipelines and their cluster/winnow/ngram stages, the rfm
+# literal-NTILE expression-build rewrite, the four ANN top-k queries that
+# gain distributed probe assignment, the KMV pre-prune probe, and
+# embed_cosine_topk whose module's brute-force fallback schema changed).
 WINDOW: tuple[str, ...] = (
-    # -- registered this round, never driver-verified --
-    "bin_quantity_case_low",
-    "embed_lsh_multiprobe_topk",
-    "embed_ivf_multiprobe_topk",
-    # -- last driver row r04 (owed from the r7 rotation) --
-    "bin_quantity_case",
-    "distinct_event_types",
-    "filter_date_set",
-    "top_k_orders",
-    "union_slices",
-    # -- plans changed this round (r8 rewrites) --
-    "text_tfidf_topk",
-    "dedup_winnow_pairs",
-    "text_winnow_fingerprint",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    "dedup_pipeline_e2e",
+    # -- last driver row r06 (the full stale set) --
+    "argmax_supplier",
+    "bigram_topk",
+    "cohort_retention",
+    "corpus_temperature_resample",
+    "decontaminate_ngram_overlap",
+    "dedup_embed_cosine",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "embed_centroid_by_label",
+    "embed_corr_pairs_topk",
+    "embed_dim_stats",
+    "embed_int8_quantize",
+    "ewma_daily",
+    "funnel_conversion",
+    "gopher_quality_filter",
+    "map_view_decorated",
+    "moments_skew_kurt",
+    "range_join_price_band",
+    "text_fingerprint",
+    "text_heaps_fit",
+    "text_lang_id",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_token_count",
+    "text_zipf_fit",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "trailing_range_7d",
+    "yoy_monthly",
+    # -- plans touched by r9 tasks --
     "embed_dedup_pipeline_e2e",
-    "dedup_substring_spans",
-    "doc_span_dup_ratio",
-    "date_spine_completion",
+    "dedup_pipeline_e2e",
+    "dedup_cluster_assign",
+    "dedup_winnow_pairs",
+    "dedup_ngram_jaccard",
+    "tpch_q5_local_supplier",
     "rfm_segments",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "gini_customer_revenue",
-    "dist_percent_rank",
     "embed_cosine_topk",
     "embed_ivf_topk",
     "embed_lsh_bucket_topk",
-    # -- last driver row r05 --
-    "above_group_avg",
-    "approx_distinct_hll_sanity",
-    "chi2_weekday_event",
-    "corpus_mix_summary",
-    "decontamination_check",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_simhash",
+    "embed_lsh_multiprobe_topk",
+    "embed_ivf_multiprobe_topk",
     "distinct_kmv_estimate",
-    "entropy_user_events",
-    "filtered_agg_status",
-    "full_outer_nation_counts",
-    "grouping_sets_flags",
-    "histogram_price",
-    "locf_gap_fill",
-    "markov_event_transitions",
-    "multimodal_blob_stats",
-    "sql_revenue_by_nation",
-    "sql_window_rank",
-    "stratified_sample_hash",
-    "streak_islands",
-    "token_budget_packing",
-    "topk_per_group",
-    "zscore_outliers",
 )
 
 
