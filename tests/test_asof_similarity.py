@@ -707,16 +707,19 @@ def test_ragged_embeddings_fail_with_actionable_error(spark):
 
 
 def test_query_block_gate_bounds_driver_collect(emb, spark):
-    """VERDICT r7: the query-side collects in brute/IVF/LSH top-k must be
-    gated like rangejoin's inline path — limit(threshold+1) — so an
-    over-threshold query table NEVER lands on the driver unbounded.
-    Brute force falls back to the distributed broadcast-join plan with
-    identical emitted values; IVF/LSH raise actionably."""
+    """VERDICT r7 + r8 task 5: the query-side collects in brute/IVF/LSH
+    top-k must be gated like rangejoin's inline path — limit(threshold+1)
+    — so an over-threshold query table NEVER lands on the driver
+    unbounded. Every entry point now falls back to a fully distributed
+    plan (no ValueError, no further driver collect): brute force to the
+    broadcast-join plan, IVF/LSH/multiprobe to in-plan probe
+    assignment."""
     from us_weather_energy_analysis_pipeline_spark.operators import similarity
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
         _collect_query_block,
         brute_force_topk,
         ivf_topk,
+        lsh_multiprobe_topk,
         lsh_topk,
     )
 
@@ -728,31 +731,47 @@ def test_query_block_gate_bounds_driver_collect(emb, spark):
     got = _collect_query_block(q, ["qid", "qv"], 5)
     assert got is not None and len(got) == 5
 
-    # structural proof of boundedness: the collect goes through
-    # DataFrame.limit(threshold+1) — patch limit to record the bound and
-    # fail if any gated path collects without limiting first.
+    # structural proof of boundedness: the only driver collect on the
+    # over-gate path is the gate probe itself, which goes through
+    # DataFrame.limit(threshold+1) — patch limit AND collect to record
+    # every call; constructing the four fallbacks must show exactly one
+    # limited probe each and NO unlimited collect.
     seen_limits: list[int] = []
+    seen_collects: list[int] = []
     cls = type(q)  # the CONCRETE DataFrame class (pyspark 4: classic.DataFrame)
 
     orig_limit = cls.limit
+    orig_collect = cls.collect
 
     def spy_limit(self, n):
         seen_limits.append(n)
         return orig_limit(self, n)
 
+    def spy_collect(self):
+        seen_collects.append(1)
+        return orig_collect(self)
+
     cls.limit = spy_limit
+    cls.collect = spy_collect
     try:
-        with pytest.raises(ValueError, match="ivf_topk query block exceeds"):
-            ivf_topk(emb, q, k=2, max_query_block=3)
-        with pytest.raises(ValueError, match="lsh_topk query block exceeds"):
-            lsh_topk(emb, q, k=2, max_query_block=3)
+        fb_ivf = ivf_topk(emb, q, k=2, max_query_block=3)
+        fb_lsh = lsh_topk(emb, q, k=2, max_query_block=3)
+        fb_mp = lsh_multiprobe_topk(emb, q, k=2, n_probes=2, max_query_block=3)
         fb = brute_force_topk(emb, q, k=4, max_query_block=3)
     finally:
         cls.limit = orig_limit
-    assert seen_limits.count(4) == 3  # every gated path limited to t+1
+        cls.collect = orig_collect
+    assert seen_limits.count(4) == 4  # every gated path limited to t+1
+    # one gated probe collect per entry point, nothing else (the old IVF
+    # kernel path collected centroids; the fallback must not)
+    assert len(seen_collects) == 4
 
-    # fallback plan: no driver collect (it is a lazy DataFrame built from
-    # a broadcast join) and values identical to the kernel path
+    # fallback plans execute and rank like their kernel twins (full value
+    # parity is asserted in test_ann_over_gate_fallbacks_match_kernel)
+    for fbdf in (fb_ivf, fb_lsh, fb_mp):
+        assert fbdf.columns[-2:] == ["cosine", "rnk"]
+
+    # brute-force fallback: values identical to the kernel path
     kern = brute_force_topk(emb, q, k=4)  # default threshold: kernel path
     kern_rows = sorted(
         (r["qid"], r["vec_id"], r["cosine"], r["rnk"]) for r in kern.collect()
@@ -762,6 +781,53 @@ def test_query_block_gate_bounds_driver_collect(emb, spark):
     )
     assert fb_rows == kern_rows
     assert similarity.QUERY_BLOCK_MAX >= 1024  # default stays generous
+
+
+def test_ann_over_gate_fallbacks_match_kernel(emb, spark):
+    """VERDICT r8 task 5: the distributed over-gate plans for IVF / LSH /
+    multi-probe LSH must emit exactly the kernel path's rows — same probe
+    choice (fold-identical dots, 6-dp margins, label/plane tie-breaks),
+    same scores, same ranks, same schema."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    for fn, kwargs in (
+        (ivf_topk, {"k": 3}),
+        (ivf_topk, {"k": 3, "n_probes": 2}),
+        (lsh_topk, {"k": 3}),
+        (lsh_multiprobe_topk, {"k": 3, "n_probes": 3}),
+    ):
+        kern = fn(emb, q, **kwargs)
+        fb = fn(emb, q, max_query_block=5, **kwargs)
+        # names + dtypes (nullability legitimately differs: mapInPandas
+        # declares everything nullable, the join plan derives it)
+        assert fb.dtypes == kern.dtypes, (fn.__name__, kwargs)
+        kr = sorted(map(tuple, kern.collect()))
+        fr = sorted(map(tuple, fb.collect()))
+        assert fr == kr, (fn.__name__, kwargs)
+
+
+def test_lsh_multiprobe_flip_count_validated(emb):
+    """VERDICT r8 task 8: single-bit flips give at most n_planes + 1
+    distinct probes; a larger n_probes used to silently truncate to the
+    same probe set — it must raise instead."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        lsh_multiprobe_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    # cap is inclusive: n_planes + 1 probes is the full single-bit set
+    lsh_multiprobe_topk(emb, q, n_planes=6, k=2, n_probes=7)
+    with pytest.raises(ValueError, match=r"n_probes must be in \[1, 7\]"):
+        lsh_multiprobe_topk(emb, q, n_planes=6, k=2, n_probes=8)
 
 
 def test_brute_force_fallback_null_and_zero_norm_parity(spark):
@@ -862,8 +928,9 @@ def test_lsh_multiprobe_gate_and_probe_validation(emb):
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    with _pytest.raises(ValueError, match="query block exceeds"):
-        lsh_multiprobe_topk(emb, q, k=2, max_query_block=2)
+    # over-gate no longer raises: it falls back to the distributed plan
+    # (parity asserted in test_ann_over_gate_fallbacks_match_kernel)
+    assert lsh_multiprobe_topk(emb, q, k=2, max_query_block=2).columns[-1] == "rnk"
     with _pytest.raises(ValueError, match="n_probes"):
         lsh_multiprobe_topk(emb, q, k=2, n_probes=0)
 

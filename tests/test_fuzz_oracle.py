@@ -51,6 +51,13 @@ FUZZ_QUERIES = [
     "ewma_daily",
     "text_heaps_fit",
     "dedup_simhash_pairs",
+    # r8 registrations, explicitly in the subsample rotation (VERDICT r8
+    # task 9 — they already ride the full-corpus null/Unicode fuzz below):
+    # subsampling moves bucket occupancy and probe margins for the
+    # multi-probe pair, and bin occupancy for the low-bin variant
+    "embed_lsh_multiprobe_topk",
+    "embed_ivf_multiprobe_topk",
+    "bin_quantity_case_low",
 ]
 
 

@@ -14,6 +14,7 @@ from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
     _LARGE,
     SMALL_INPUT_BYTES,
     _plan_row_bounded,
+    exact_scan_rows,
     input_bytes,
     input_rows,
     small_scan,
@@ -39,6 +40,34 @@ def test_input_rows_sentinel_for_local_frames(spark):
     df = spark.range(10)
     assert input_rows(df) == _LARGE
     assert input_bytes(df) == _LARGE
+
+
+def test_exact_scan_rows_bare_scan_and_projection(docs):
+    """ADVICE r8: footer rows are EXACT only for a bare scan — a column
+    projection keeps exactness, anything that can change the row count
+    (or a non-file input) answers None."""
+    n = docs.count()
+    assert exact_scan_rows(docs) == n
+    assert exact_scan_rows(docs.select("doc_id", "text")) == n
+
+
+@pytest.mark.parametrize(
+    "mutate",
+    [
+        lambda d: d.filter(F.col("doc_id") < 5),
+        lambda d: d.limit(3),
+        lambda d: d.select("doc_id").distinct(),
+        lambda d: d.select(F.explode(F.split("text", " "))),
+        lambda d: d.groupBy("lang").count(),
+        lambda d: d.sample(0.5, seed=1),
+    ],
+)
+def test_exact_scan_rows_refuses_row_changing_plans(docs, mutate):
+    assert exact_scan_rows(mutate(docs)) is None
+
+
+def test_exact_scan_rows_refuses_local_frames(spark):
+    assert exact_scan_rows(spark.range(10)) is None
 
 
 def test_plan_row_bounded_accepts_filter_project_agg(docs):

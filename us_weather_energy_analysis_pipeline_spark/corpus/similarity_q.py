@@ -426,39 +426,9 @@ def embed_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embed_ivf_topk",
-    oracle=f"""
-    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
-               WHERE vec_id < {N_QUERIES} AND embedding IS NOT NULL),
-    per_dim AS (
-      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
-      FROM embeddings
-    ),
-    cent AS (
-      SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
-    ),
-    cvec AS (SELECT label, list(m ORDER BY pos) AS centroid FROM cent GROUP BY label),
-    assign AS (
-      SELECT qid, qv, label AS cell FROM (
-        SELECT q.qid, q.qv, c.label,
-               ROW_NUMBER() OVER (
-                 PARTITION BY q.qid
-                 ORDER BY ROUND(list_cosine_similarity(q.qv::DOUBLE[], c.centroid), 6) DESC,
-                          c.label ASC) AS rn
-        FROM q CROSS JOIN cvec c
-      ) WHERE rn = 1
-    ),
-    scored AS (
-      SELECT a.qid, a.cell, e.vec_id,
-             ROUND(list_cosine_similarity(a.qv::DOUBLE[], e.embedding::DOUBLE[]), 6) AS cosine
-      FROM assign a JOIN embeddings e ON e.label = a.cell AND e.vec_id <> a.qid
-      WHERE e.embedding IS NOT NULL
-    )
-    SELECT qid, cell, vec_id, cosine, CAST(rnk AS INTEGER) AS rnk
-    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY cosine DESC, vec_id ASC) AS rnk
-          FROM scored)
-    WHERE rnk <= 3
-    """,
+    # single source of truth for the IVF oracle (ADVICE r8: the inline
+    # copy here had drifted-by-construction risk vs the multiprobe twin)
+    oracle=_ivf_oracle(n_probes=1),
     tags=("similarity", "ann", "ivf"),
 )
 def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

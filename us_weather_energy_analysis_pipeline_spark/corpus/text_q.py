@@ -230,8 +230,10 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     branch, no broadcast build, no separate doclen aggregate: 3 exchanges
     total, all at the deduped tf grain. Corpus size comes from the
     parquet footer (job-free, exact — the same metadata a count() would
-    read), falling back to a broadcast 1-row aggregate for non-parquet
-    inputs.
+    read) ONLY when ``exact_scan_rows`` proves the plan is a bare scan;
+    any filter above the scan (or a non-parquet input) falls back to a
+    broadcast 1-row aggregate, so footer rows can never silently inflate
+    the IDF denominator.
 
     Measured sf0.1 (paired, same session): 0.73 s / 4 jobs vs the r7
     join-plan's 0.81 s / 8 jobs; a size(split())-before-explode variant
@@ -241,8 +243,7 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
-        _LARGE,
-        input_rows,
+        exact_scan_rows,
     )
 
     d = load(spark, sf_dir, "documents")
@@ -254,11 +255,11 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("doc_id").orderBy(
         F.col("tfidf").desc(), F.col("tok").asc()
     )
-    nd = input_rows(d)
-    if nd < _LARGE:
+    nd = exact_scan_rows(d)  # exact ONLY for a bare scan — guarded, ADVICE r8
+    if nd is not None:
         n_docs = F.lit(float(nd))
         scored = tf
-    else:  # non-parquet input: in-plan 1-row aggregate, one broadcast job
+    else:  # filtered/non-parquet input: in-plan 1-row aggregate, one broadcast job
         n_docs = F.col("n_docs")
         scored = tf.crossJoin(
             F.broadcast(d.agg(F.count(F.lit(1)).cast("double").alias("n_docs")))

@@ -130,6 +130,28 @@ def input_rows(df: DataFrame) -> int:
     return total
 
 
+def exact_scan_rows(df: DataFrame) -> int | None:
+    """Footer ``num_rows`` as an EXACT count of the plan's output rows.
+
+    ``input_rows`` is only an upper bound (footer rows >= plan rows when a
+    filter sits above the scan), so callers that substitute footer rows
+    for a ``count()`` — e.g. the tf-idf ``n_docs`` denominator — must
+    prove the plan is a bare scan first. This returns footer rows only
+    when every optimized-plan node is row-preserving 1:1 over the scan
+    (``Project`` / ``Relation``); any ``Filter``, join, aggregate,
+    generator, limit, or sample answers ``None`` and the caller takes its
+    distributed count path (ADVICE r8: text_q tf-idf exactness guard)."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    names = list(_iter_node_names(plan))
+    if not names or any(n not in ("Project", "Relation") for n in names):
+        return None
+    rows = input_rows(df)
+    return None if rows >= _LARGE else rows
+
+
 def _plan_row_bounded(df: DataFrame) -> bool:
     """True when the optimized logical plan contains no row-expanding
     node, making footer rows a true upper bound on plan output rows.

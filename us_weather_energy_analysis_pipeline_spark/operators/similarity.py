@@ -370,15 +370,22 @@ def _brute_force_join_plan(
     HOF cosine (bit-identical to the kernel's ``fold_cos`` — same
     left-to-right fold over doubles, zero-norm → NULL), rank per query.
     Slower per pair than the BLAS kernel but has NO driver collect — the
-    scale-safe shape when the query block itself is big data."""
+    scale-safe shape when the query block itself is big data.
+
+    Schema parity with the kernel path (ADVICE r8): qid/id are cast to
+    long (``topk_candidates`` declares them ``long`` in its mapInPandas
+    schema) and corpus is projected to ``(id_col, vec_col)`` before the
+    join, so a corpus column named ``cosine``/``rnk`` can't collide and
+    both brute-force paths emit an identical schema."""
     from pyspark.sql import Window
 
-    q = queries.select(qid_col, qvec_col).filter(
-        F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull()
-    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias(qid_col), qvec_col
+    ).filter(F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull())
     den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
     scored = (
-        corpus.filter(F.col(id_col).isNotNull())
+        corpus.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+        .filter(F.col(id_col).isNotNull())
         .join(F.broadcast(q), F.col(id_col) != F.col(qid_col))
         .withColumn(
             "cosine",
@@ -395,6 +402,150 @@ def _brute_force_join_plan(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(k))
         .select(qid_col, id_col, "cosine", "rnk")
+    )
+
+
+def _ivf_join_plan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    label_col: str,
+    vec_col: str,
+    id_col: str,
+    qid_col: str,
+    qvec_col: str,
+    n_probes: int,
+) -> DataFrame:
+    """Fully distributed IVF plan for an over-threshold query block
+    (VERDICT r8 task 5 — replaces the old over-gate ValueError): probe
+    cells are assigned IN-PLAN. Queries cross-join the broadcast centroid
+    frame (bounded: one row per cell), the centroid score is the
+    sequential-fold cosine — the SAME left-to-right fold over the SAME
+    Spark-computed centroid doubles the driver ``_cell_key`` uses, so the
+    probed cells are bit-identical — and a (score DESC NULLS LAST, label
+    ASC) row_number keeps the ``n_probes`` nearest cells per query.
+    Candidates come from an equi-join on the cell label (a corpus row
+    lives in exactly one cell — no dedup), scored and ranked exactly like
+    ``_brute_force_join_plan``. NO driver collect anywhere — centroids
+    stay a DataFrame, so the query side can itself be big data."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(qid_col).cast("long").alias(qid_col), qvec_col
+    ).filter(F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull())
+    cents = (
+        label_centroids(corpus, label_col, vec_col)
+        .filter(F.col(label_col).isNotNull())
+        .select(F.col(label_col).cast("int").alias("_cell"), "centroid")
+    )
+    cden = norm(F.col(qvec_col)) * norm(F.col("centroid"))
+    w_cell = Window.partitionBy(qid_col).orderBy(
+        F.col("_cs").desc_nulls_last(), F.col("_cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "_cs",
+            F.when(
+                cden != F.lit(0.0),
+                _dround6(dot(F.col(qvec_col), F.col("centroid")) / cden),
+            ),
+        )
+        .withColumn("_pr", F.row_number().over(w_cell))
+        .filter(F.col("_pr") <= int(n_probes))
+        .select(qid_col, qvec_col, "_cell")
+    )
+    c = corpus.select(
+        F.col(id_col).cast("long").alias(id_col),
+        vec_col,
+        F.col(label_col).cast("int").alias("_clab"),
+    ).filter(F.col(id_col).isNotNull())
+    den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
+    scored = c.join(
+        probes,
+        (F.col("_clab") == F.col("_cell")) & (F.col(id_col) != F.col(qid_col)),
+    ).withColumn(
+        "cosine",
+        F.when(
+            den != F.lit(0.0), _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den)
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(qid_col, F.col("_cell").alias("cell"), id_col, "cosine", "rnk")
+    )
+
+
+def _lsh_join_plan(
+    corpus: DataFrame,
+    queries: DataFrame,
+    planes: list[list[float]],
+    k: int,
+    n_probes: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+) -> DataFrame:
+    """Fully distributed LSH plan for an over-threshold query block
+    (VERDICT r8 task 5 — replaces the old over-gate ValueError): query
+    codes, hyperplane margins, and the Lv et al. single-bit flip set are
+    all computed IN-PLAN as one parsed SQL expression — the same
+    sequential-fold dots as the driver path, margins compared at 6 dp
+    (``floor(|d|·1e6 + 0.5)/1e6`` — ``py_dround(abs(d), 6)`` for
+    non-negative input) with plane-index tie-break, so the probe CHOICE
+    is identical. Probe codes explode to (qid, qv, code) rows and
+    candidates come from an equi-join on the corpus bucket code (a corpus
+    row matches at most one probe per query — its own code — so the union
+    needs no dedup). NO driver collect. ``n_probes=1`` degenerates to the
+    plain bucketed plan (empty flip slice)."""
+    from pyspark.sql import Window
+
+    dots_sql = (
+        "array(" + ", ".join(_dot_sql(qvec_col, _arr_sql(w)) for w in planes) + ")"
+    )
+    code_sql = (
+        "CAST(aggregate(zip_with(_dots, sequence(0, {n}), (d, p) -> "
+        "CASE WHEN d >= CAST(0 AS DOUBLE) THEN shiftleft(1, p) ELSE 0 END), "
+        "0, (a, b) -> a + b) AS INT)"
+    ).format(n=len(planes) - 1)
+    probes_sql = (
+        "concat(array(_code), transform(slice(array_sort(transform(_dots, "
+        "(d, p) -> struct(floor(abs(d) * 1e6 + 0.5) / 1e6 AS m, p AS p))), "
+        "1, {np1}), s -> CAST(_code ^ shiftleft(1, s.p) AS INT)))"
+    ).format(np1=int(n_probes) - 1)
+    qp = (
+        queries.select(F.col(qid_col).cast("long").alias(qid_col), qvec_col)
+        .filter(F.col(qid_col).isNotNull() & F.col(qvec_col).isNotNull())
+        .withColumn("_dots", F.expr(dots_sql))
+        .withColumn("_code", F.expr(code_sql))
+        .select(qid_col, qvec_col, F.explode(F.expr(probes_sql)).alias("_qcode"))
+    )
+    cc = (
+        corpus.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+        .filter(F.col(id_col).isNotNull())
+        .withColumn("bucket", lsh_bucket_code(vec_col, planes))
+    )
+    den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
+    scored = cc.join(
+        qp, (F.col("bucket") == F.col("_qcode")) & (F.col(id_col) != F.col(qid_col))
+    ).withColumn(
+        "cosine",
+        F.when(
+            den != F.lit(0.0), _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den)
+        ),
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k))
+        .select(qid_col, "bucket", id_col, "cosine", "rnk")
     )
 
 
@@ -415,6 +566,9 @@ def brute_force_topk(
     + ranked action). An over-threshold query block falls back to the
     fully distributed broadcast-join plan (`_brute_force_join_plan`) —
     same emitted values, no driver collect."""
+    # NULL query vectors filtered BEFORE the gate — uniform block
+    # accounting across all four top-k entry points (ADVICE r8)
+    queries = queries.filter(F.col(qvec_col).isNotNull())
     rows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
     if rows is None:
         return _brute_force_join_plan(
@@ -473,7 +627,24 @@ def ivf_topk(
     DESC, label ASC — over the same centroid doubles Spark computed, so
     the probed cell is unchanged. 3 jobs (centroids + queries + ranked
     action) vs 7 in the old window-assign plan; in-cell scoring runs
-    through the vectorized kernel instead of interpreted HOF folds."""
+    through the vectorized kernel instead of interpreted HOF folds.
+
+    An over-threshold query block (``> max_query_block`` rows after the
+    null-vector filter) falls back to the fully distributed
+    ``_ivf_join_plan`` — in-plan probe assignment, no driver collect
+    (VERDICT r8 task 5)."""
+    if n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
+    # NULL query vectors are out of scope on both sides — filtered BEFORE
+    # the gate so every entry point accounts the block identically
+    # (ADVICE r8: brute/ivf gated unfiltered while lsh gated filtered)
+    queries = queries.filter(F.col(qvec_col).isNotNull())
+    qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
+    if qrows is None:
+        return _ivf_join_plan(
+            corpus, queries, k, label_col, vec_col, id_col, qid_col,
+            qvec_col, n_probes,
+        )
     cents = [
         (int(r[label_col]), list(r["centroid"]))
         for r in label_centroids(corpus, label_col, vec_col).collect()
@@ -488,16 +659,6 @@ def ivf_topk(
         s = fold_cosine(qv, c[1])
         return (1, 0.0, c[0]) if s is None else (0, -py_dround(s, 6), c[0])
 
-    qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
-    if qrows is None:
-        raise ValueError(
-            f"ivf_topk query block exceeds {max_query_block} rows: the "
-            "probe assignment is driver-side by design — run the query "
-            "set in bounded blocks (filter/limit the queries DataFrame) "
-            "or raise max_query_block explicitly"
-        )
-    if n_probes < 1:
-        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     for r in qrows:
         if r[qid_col] is None or r[qvec_col] is None or not cents:
             continue
@@ -600,11 +761,10 @@ def lsh_topk(
     qinfo = []
     qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
     if qrows is None:
-        raise ValueError(
-            f"lsh_topk query block exceeds {max_query_block} rows: query "
-            "bucket codes are assigned driver-side by design — run the "
-            "query set in bounded blocks (filter/limit the queries "
-            "DataFrame) or raise max_query_block explicitly"
+        # over-threshold block: fully distributed in-plan code assignment,
+        # no driver collect (VERDICT r8 task 5)
+        return _lsh_join_plan(
+            corpus, queries, planes, k, 1, id_col, vec_col, qid_col, qvec_col
         )
     for r in qrows:
         if r[qid_col] is None or r[qvec_col] is None:
@@ -655,15 +815,23 @@ def lsh_multiprobe_topk(
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     queries = queries.filter(F.col(qvec_col).isNotNull())
     planes = hyperplanes(n_planes, dim)
-    if not 1 <= n_probes <= 2**n_planes:
-        raise ValueError(f"n_probes must be in [1, {2**n_planes}], got {n_probes}")
+    # single-bit flips give exactly n_planes + 1 distinct probes (own code
+    # + one per plane); a larger n_probes would silently truncate to the
+    # same probe set, so reject it (VERDICT r8 task 8 — multi-bit
+    # perturbation sets, Lv et al. §4, are not implemented)
+    if not 1 <= n_probes <= n_planes + 1:
+        raise ValueError(
+            f"n_probes must be in [1, {n_planes + 1}] (own code + one "
+            f"single-bit flip per plane), got {n_probes}"
+        )
 
     qrows = _collect_query_block(queries, [qid_col, qvec_col], max_query_block)
     if qrows is None:
-        raise ValueError(
-            f"lsh_multiprobe_topk query block exceeds {max_query_block} "
-            "rows: probe assignment is driver-side by design — run the "
-            "query set in bounded blocks or raise max_query_block"
+        # over-threshold block: codes, margins, and the flip set computed
+        # in-plan; no driver collect (VERDICT r8 task 5)
+        return _lsh_join_plan(
+            corpus, queries, planes, k, n_probes, id_col, vec_col,
+            qid_col, qvec_col,
         )
     qinfo = []
     for r in qrows:
