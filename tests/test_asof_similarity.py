@@ -999,3 +999,37 @@ def test_cosine_pairs_persist_opt_out_identical(emb):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_single_block_fast_path_matches_blocked_machinery(emb):
+    """VERDICT r8 task 2: the footer-gated single-block fast path must
+    emit the identical pair set (and exact cosines) as the full
+    sizes/pack/pair-join machinery, for both exact modes and for a
+    multi-group key. A tiny block_rows defeats the footer gate, forcing
+    the blocked path on the same input."""
+    from pyspark.sql import functions as F
+
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        grouped_candidate_pairs,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 80).select(
+        "vec_id", "embedding", (F.col("vec_id") % 3).alias("g")
+    )
+    for kwargs in ({"exact": True}, {"exact": False}):
+        fast = grouped_candidate_pairs(sub, 0.15, "g", **kwargs)
+        slow = grouped_candidate_pairs(sub, 0.15, "g", block_rows=9, **kwargs)
+        f = sorted(map(tuple, fast.collect()))
+        s = sorted(map(tuple, slow.collect()))
+        assert f == s and len(f) > 0, kwargs
+    # the gate really chose different plans: fast has no pair join.
+    # (release the blocked calls' tracked persists first — a cached
+    # InMemoryRelation leaf has no input files, so the footer gate would
+    # conservatively fall back to the blocked path)
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
+    cache.release_all()
+    fast_plan = grouped_candidate_pairs(sub, 0.15, "g")._jdf.queryExecution().optimizedPlan().toString()
+    slow_plan = grouped_candidate_pairs(sub, 0.15, "g", block_rows=9)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in fast_plan
+    assert "Join" in slow_plan

@@ -269,11 +269,20 @@ def small_keys_frame(
     """Bounded driver collect of ``cols`` for quantile.py-style small
     paths: when ``plan_meta.small_scan`` already bounds the input (file
     bytes AND parquet footer rows AND no row-expanding plan node) the
-    collect is the ONLY action (no count job, no persist); otherwise a
-    count() gates it, with the input persisted (``track_on_fallback``)
-    so the count doubles as the cache fill for whichever path follows.
-    Returns a pandas DataFrame, or ``None`` above the gate — the caller
-    then builds its distributed plan."""
+    collect is the ONLY action (no count job, no persist); otherwise ONE
+    capped collect both gates and fetches (r9 job cut — previously a
+    count() job preceded the collect job): after a ``coalesce(8)``, a
+    codegen filter on monotonically_increasing_id's low 33 bits (the
+    in-partition index) keeps at most ``gate + 1`` rows per coalesced
+    partition — no CollectLimit (whose incremental partition waves re-run
+    expensive upstreams, see components.py), worst-case driver transfer
+    8 × (gate + 1) rows. If more than ``gate`` rows come back, some
+    partition was truncated or the total is over — return ``None`` and
+    the caller builds its distributed plan; otherwise the rows ARE the
+    complete frame (a truncated partition alone implies > gate). The
+    input is persisted (``track_on_fallback``) so the collect doubles as
+    the cache fill for whichever path follows.
+    Returns a pandas DataFrame, or ``None`` above the gate."""
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
         small_scan,
     )
@@ -283,12 +292,23 @@ def small_keys_frame(
         if known_bounded is not None
         else small_scan(df, max_rows=gate)
     )
-    if not bounded:
-        if track_on_fallback:
-            df = cache.track(df)
-        if df.count() > gate:
-            return None
-    return df.select(*cols).toPandas()
+    if bounded:
+        return df.select(*cols).toPandas()
+    if track_on_fallback:
+        df = cache.track(df)
+    pdf = (
+        df.select(*cols)
+        .coalesce(8)
+        .withColumn(
+            "_skf_i", F.monotonically_increasing_id() % F.lit(1 << 33)
+        )
+        .filter(F.col("_skf_i") < gate + 1)
+        .drop("_skf_i")
+        .toPandas()
+    )
+    if len(pdf) > gate:
+        return None
+    return pdf
 
 
 def _lex_gt_sql(
@@ -582,9 +602,8 @@ def multi_global_ntile(
     multi-column ``approxQuantile`` pass, the per-ordering bin counts are
     STACKED into one aggregation job, and the rank plumbing (literal
     offsets + partitioned windows) composes lazily into one final plan."""
-    base = df
-    for i, s in enumerate(specs):
-        base = base.withColumn(f"_sk{i}", s.sort_key())
+    # one Py4J analysis round for all sort keys, not one per spec
+    base = df.withColumns({f"_sk{i}": s.sort_key() for i, s in enumerate(specs)})
     # probe the gate BEFORE persisting: the persisted plan's
     # InMemoryRelation leaf always fails small_scan (see _try_small_stats)
     from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
@@ -605,10 +624,9 @@ def multi_global_ntile(
         known_bounded=bounded,
     )
     if lit_exprs is not None:
-        out = base
-        for spec, ex in zip(specs, lit_exprs):
-            out = out.withColumn(spec.out_col, ex)
-        return out.drop(*sk_names)
+        return base.withColumns(
+            {spec.out_col: ex for spec, ex in zip(specs, lit_exprs)}
+        ).drop(*sk_names)
     small = _try_small_stats(
         base,
         sk_names,

@@ -645,10 +645,23 @@ def ivf_topk(
             corpus, queries, k, label_col, vec_col, id_col, qid_col,
             qvec_col, n_probes,
         )
+    # centroid assembly happens driver-side anyway, so collect the
+    # per-dim means directly and skip label_centroids' second groupBy
+    # (array re-collect) exchange — one fewer AQE stage job; the values
+    # are the identical avg() doubles, ordered by pos exactly as
+    # array_sort ordered them (r9 job cut)
+    per_dim = (
+        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+    cmap: dict[int, dict[int, float]] = {}
+    for r in per_dim.collect():
+        if r[label_col] is not None:
+            cmap.setdefault(int(r[label_col]), {})[int(r["pos"])] = r["m"]
     cents = [
-        (int(r[label_col]), list(r["centroid"]))
-        for r in label_centroids(corpus, label_col, vec_col).collect()
-        if r[label_col] is not None
+        (lab, [dims[p] for p in sorted(dims)])
+        for lab, dims in sorted(cmap.items())
     ]
     qinfo = []
 
@@ -916,6 +929,103 @@ def _pack_blocks(
     )
 
 
+def _single_block_pairs(
+    df: DataFrame,
+    threshold: float,
+    grp_col: str,
+    id_col: str,
+    vec_col: str,
+    margin: float,
+    exact: bool,
+) -> DataFrame:
+    """The single-block degenerate of ``grouped_candidate_pairs`` — every
+    group provably fits one block, so pair generation is ONE
+    groupBy(grp).applyInPandas: float64 matmul prefilter at
+    ``threshold - margin``, id-ordered orientation, sequential-fold exact
+    refine — the identical decision sequence the blocked (i==j) task
+    runs, without the sizes-agg / broadcast / pack / pair-join stages.
+    float32 sources load as exactly-widened float64 (the same doubles the
+    blocked path's refine folds over); matmul-vs-fold noise at the cut
+    stays inside the caller-facing margin contract either way."""
+    import numpy as np
+    import pandas as pd
+
+    cut = threshold - margin
+    vc = vec_col
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        def empty():
+            cols = {
+                "id_a": np.empty(0, np.int64),
+                "id_b": np.empty(0, np.int64),
+            }
+            if exact:
+                cols["cosine"] = np.empty(0, np.float64)
+            return pd.DataFrame(cols)
+
+        if len(pdf) < 2:
+            return empty()
+        ids = pdf[id_col].to_numpy(dtype=np.int64)
+        vals = pdf[vc].to_numpy()
+        try:
+            mat = np.vstack(vals).astype(np.float64, copy=False)
+        except (ValueError, TypeError):
+            try:
+                mat = np.array([list(v) for v in vals], dtype=np.float64)
+            except (ValueError, TypeError) as e:
+                lens = sorted({len(v) for v in vals})
+                raise ValueError(
+                    f"ragged embedding block in {vc!r}: vector "
+                    f"lengths {lens} — similarity ops require uniform "
+                    "dimensionality"
+                ) from e
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (mat @ mat.T) / np.outer(nrm, nrm)
+        ii, jj = np.nonzero(cos >= cut)
+        a, b = ids[ii], ids[jj]
+        keep = a < b  # unordered pair once, id-ordered (mirrors i == j)
+        ii, jj, a, b = ii[keep], jj[keep], a[keep], b[keep]
+        if not exact:
+            return pd.DataFrame({"id_a": a, "id_b": b})
+
+        def seq_cosine(va, vb) -> float:
+            # nested on purpose — see the blocked path's closure note
+            import math
+
+            d = 0.0
+            for x, y in zip(va, vb):
+                d = d + x * y
+            na = 0.0
+            for x in va:
+                na = na + x * x
+            nb2 = 0.0
+            for y in vb:
+                nb2 = nb2 + y * y
+            return d / (math.sqrt(na) * math.sqrt(nb2))
+
+        keep_idx, cvals = [], []
+        for t in range(len(a)):
+            c = seq_cosine(mat[ii[t]].tolist(), mat[jj[t]].tolist())
+            if c >= cut:
+                keep_idx.append(t)
+                cvals.append(c)
+        return pd.DataFrame(
+            {
+                "id_a": a[keep_idx],
+                "id_b": b[keep_idx],
+                "cosine": np.asarray(cvals, dtype=np.float64),
+            }
+        )
+
+    schema = "id_a long, id_b long" + (", cosine double" if exact else "")
+    return (
+        df.select(grp_col, id_col, vec_col)
+        .groupBy(grp_col)
+        .applyInPandas(gen, schema)
+    )
+
+
 def grouped_candidate_pairs(
     df: DataFrame,
     threshold: float,
@@ -965,13 +1075,34 @@ def grouped_candidate_pairs(
     read by two plan branches (sizes agg + pack) and the packed blocks by
     two more (left/right of the pair join) — both are persisted via
     operators.cache so no branch re-executes the upstream subtree
-    (exchange reuse measurably does not collapse them)."""
+    (exchange reuse measurably does not collapse them).
+
+    Single-block fast path (VERDICT r8 task 2): when parquet footer
+    metadata proves the WHOLE input fits one block (``input_rows(df) <=
+    block_rows`` with a row-bounded plan — job-free, and an upper bound
+    on every group's size), the sizes-agg / broadcast / pack / pair-join
+    machinery is provably all (bid=0, nb=1, i=j=0) and collapses to ONE
+    groupBy(grp).applyInPandas doing the identical in-group upper
+    triangle: same float64 matmul cut, same id-ordered orientation, same
+    sequential-fold exact refine — one exchange instead of five. The
+    footer gate fails at scale (and for non-parquet inputs), so the
+    blocked path stays the 100 TB default."""
     # NULL vectors produce no candidates (r7 embedding null-fuzz: a None
     # row crashed the block-pack np.stack); the e2e pipelines keep such
     # ids as singletons via their outer join, matching the oracle
     df = df.filter(F.col(vec_col).isNotNull())
     import numpy as np
     import pandas as pd
+
+    from us_weather_energy_analysis_pipeline_spark.operators.plan_meta import (
+        _plan_row_bounded,
+        input_rows,
+    )
+
+    if input_rows(df) <= block_rows and _plan_row_bounded(df):
+        return _single_block_pairs(
+            df, threshold, grp_col, id_col, vec_col, margin, exact
+        )
 
     from pyspark.sql import types as T
 
