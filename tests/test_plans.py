@@ -291,12 +291,14 @@ def test_corpus_has_no_unlisted_global_windows(spark, sf_dir):
 
 
 def test_cosine_pair_dedup_no_driver_collect(spark, sf_dir):
-    """dedup_embed_cosine must stay fully distributed: the block-pair plan
-    contains the pack/pair joins and no CollectLimit/driver gather; the
-    embedding scan feeds mapInPandas workers, never the driver."""
+    """dedup_embed_cosine must stay fully distributed with no
+    CollectLimit/driver gather. At corpus SFs the footer gate picks the
+    single-block fast path (r9): ONE FlatMapGroupsInPandas doing the
+    in-group upper triangle — no pack/pair-join stages, and still no
+    driver collect. (The blocked machinery's plan shape is pinned by
+    test_single_block_fast_path_matches_blocked_machinery.)"""
     plan = _formatted(spark, "dedup_embed_cosine", sf_dir)
-    assert "MapInPandas" in plan
-    assert "FlatMapGroupsInPandas" in plan  # the block packer
+    assert "FlatMapGroupsInPandas" in plan  # the in-group pair kernel
     assert "CollectLimit" not in plan
 
 
