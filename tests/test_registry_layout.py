@@ -63,6 +63,7 @@ ROTATED_R9 = (
     "embed_lsh_multiprobe_topk",
     "embed_ivf_multiprobe_topk",
     "distinct_kmv_estimate",
+    "topk_per_group",
 )
 
 

@@ -83,19 +83,58 @@ def streak_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per market segment — per-group bounded rank (the
     reference only has a global limit, O2 `app.py:559`). row_number with a
-    deterministic orderkey tie-break; AQE plans the customer side broadcast
-    so the only shuffle is the rank partitioning."""
+    deterministic orderkey tie-break; AQE plans the customer side broadcast.
+
+    Two-phase (r9): the naive single window partitions by segment — FIVE
+    partitions, so every order funnels into 5 sort tasks (the skew that
+    kills this shape at 100 TB). Phase 1 prunes each Arrow batch to its
+    per-segment top-3 in-task (global top-3 per segment is a subset of
+    the union of batch top-3s, so the prune is lossless); the segment
+    window then ranks ≤ 3 × n_batches survivors — same 5 partitions but
+    trivially small. A JVM two-phase window over (segment,
+    spark_partition_id) was measured SLOWER at sf0.1 (0.62 s vs 0.53
+    current vs 0.46 this — it re-shuffles the full join output), while
+    the batch prune ships only the survivors into the one exchange."""
+    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    w = Window.partitionBy("c_mktsegment").orderBy(
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"), "o_orderkey", "o_totalprice"
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                # exact batch-local twin of the window ordering
+                # (price DESC NULLS LAST, orderkey ASC — the _null
+                # indicator keeps the NaN block's orderkey tie-break
+                # exact); dropna=False keeps NULL segments as a group,
+                # matching Window.partitionBy's NULL pooling
+                yield (
+                    pdf.assign(
+                        _null=pdf["o_totalprice"].isna(),
+                        _sp=pdf["o_totalprice"].fillna(0.0),
+                    )
+                    .sort_values(
+                        ["_null", "_sp", "o_orderkey"],
+                        ascending=[True, False, True],
+                    )
+                    .groupby("segment", sort=False, dropna=False)
+                    .head(3)[["segment", "o_orderkey", "o_totalprice"]]
+                )
+
+    cand = j.mapInPandas(
+        prune, "segment string, o_orderkey long, o_totalprice double"
+    )
+    w = Window.partitionBy("segment").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
         .select(
-            F.col("c_mktsegment").alias("segment"),
+            "segment",
             "rnk",
             "o_orderkey",
             r2(F.col("o_totalprice")).alias("totalprice"),

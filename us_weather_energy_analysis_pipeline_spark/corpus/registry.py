@@ -178,6 +178,7 @@ WINDOW: tuple[str, ...] = (
     "embed_lsh_multiprobe_topk",
     "embed_ivf_multiprobe_topk",
     "distinct_kmv_estimate",
+    "topk_per_group",
 )
 
 
