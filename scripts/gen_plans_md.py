@@ -95,10 +95,13 @@ SHOWCASE = {
         "in one narrow map stage (higher-order functions, no explode/groupBy)."
     ),
     "dedup_embed_cosine": (
-        "Distributed block-pair filter-refine: pack blocks "
-        "(FlatMapGroupsInPandas), equi-join pair keys, numpy prune "
-        "(MapInPandas), exact fold re-score — no driver collect, no "
-        "full-matrix broadcast."
+        "At corpus SFs the footer gate (input fits one block, proven "
+        "from parquet metadata, job-free) selects the single-block fast "
+        "path shown: ONE FlatMapGroupsInPandas does the in-group matmul "
+        "prune + exact fold re-score — no driver collect. Above "
+        "block_rows the same call builds the distributed block-pair "
+        "filter-refine (pack blocks, equi-join pair keys, numpy prune, "
+        "exact re-score; plan pinned by the block_rows-forced tests)."
     ),
     "distinct_kmv_estimate": (
         "KMV sketch: TakeOrderedAndProject keeps the k smallest hashes with "
