@@ -17,6 +17,8 @@ from us_weather_energy_analysis_pipeline_spark.corpus import registry
 # job cuts, rfm expression-build rewrite, distributed ANN probe
 # assignment, KMV pre-prune, brute-force fallback schema).
 ROTATED_R9 = (
+    "doc_chunk_overlap",
+    "vocab_prune_df_bounds",
     "argmax_supplier",
     "bigram_topk",
     "cohort_retention",

@@ -354,3 +354,56 @@ def corr_pairs_topk_from(e: DataFrame, k: int = CORR_TOP) -> DataFrame:
     return local_df(
         e.sparkSession, out[:k], "dim_i int, dim_j int, corr_ij double"
     )
+
+
+VOCAB_MIN_DF = 3    # tokens in fewer documents are noise/typos
+VOCAB_MAX_DF = 400  # tokens in more documents are stop-like boilerplate
+
+
+@register(
+    "vocab_prune_df_bounds",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest({_TOKS_DUCK}) AS tok FROM documents)
+      WHERE tok <> ''
+      GROUP BY doc_id, tok
+    )
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(c) AS BIGINT)   AS tf
+    FROM tf
+    GROUP BY tok
+    HAVING COUNT(*) BETWEEN {VOCAB_MIN_DF} AND {VOCAB_MAX_DF}
+    """,
+    tags=("text", "vocab", "df-bounds", "corpus-stats"),
+)
+def vocab_prune_df_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction with document-frequency bounds — the pruning
+    pass a tokenizer/vocab build runs before assigning merges: drop
+    tokens seen in fewer than {min_df} documents (noise, typos, serial
+    numbers) or more than {max_df} (stop-like boilerplate that carries
+    no signal). Emits the kept vocabulary with its document and corpus
+    frequencies.
+
+    Plan: the (doc_id, tok) grain collapses FIRST (one groupBy with
+    map-side combine — the raw token stream never crosses an exchange
+    undeduplicated), then one token-grain aggregate takes df = row count
+    and tf = sum. Both exchanges carry the deduped grain; the HAVING is
+    a post-aggregate filter on the second. Same two-exchange shape as
+    the tfidf tf stage — the df-bound filter is exactly the df-cap idea
+    the posting-list dedup family uses, surfaced as a standalone op."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        tf.groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("c").cast("long").alias("tf"),
+        )
+        .filter(F.col("df").between(VOCAB_MIN_DF, VOCAB_MAX_DF))
+    )

@@ -120,16 +120,21 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-9 window (VERDICT r8 task 1): positions 0-32 are the 33 queries
-# whose latest driver row is r06 — every other registered query was
-# driver-verified in r07 or r08 — so after this round the whole 131-query
-# union is at most two rounds stale. Positions 33+ are the queries whose
+# Round-9 window (VERDICT r8 task 1): positions 0-1 are the two queries
+# registered this round (chunking + vocab pruning — never driver
+# verified); next are the 33 queries whose latest driver row is r06 —
+# every other registered query was driver-verified in r07 or r08 — so
+# after this round the whole 133-query union is at most two rounds
+# stale. The tail positions are the queries whose
 # PLANS this round's tasks touch (VERDICT r8 tasks 2/3/5/6 + ADVICE:
 # the e2e dedup pipelines and their cluster/winnow/ngram stages, the rfm
 # literal-NTILE expression-build rewrite, the four ANN top-k queries that
 # gain distributed probe assignment, the KMV pre-prune probe, and
 # embed_cosine_topk whose module's brute-force fallback schema changed).
 WINDOW: tuple[str, ...] = (
+    # -- registered this round, never driver-verified --
+    "doc_chunk_overlap",
+    "vocab_prune_df_bounds",
     # -- last driver row r06 (the full stale set) --
     "argmax_supplier",
     "bigram_topk",

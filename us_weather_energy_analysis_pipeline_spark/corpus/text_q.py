@@ -413,3 +413,63 @@ def decontamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.count("hit") / F.count(F.lit(1))).alias("contamination_rate"),
     )
 
+
+
+CHUNK_TOKENS = 32  # tokens per chunk (the training-window / RAG unit)
+CHUNK_STRIDE = 24  # stride between chunk starts → 8-token overlap
+
+
+@register(
+    "doc_chunk_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    'abcdefghijklmnopqrstuvwxyz'), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+             CAST(i AS BIGINT)                          AS chunk_start,
+             t[i:i+{CHUNK_TOKENS}-1]                    AS c
+      FROM toks, UNNEST(generate_series(1, len(t), {CHUNK_STRIDE})) AS s(i)
+    )
+    SELECT doc_id, chunk_id, chunk_start,
+           CAST(len(c) AS INTEGER)           AS n_chunk_tokens,
+           md5(array_to_string(c, ' '))      AS chunk_md5
+    FROM chunks
+    """,
+    tags=("text", "chunking", "rag", "training-windows"),
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the pass that turns documents
+    into fixed-size training windows / RAG retrieval units (32-token
+    chunks, stride 24 → 8-token overlap so no boundary context is lost).
+    Emits one row per chunk with its position and an md5 fingerprint
+    (the dedup key a downstream chunk-level dedup joins on).
+
+    Plan shape: pure per-row array expressions — stage the token array
+    once (CollapseProject keeps the multi-reference alias), explode the
+    stride-spaced start sequence, slice per start — zero shuffle, an
+    embarrassingly parallel scan at any scale. The final (possibly
+    short) tail chunk is emitted deliberately: truncating it would drop
+    trailing tokens from the training set. NULL text emits no chunks on
+    both engines (explode/unnest of a NULL token array)."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    staged = d.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunk = F.slice("t", F.col("s"), CHUNK_TOKENS)
+    return staged.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS INT)").alias("chunk_id"),
+        F.col("s").cast("long").alias("chunk_start"),
+        F.size(chunk).alias("n_chunk_tokens"),
+        F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
+    )
