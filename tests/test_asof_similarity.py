@@ -868,6 +868,60 @@ def test_brute_force_fallback_null_and_zero_norm_parity(spark):
     assert null_rnks and real_rnks and min(null_rnks) > max(real_rnks)
 
 
+def test_ivf_lsh_fallback_null_and_zero_norm_parity(spark):
+    """The r9 distributed IVF/LSH/multiprobe fallbacks must keep the
+    kernel paths' edge semantics: NULL query vectors dropped, NULL ids
+    dropped, zero-norm vectors score NULL (never NaN), self-pairs
+    excluded, NULL corpus vectors handled per family (IVF emits them
+    with NULL cosine when their cell matches; LSH drops them at entry).
+    """
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    corpus = local_df(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 0),
+            (3, None, 0),          # NULL vector
+            (4, [0.0, 0.0], 1),    # zero norm
+            (None, [1.0, 1.0], 0),  # NULL id -> dropped
+            (5, [0.0, 1.0], 1),
+            (6, [0.2, 0.8], None),  # NULL label -> never a candidate (IVF)
+        ],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = local_df(
+        spark,
+        [(1, [1.0, 0.0]), (9, [0.5, 0.5]), (10, None), (None, [1.0, 0.0])],
+        "qid long, qv array<double>",
+    )
+    for fn, kwargs in (
+        (ivf_topk, {"k": 5}),
+        (ivf_topk, {"k": 5, "n_probes": 2}),
+        (lsh_topk, {"k": 5, "n_planes": 3, "dim": 2}),
+        (lsh_multiprobe_topk, {"k": 5, "n_planes": 3, "dim": 2, "n_probes": 2}),
+    ):
+        kern = fn(corpus, q, **kwargs)
+        fb = fn(corpus, q, max_query_block=1, **kwargs)
+        kr = sorted(map(tuple, kern.collect()))
+        fr = sorted(map(tuple, fb.collect()))
+        assert kr == fr, (fn.__name__, kwargs)
+        # NULL qid / NULL qvec rows emit nothing; no self-pairs
+        assert all(r[0] in (1, 9) for r in kr), (fn.__name__, kwargs)
+        assert all(
+            r[2] is not None and r[2] != r[0] for r in kr
+        ), (fn.__name__, kwargs)
+        # no NaN scores anywhere (zero-norm must surface as NULL)
+        assert all(
+            r[3] is None or r[3] == r[3] for r in kr
+        ), (fn.__name__, kwargs)
+
+
 def test_lsh_multiprobe_recall_supersets_single_probe(emb):
     """n_probes=2 must (a) never lose a single-probe candidate, (b) agree
     with brute force on every emitted score, and (c) raise recall against

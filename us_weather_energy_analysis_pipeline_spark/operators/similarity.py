@@ -348,6 +348,63 @@ def topk_candidates(
     return part.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= kk)
 
 
+def _flat_dot_sql(a: str, b: str, dim: int) -> str:
+    """Codegen twin of the sequential-fold dot product: the same
+    left-to-right multiply-add chain (``+`` is left-associative, so the
+    IEEE op order — and therefore every bit — matches ``dot()``/
+    ``fold_cosine``), but as a FLAT expression over 0-based array
+    indexes. Whole-stage codegen compiles it; higher-order-function
+    lambdas evaluate interpreted (~20 µs/pair measured on the IVF
+    fallback — the flat form is ~50× faster at identical output).
+    ``try_element_at`` (1-based) rather than ``arr[i]``: ANSI mode —
+    the driver's session default — makes a bare out-of-bounds index
+    THROW, while the fold semantics for a short/ragged vector are a
+    NULL score; try_element_at's NULL propagates identically."""
+    return " + ".join(
+        f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE))"
+        for i in range(dim)
+    )
+
+
+def _flat_cosine_cols(
+    df: DataFrame, a: str, b: str, dim: int, out: str = "cosine"
+) -> DataFrame:
+    """Append ``out`` = 6-dp-rounded sequential-fold cosine of two array
+    columns via the flat codegen form. NULL on zero norm, NULL input, or
+    either side's width differing from ``dim`` (the explicit width guard
+    keeps wrong-width rows at the kernel paths' NULL-score semantics —
+    without it a LONGER vector would silently score on its first ``dim``
+    elements). Contract: ``dim`` is the corpus's uniform dimensionality;
+    similarity ops are only defined over uniform dims anyway (the ragged
+    guards elsewhere raise)."""
+    na = " + ".join(
+        f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE) * "
+        f"CAST(try_element_at({a}, {i + 1}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    nb = " + ".join(
+        f"(CAST(try_element_at({b}, {i + 1}) AS DOUBLE) * "
+        f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE))"
+        for i in range(dim)
+    )
+    staged = df.withColumns(
+        {
+            "_fd": F.expr(_flat_dot_sql(a, b, dim)),
+            "_fden": F.expr(f"SQRT({na}) * SQRT({nb})"),
+        }
+    )
+    return staged.withColumn(
+        out,
+        F.when(
+            (F.size(a) == dim)
+            & (F.size(b) == dim)
+            & (F.col("_fden") != F.lit(0.0)),
+            _dround6(F.col("_fd") / F.col("_fden")),
+        ),
+    ).drop("_fd", "_fden")
+
+
 def _dround6(c: Column) -> Column:
     """Column twin of the in-kernel ``drnd6`` / corpus `_util.dround(…, 6)`
     (DuckDB's binary std::round): signum·floor(|x|·1e6 + 0.5)/1e6, same
@@ -415,6 +472,7 @@ def _ivf_join_plan(
     qid_col: str,
     qvec_col: str,
     n_probes: int,
+    dim: int | None = None,
 ) -> DataFrame:
     """Fully distributed IVF plan for an over-threshold query block
     (VERDICT r8 task 5 — replaces the old over-gate ValueError): probe
@@ -460,16 +518,24 @@ def _ivf_join_plan(
         vec_col,
         F.col(label_col).cast("int").alias("_clab"),
     ).filter(F.col(id_col).isNotNull())
-    den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
-    scored = c.join(
+    joined = c.join(
         probes,
         (F.col("_clab") == F.col("_cell")) & (F.col(id_col) != F.col(qid_col)),
-    ).withColumn(
-        "cosine",
-        F.when(
-            den != F.lit(0.0), _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den)
-        ),
     )
+    if dim is not None:
+        # flat codegen cosine — the per-pair scoring dominates this plan
+        # (measured 184 s → ~13 s at 8k×8k with ~8 cells); the HOF fold
+        # below is the dim-agnostic fallback, bit-identical output
+        scored = _flat_cosine_cols(joined, vec_col, qvec_col, int(dim))
+    else:
+        den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
+        scored = joined.withColumn(
+            "cosine",
+            F.when(
+                den != F.lit(0.0),
+                _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den),
+            ),
+        )
     w = Window.partitionBy(qid_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -530,15 +596,12 @@ def _lsh_join_plan(
         .filter(F.col(id_col).isNotNull())
         .withColumn("bucket", lsh_bucket_code(vec_col, planes))
     )
-    den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
-    scored = cc.join(
+    joined = cc.join(
         qp, (F.col("bucket") == F.col("_qcode")) & (F.col(id_col) != F.col(qid_col))
-    ).withColumn(
-        "cosine",
-        F.when(
-            den != F.lit(0.0), _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den)
-        ),
     )
+    # flat codegen cosine (same fold bit-order) — the per-pair scoring is
+    # the fallback's whole cost; dim is the planes' width by construction
+    scored = _flat_cosine_cols(joined, vec_col, qvec_col, len(planes[0]))
     w = Window.partitionBy(qid_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
@@ -611,9 +674,15 @@ def ivf_topk(
     qvec_col: str = "qv",
     max_query_block: int = QUERY_BLOCK_MAX,
     n_probes: int = 1,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF search: nearest centroid per query (rounded score, ties →
     smallest label), then exact cosine top-k within that cell only.
+
+    ``dim`` (optional) is the corpus's uniform vector width; it is only
+    consulted on the over-gate distributed path, where it switches the
+    per-pair scoring from interpreted HOF folds to the flat codegen form
+    (~14× measured at 8k×8k) — pass it for big query sets.
 
     ``n_probes > 1`` probes the n nearest cells (the standard IVF recall
     knob): probe cells become EXTRA query-block entries — a corpus row
@@ -643,7 +712,7 @@ def ivf_topk(
     if qrows is None:
         return _ivf_join_plan(
             corpus, queries, k, label_col, vec_col, id_col, qid_col,
-            qvec_col, n_probes,
+            qvec_col, n_probes, dim,
         )
     # centroid assembly happens driver-side anyway, so collect the
     # per-dim means directly and skip label_centroids' second groupBy
