@@ -901,8 +901,9 @@ def test_ivf_lsh_fallback_null_and_zero_norm_parity(spark):
         "qid long, qv array<double>",
     )
     for fn, kwargs in (
-        (ivf_topk, {"k": 5}),
-        (ivf_topk, {"k": 5, "n_probes": 2}),
+        (ivf_topk, {"k": 5}),                 # fold-scored fallback
+        (ivf_topk, {"k": 5, "dim": 2}),       # flat codegen fallback
+        (ivf_topk, {"k": 5, "n_probes": 2, "dim": 2}),
         (lsh_topk, {"k": 5, "n_planes": 3, "dim": 2}),
         (lsh_multiprobe_topk, {"k": 5, "n_planes": 3, "dim": 2, "n_probes": 2}),
     ):
