@@ -208,7 +208,9 @@ def main() -> None:
         drv = sorted(glob.glob("BENCH_r[0-9]*.json"))
         if drv:
             try:
-                dd = json.load(open(drv[-1])).get("parsed", {})
+                with open(drv[-1]) as fh:
+                    loaded = json.load(fh)
+                dd = loaded.get("parsed", {}) if isinstance(loaded, dict) else {}
                 f.write(
                     f"\nDriver cross-reference: `{drv[-1]}` recorded "
                     f"{dd.get('value', '?')}s over {dd.get('n_queries', '?')} "

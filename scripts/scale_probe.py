@@ -246,16 +246,17 @@ def block_pair_probes(spark, sf_dir: str) -> list[str]:
         print(f"block_sweep rows={block_rows}: {dt}s")
     base_t = None
     for factor in (1, 4, 16):
-        # sample(1.0) keeps every row but marks the plan non-row-bounded,
-        # defeating the r9 single-block footer gate — the ×1 point must
-        # run the SAME blocked machinery as ×4/×16 or the growth curve
-        # mixes plans (fast path at ×1 would inflate apparent growth)
-        df = scaled_embeddings(spark, sf_dir, factor).sample(1.0, seed=7)
+        # force_blocked: the ×1 point must run the SAME blocked machinery
+        # as ×4/×16 or the growth curve mixes plans (the footer-gated fast
+        # path at ×1 would distort apparent growth — and review r9 showed
+        # a sample(1.0) wrapper does NOT defeat the gate: Sample is
+        # row-bounded and footer rows remain the bound)
+        df = scaled_embeddings(spark, sf_dir, factor)
         dt = float("inf")
         for _ in range(2):
             t0 = time.time()
             cosine_pairs_filter_refine(
-                df, threshold=0.8, block_rows=2048
+                df, threshold=0.8, block_rows=2048, force_blocked=True
             ).write.format("noop").mode("overwrite").save()
             dt = min(dt, time.time() - t0)
         dt = round(dt, 2)

@@ -1074,9 +1074,15 @@ def test_single_block_fast_path_matches_blocked_machinery(emb):
     for kwargs in ({"exact": True}, {"exact": False}):
         fast = grouped_candidate_pairs(sub, 0.15, "g", **kwargs)
         slow = grouped_candidate_pairs(sub, 0.15, "g", block_rows=9, **kwargs)
+        # force_blocked runs the blocked machinery at the DEFAULT
+        # block_rows (single block per group) — the probe/test override
+        forced = grouped_candidate_pairs(
+            sub, 0.15, "g", force_blocked=True, **kwargs
+        )
         f = sorted(map(tuple, fast.collect()))
         s = sorted(map(tuple, slow.collect()))
-        assert f == s and len(f) > 0, kwargs
+        fo = sorted(map(tuple, forced.collect()))
+        assert f == s == fo and len(f) > 0, kwargs
     # the gate really chose different plans: fast has no pair join.
     # (release the blocked calls' tracked persists first — a cached
     # InMemoryRelation leaf has no input files, so the footer gate would

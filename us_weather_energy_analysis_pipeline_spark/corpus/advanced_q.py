@@ -95,8 +95,6 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark_partition_id) was measured SLOWER at sf0.1 (0.62 s vs 0.53
     current vs 0.46 this — it re-shuffles the full join output), while
     the batch prune ships only the survivors into the one exchange."""
-    import pandas as pd  # noqa: F401  (mapInPandas batches are pandas)
-
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(

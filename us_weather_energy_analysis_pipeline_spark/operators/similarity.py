@@ -36,10 +36,11 @@ from pyspark.sql import functions as F
 
 # Gate on the driver-collected query block (VERDICT r7): 16 384 queries ×
 # dim-64 float64 ≈ 8 MB in the task closure — the upper end of "rides in
-# every task's closure for free". Beyond it brute force falls back to a
-# fully distributed broadcast-join plan; IVF/LSH raise actionably (their
-# probe assignment is inherently driver-side — a huge query set should be
-# run in bounded blocks, which is also the right plan on a real cluster).
+# every task's closure for free". Beyond it EVERY entry point falls back
+# to a fully distributed plan (VERDICT r8 task 5): brute force to the
+# broadcast-join plan, IVF/LSH/multiprobe to in-plan probe assignment
+# (`_ivf_join_plan` / `_lsh_join_plan`) — same emitted bits, no driver
+# collect. Bounded blocks remain the FAST path (the mapInPandas kernel).
 QUERY_BLOCK_MAX = 16_384
 
 
@@ -354,8 +355,9 @@ def _flat_dot_sql(a: str, b: str, dim: int) -> str:
     IEEE op order — and therefore every bit — matches ``dot()``/
     ``fold_cosine``), but as a FLAT expression over 0-based array
     indexes. Whole-stage codegen compiles it; higher-order-function
-    lambdas evaluate interpreted (~20 µs/pair measured on the IVF
-    fallback — the flat form is ~50× faster at identical output).
+    lambdas evaluate interpreted (measured on the 8k×8k over-gate
+    fallbacks: lsh 15.4→12.7 s, multiprobe 29.9→16.5 s, ivf 184→64 s —
+    identical output bits).
     ``try_element_at`` (1-based) rather than ``arr[i]``: ANSI mode —
     the driver's session default — makes a bare out-of-bounds index
     THROW, while the fold semantics for a short/ragged vector are a
@@ -378,16 +380,10 @@ def _flat_cosine_cols(
     elements). Contract: ``dim`` is the corpus's uniform dimensionality;
     similarity ops are only defined over uniform dims anyway (the ragged
     guards elsewhere raise)."""
-    na = " + ".join(
-        f"(CAST(try_element_at({a}, {i + 1}) AS DOUBLE) * "
-        f"CAST(try_element_at({a}, {i + 1}) AS DOUBLE))"
-        for i in range(dim)
-    )
-    nb = " + ".join(
-        f"(CAST(try_element_at({b}, {i + 1}) AS DOUBLE) * "
-        f"CAST(try_element_at({b}, {i + 1}) AS DOUBLE))"
-        for i in range(dim)
-    )
+    # norms are self-dots — ONE string builder keeps the three chains
+    # bit-identical by construction (review r9: no hand-synced copies)
+    na = _flat_dot_sql(a, a, dim)
+    nb = _flat_dot_sql(b, b, dim)
     staged = df.withColumns(
         {
             "_fd": F.expr(_flat_dot_sql(a, b, dim)),
@@ -523,9 +519,10 @@ def _ivf_join_plan(
         (F.col("_clab") == F.col("_cell")) & (F.col(id_col) != F.col(qid_col)),
     )
     if dim is not None:
-        # flat codegen cosine — the per-pair scoring dominates this plan
-        # (measured 184 s → ~13 s at 8k×8k with ~8 cells); the HOF fold
-        # below is the dim-agnostic fallback, bit-identical output
+        # flat codegen cosine — per-pair scoring dominates this plan
+        # (measured 184 s → 64 s at 8k×8k with 8 cells; the residual is
+        # the 8M-pair rank window); the HOF fold below is the
+        # dim-agnostic fallback, bit-identical output
         scored = _flat_cosine_cols(joined, vec_col, qvec_col, int(dim))
     else:
         den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
@@ -647,17 +644,29 @@ def brute_force_topk(
     ).select(qid_col, id_col, "cosine", "rnk")
 
 
+def _per_dim_means(
+    corpus: DataFrame, label_col: str, vec_col: str
+) -> DataFrame:
+    """(label, pos, m): per-cell per-dimension means — the single shared
+    aggregation behind BOTH centroid consumers (``label_centroids``'s
+    array re-collect and ``ivf_topk``'s driver-side assembly), so the two
+    paths cannot drift apart (review r9)."""
+    return (
+        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
+        .groupBy(label_col, "pos")
+        .agg(F.avg(F.col("v").cast("double")).alias("m"))
+    )
+
+
 def label_centroids(
     corpus: DataFrame, label_col: str = "label", vec_col: str = "embedding"
 ) -> DataFrame:
     """Per-cell centroid vectors via posexplode + per-dim mean + re-collect
     (the reduce step of IVF coarse quantization). Returns
     (label, centroid array<double>)."""
-    per_dim = corpus.select(
-        label_col, F.posexplode(vec_col).alias("pos", "v")
-    ).groupBy(label_col, "pos").agg(F.avg(F.col("v").cast("double")).alias("m"))
     return (
-        per_dim.groupBy(label_col)
+        _per_dim_means(corpus, label_col, vec_col)
+        .groupBy(label_col)
         .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("s"))
         .select(label_col, F.col("s.m").alias("centroid"))
     )
@@ -682,7 +691,7 @@ def ivf_topk(
     ``dim`` (optional) is the corpus's uniform vector width; it is only
     consulted on the over-gate distributed path, where it switches the
     per-pair scoring from interpreted HOF folds to the flat codegen form
-    (~14× measured at 8k×8k) — pass it for big query sets.
+    (184 → 64 s measured at 8k×8k) — pass it for big query sets.
 
     ``n_probes > 1`` probes the n nearest cells (the standard IVF recall
     knob): probe cells become EXTRA query-block entries — a corpus row
@@ -719,11 +728,7 @@ def ivf_topk(
     # (array re-collect) exchange — one fewer AQE stage job; the values
     # are the identical avg() doubles, ordered by pos exactly as
     # array_sort ordered them (r9 job cut)
-    per_dim = (
-        corpus.select(label_col, F.posexplode(vec_col).alias("pos", "v"))
-        .groupBy(label_col, "pos")
-        .agg(F.avg(F.col("v").cast("double")).alias("m"))
-    )
+    per_dim = _per_dim_means(corpus, label_col, vec_col)
     cmap: dict[int, dict[int, float]] = {}
     for r in per_dim.collect():
         if r[label_col] is not None:
@@ -1105,6 +1110,7 @@ def grouped_candidate_pairs(
     block_rows: int = 8192,
     exact: bool = False,
     persist_input: bool = True,
+    force_blocked: bool = False,
 ) -> DataFrame:
     """Candidate pairs ``(id_a < id_b)`` with numpy-filtered cosine >=
     ``threshold - margin``, WITHIN each group of ``grp_col`` — the bounded
@@ -1168,7 +1174,15 @@ def grouped_candidate_pairs(
         input_rows,
     )
 
-    if input_rows(df) <= block_rows and _plan_row_bounded(df):
+    # ``force_blocked`` skips the gate — used by growth probes and tests
+    # that must measure/pin the blocked machinery on inputs small enough
+    # for the fast path (a Sample/Filter above the scan does NOT defeat
+    # the gate: both are row-bounded and footer rows stay the bound)
+    if (
+        not force_blocked
+        and input_rows(df) <= block_rows
+        and _plan_row_bounded(df)
+    ):
         return _single_block_pairs(
             df, threshold, grp_col, id_col, vec_col, margin, exact
         )
@@ -1338,6 +1352,7 @@ def cosine_pairs_filter_refine(
     id_col: str = "vec_id",
     margin: float = 1e-6,
     block_rows: int = 8192,
+    force_blocked: bool = False,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with exact cosine >= threshold, via
     DISTRIBUTED block-pair filter-and-refine — no driver collect, no
@@ -1384,4 +1399,5 @@ def cosine_pairs_filter_refine(
         margin=margin,
         block_rows=block_rows,
         exact=True,
+        force_blocked=force_blocked,
     ).filter(F.col("cosine") >= threshold)
