@@ -1,0 +1,180 @@
+"""Nearest-centroid assignment + hard-negative mining (r9 additions).
+
+The corpus-level oracle gate (test_corpus_oracle / the driver) pins the
+end-to-end values; these tests pin the OPERATOR contract — kernel argmax
+parity with the exhaustive sequential-fold scan, NULL-score semantics,
+tie-breaks, codebook validation — and the query-level edges the fixed
+dataset never exercises (all-NULL labels, single-cell corpora).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+    assign_nearest_centroid,
+    collect_centroids,
+    fold_cosine,
+    py_dround,
+)
+
+CENTS = [
+    (0, [1.0, 0.0, 0.0, 0.0]),
+    (1, [0.0, 1.0, 0.0, 0.0]),
+    (2, [0.7, 0.7, 0.0, 0.0]),
+]
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<float>"
+    )
+
+
+def test_assign_matches_exhaustive_fold(spark):
+    """Kernel argmax (BLAS pre-rank + margin fold re-score) must equal the
+    exhaustive per-row fold argmax under (6-dp round DESC, label ASC) —
+    the ordering every IVF-family oracle uses."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randrange(3), [rng.uniform(-1, 1) for _ in range(4)])
+        for i in range(200)
+    ]
+    out = {
+        r["vec_id"]: (r["assigned_label"], r["centroid_cosine"])
+        for r in assign_nearest_centroid(_emb(spark, rows), CENTS).collect()
+    }
+    for vid, _, vec in rows:
+        want = min(
+            (
+                (-py_dround(c, 6), lab, c)
+                for lab, cv in CENTS
+                if (c := fold_cosine(vec, cv)) is not None
+            ),
+            default=None,
+        )
+        got_lab, got_cos = out[vid]
+        assert got_lab == want[1], f"vec {vid}: {got_lab} != {want[1]}"
+        assert got_cos == -want[0]
+
+
+def test_assign_null_zero_wrongwidth_get_null(spark):
+    rows = [
+        (0, 0, [1.0, 0.1, 0.0, 0.0]),
+        (1, 0, None),
+        (2, 0, [0.0, 0.0, 0.0, 0.0]),
+        (3, 0, [1.0, 0.0]),
+    ]
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assign_nearest_centroid(_emb(spark, rows), CENTS).collect()
+    }
+    assert got[0] == 0
+    assert got[1] is None and got[2] is None and got[3] is None
+
+
+def test_assign_exclude_own_label(spark):
+    rows = [
+        (0, 0, [1.0, 0.05, 0.0, 0.0]),  # nearest is cell 0 = own → excluded
+        (1, None, [1.0, 0.05, 0.0, 0.0]),  # NULL label: nothing excluded
+    ]
+    got = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assign_nearest_centroid(
+            _emb(spark, rows), CENTS, exclude_label_col="label"
+        ).collect()
+    }
+    assert got[0] == 2  # next-nearest foreign cell
+    assert got[1] == 0  # NULL own label excludes nothing
+
+
+def test_assign_tie_breaks_to_smaller_label(spark):
+    dup = [(5, [1.0, 0.0]), (9, [1.0, 0.0])]  # identical centroids
+    rows = [(0, 1, [0.6, 0.4])]
+    r = assign_nearest_centroid(
+        spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>"),
+        dup,
+    ).collect()[0]
+    assert r["assigned_label"] == 5
+
+
+def test_assign_rounded_is_dround_of_raw(spark):
+    rows = [(i, 0, [0.1 * i + 0.3, 1.0, 0.2, 0.0]) for i in range(20)]
+    for r in assign_nearest_centroid(_emb(spark, rows), CENTS).collect():
+        assert r["centroid_cosine"] == py_dround(r["centroid_cosine_raw"], 6)
+
+
+def test_assign_codebook_validation(spark):
+    df = _emb(spark, [(0, 0, [1.0, 0.0, 0.0, 0.0])])
+    with pytest.raises(ValueError, match="empty codebook"):
+        assign_nearest_centroid(df, [])
+    with pytest.raises(ValueError, match="ragged codebook"):
+        assign_nearest_centroid(df, [(0, [1.0, 0.0]), (1, [1.0, 0.0, 0.0])])
+
+
+def test_collect_centroids_skips_null_labels(spark):
+    rows = [
+        (0, 0, [2.0, 0.0]),
+        (1, 0, [0.0, 2.0]),
+        (2, None, [9.0, 9.0]),
+    ]
+    cents = collect_centroids(_emb(spark, rows))
+    assert cents == [(0, [1.0, 1.0])]
+
+
+def test_hard_negative_labels_differ_and_pool_membership(spark, sf_dir):
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from us_weather_energy_analysis_pipeline_spark.corpus.similarity_q import (
+        NEG_POOL_K,
+    )
+
+    _ensure_loaded()
+    out = REGISTRY["embed_hard_negative_mine"].spark_fn(spark, sf_dir).collect()
+    assert out, "fixed corpus must mine at least one negative"
+    emb_label = {
+        r["vec_id"]: r["label"]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    per_cell: dict[int, set[int]] = {}
+    for r in out:
+        assert r["neg_label"] != r["label"]
+        assert emb_label[r["neg_vec_id"]] == r["neg_label"]
+        per_cell.setdefault(r["neg_label"], set()).add(r["neg_vec_id"])
+    for cell, vids in per_cell.items():
+        assert len(vids) <= NEG_POOL_K, f"cell {cell} pool exceeds K"
+
+
+def test_new_embed_queries_all_null_labels_empty(spark, tmp_path):
+    """Fuzz edge the fixed dataset never hits: every label NULL → no
+    cells → both queries return EMPTY frames with the declared schema
+    (the oracle side returns empty too: cvec/cent CTEs filter NULL)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float32())
+            ),
+            "label": pa.array([None, None], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    for name in ("embed_nearest_centroid_assign", "embed_hard_negative_mine"):
+        df = REGISTRY[name].spark_fn(spark, str(tmp_path))
+        assert df.count() == 0, name
+        assert len(df.columns) >= 4, name

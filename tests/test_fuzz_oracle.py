@@ -58,6 +58,12 @@ FUZZ_QUERIES = [
     "embed_lsh_multiprobe_topk",
     "embed_ivf_multiprobe_topk",
     "bin_quantity_case_low",
+    # r9 registrations: subsampling moves centroids/cell occupancy (the
+    # assignment argmax + pool membership shift) and the unigram LM's
+    # token distribution; rotation re-associates labels with vectors
+    "embed_nearest_centroid_assign",
+    "embed_hard_negative_mine",
+    "text_unigram_logprob",
 ]
 
 

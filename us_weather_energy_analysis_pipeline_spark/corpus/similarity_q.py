@@ -14,7 +14,7 @@ binary-round twins — the interpreted higher-order-function forms benched
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import r6
@@ -622,4 +622,241 @@ def int8_quantize_vectorized(d: DataFrame) -> DataFrame:
 
     return d.select("vec_id", "embedding").mapInPandas(
         quantize, "vec_id long, scale_r double, q_sum long, q_min long, q_max long"
+    )
+
+
+EMBED_DIM = 64  # corpus contract: uniform 64-dim embeddings (TESTDATA.md)
+NEG_POOL_K = 8  # bounded hard-negative candidates per cell (md5-smallest)
+
+
+@register(
+    "embed_nearest_centroid_assign",
+    oracle="""
+    WITH per_dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cent AS (
+      SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
+    ),
+    cvec AS (SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+             FROM cent GROUP BY label),
+    e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    best AS (
+      -- rank on the ROUNDED cosine (cross-engine-stable ordering), but
+      -- average the RAW one: a mean of 1e-6-grid values lands exactly on
+      -- round-half boundaries (~1/n per group — measured one flip)
+      SELECT vec_id, label, clabel AS assigned_label, cosine_raw FROM (
+        SELECT e.vec_id, e.label, c.clabel,
+               list_cosine_similarity(e.v, c.centroid) AS cosine_raw,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                           c.clabel ASC) AS rn
+        FROM e CROSS JOIN cvec c
+      ) WHERE rn = 1
+    )
+    SELECT label, assigned_label,
+           CAST(COUNT(*) AS BIGINT)  AS n,
+           ROUND(AVG(cosine_raw), 6) AS avg_cosine
+    FROM best GROUP BY label, assigned_label
+    """,
+    tags=("similarity", "ivf", "clustering", "classify"),
+)
+def embed_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment with confusion counts — the corpus-side
+    half of IVF index BUILD (``ivf_topk`` assigns only the query block)
+    and the cluster-assignment pass of SemDeDup-style semantic dedup.
+    Output: (true label, assigned cell, n, mean cosine) — the codebook
+    quality / confusion summary, ≤ n_cells² rows.
+
+    Plan (operators/similarity.assign_nearest_centroid): ONE bounded
+    centroid aggregation (shuffle volume O(n_cells × dim × partitions) —
+    the ``embed_dim_stats`` map-side-partial shape), codebook collected
+    driver-side (n_cells × dim rows — the IVF codebook contract), then
+    assignment is one vectorized kernel pass — BLAS row×codebook scores
+    per Arrow batch, exact fold re-score of the margin candidates (the
+    ``topk_candidates`` shape; a flat-codegen argmax was the measured
+    dead end, see the operator docstring). No join; the only shuffle is
+    the ≤ n_cells² confusion aggregate. Zero-norm / NULL vectors get a
+    NULL assignment and drop out (cosine undefined); NULL labels build
+    no cell (a NULL key is a missing cell) but assignable rows keep
+    their NULL true-label group in the confusion output. The average
+    folds the RAW winning cosine (6-dp round after): a mean of
+    already-rounded values is a 1e-6-grid multiple that lands exactly
+    on round-half boundaries (measured one flip at sf0.001)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        assign_nearest_centroid,
+        collect_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = collect_centroids(emb.filter(F.col("label").isNotNull()))
+    if not cents:  # every label NULL (fuzz edge): no cells, empty confusion
+        return spark.range(0).select(
+            F.lit(None).cast("int").alias("label"),
+            F.lit(None).cast("int").alias("assigned_label"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("avg_cosine"),
+        )
+    assigned = assign_nearest_centroid(
+        emb, cents, passthrough=(("label", "int"),)
+    )
+    return (
+        assigned.filter(F.col("assigned_label").isNotNull())
+        .groupBy("label", "assigned_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.avg("centroid_cosine_raw")).alias("avg_cosine"),
+        )
+    )
+
+
+@register(
+    "embed_hard_negative_mine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+               WHERE embedding IS NOT NULL AND label IS NOT NULL
+                 AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    per_dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS x
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cent AS (
+      SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
+    ),
+    cvec AS (SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+             FROM cent GROUP BY label),
+    best_cell AS (
+      SELECT vec_id, label, v, clabel AS neg_label FROM (
+        SELECT e.vec_id, e.label, e.v, c.clabel,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                           c.clabel ASC) AS rn
+        FROM e CROSS JOIN cvec c WHERE c.clabel <> e.label
+      ) WHERE rn = 1
+    ),
+    pool AS (
+      SELECT label AS pool_label, vec_id AS pool_vec_id, v AS pv FROM (
+        SELECT label, vec_id, v,
+               ROW_NUMBER() OVER (PARTITION BY label
+                                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS prn
+        FROM e
+      ) WHERE prn <= {NEG_POOL_K}
+    )
+    SELECT vec_id, label, neg_label, neg_vec_id, neg_cosine FROM (
+      SELECT b.vec_id, b.label, b.neg_label,
+             p.pool_vec_id AS neg_vec_id,
+             ROUND(list_cosine_similarity(b.v, p.pv), 6) AS neg_cosine,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY ROUND(list_cosine_similarity(b.v, p.pv), 6) DESC NULLS LAST,
+                                         p.pool_vec_id ASC) AS rn
+      FROM best_cell b JOIN pool p ON p.pool_label = b.neg_label
+    ) WHERE rn = 1
+    """,
+    tags=("similarity", "contrastive", "hard-negatives", "training"),
+)
+def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-guided hard-negative mining for contrastive training: for
+    every vector, the single most-similar vector from a BOUNDED
+    candidate pool of its nearest FOREIGN cluster — semantically close,
+    differently labeled: exactly the negatives that move a contrastive
+    loss.
+
+    Three bounded stages, none of which ever materializes an all-pairs
+    space:
+    1. nearest foreign cell per row — ``assign_nearest_centroid`` with
+       the row's own cell excluded (one vectorized kernel pass, no
+       shuffle);
+    2. per-cell candidate pool: the ``NEG_POOL_K`` md5-smallest vec_ids
+       per label (a KMV-style deterministic unbiased sample) — batch-
+       local Arrow prune to ≤ K·n_batches survivors before the one tiny
+       rank window, the ``topk_per_group`` skew-safe shape, so no
+       full-corpus per-label sort;
+    3. pool join: broadcast (n_cells × K rows) equi-join on the assigned
+       foreign cell — fan-out exactly K per row, O(n·K) scored pairs via
+       the flat codegen cosine, then one row_number per vec_id.
+    At 100 TB: linear in corpus size, one broadcast, one shuffle (the
+    final per-vec rank window keyed on vec_id). Zero-norm / NULL
+    vectors and NULL labels are out of scope on both sides (no defined
+    cell or cosine): the kernel emits them a NULL cell, which the inner
+    pool equi-join drops — single-cell corpora mine nothing on both
+    engines. Centroids fold EVERY labeled vector (zero-norm included),
+    matching the oracle's cent CTE."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        _flat_cosine_cols,
+        _flat_dot_sql,
+        assign_nearest_centroid,
+        collect_centroids,
+    )
+
+    base = load(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & F.col("label").isNotNull()
+    )
+    cents = collect_centroids(base)
+    if not cents:  # every label NULL (fuzz edge): no cells, nothing minable
+        return spark.range(0).select(
+            F.lit(None).cast("long").alias("vec_id"),
+            F.lit(None).cast("int").alias("label"),
+            F.lit(None).cast("int").alias("neg_label"),
+            F.lit(None).cast("long").alias("neg_vec_id"),
+            F.lit(None).cast("double").alias("neg_cosine"),
+        )
+    mined = assign_nearest_centroid(
+        base,
+        cents,
+        passthrough=(("label", "int"),),
+        carry_vec=True,
+        exclude_label_col="label",
+        out_label="neg_label",
+    )
+
+    # stage 2: md5-smallest K per label (zero-norm rows excluded — the
+    # oracle pool draws from e), batch-local prune before the window
+    emb = (
+        base.withColumn(
+            "_sq", F.expr(_flat_dot_sql("embedding", "embedding", EMBED_DIM))
+        )
+        .filter(F.col("_sq") > 0)
+        .drop("_sq")
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (
+                    pdf.sort_values(["_mk", "vec_id"])
+                    .groupby("label", sort=False)
+                    .head(NEG_POOL_K)
+                )
+
+    keyed = emb.select(
+        "vec_id", "label", "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("_mk"),
+    )
+    cand = keyed.mapInPandas(
+        prune, "vec_id long, label int, embedding array<float>, _mk string"
+    )
+    w_pool = Window.partitionBy("label").orderBy("_mk", "vec_id")
+    pool = (
+        cand.withColumn("prn", F.row_number().over(w_pool))
+        .filter(F.col("prn") <= NEG_POOL_K)
+        .select(
+            F.col("label").alias("pool_label"),
+            F.col("vec_id").alias("neg_vec_id"),
+            F.col("embedding").alias("_pv"),
+        )
+    )
+    pairs = mined.join(
+        F.broadcast(pool), F.col("neg_label") == F.col("pool_label")
+    )
+    scored = _flat_cosine_cols(pairs, "embedding", "_pv", EMBED_DIM, out="neg_cosine")
+    w_rank = Window.partitionBy("vec_id").orderBy(
+        F.col("neg_cosine").desc_nulls_last(), F.col("neg_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "label", "neg_label", "neg_vec_id", "neg_cosine")
     )

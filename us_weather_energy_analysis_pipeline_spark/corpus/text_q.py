@@ -473,3 +473,66 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(chunk).alias("n_chunk_tokens"),
         F.md5(F.array_join(chunk, " ")).alias("chunk_md5"),
     )
+
+
+@register(
+    "text_unigram_logprob",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    tc AS (SELECT tok, SUM(cnt) AS tok_cnt FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM tf)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tf.cnt * ln(CAST(tc.tok_cnt AS DOUBLE) / tot.total))
+                 / SUM(tf.cnt), 6) AS avg_logprob
+    FROM tf JOIN tc USING (tok) CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+    tags=("text", "language-model", "quality"),
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus unigram-LM quality score: per-document mean token
+    log-probability under the corpus's own unigram distribution — the
+    cheap analog of CCNet's LM-perplexity filter (docs whose tokens are
+    corpus-atypical score low and get routed to the low-quality bucket).
+
+    Plan shape (the tfidf windows-over-tf pattern): one real aggregation
+    — term counts at the deduped (doc, tok) grain, map-side combine
+    collapses the raw token stream before the shuffle — then the token
+    unigram count is a window over that grain (SUM(cnt) PARTITION BY
+    tok: no join branch, no second tokenize scan), the corpus total is a
+    broadcast 1-row aggregate over the SAME tf subtree (ReusedExchange —
+    no extra tokenize), and the per-doc fold is one groupBy(doc_id).
+    Weighted-mean form SUM(cnt·ln p)/SUM(cnt) scores token INSTANCES
+    (the LM view) while only folding the deduped grain. At 100 TB:
+    shuffles key on tok then doc_id — both well-distributed; nothing
+    driver-sized anywhere. NULL text yields no token rows on both
+    engines (explode/unnest of a NULL token array), so such docs are
+    absent from the output — same contract as text_tfidf_topk."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    tok = d.select("doc_id", F.explode(toks).alias("tok"))
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = tf.agg(F.sum("cnt").cast("double").alias("total"))
+    w_tok = Window.partitionBy("tok")
+    return (
+        tf.withColumn("tok_cnt", F.sum("cnt").over(w_tok))
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            r6(
+                F.sum(
+                    F.col("cnt")
+                    * F.log(F.col("tok_cnt").cast("double") / F.col("total"))
+                )
+                / F.sum("cnt")
+            ).alias("avg_logprob"),
+        )
+    )
