@@ -766,26 +766,27 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Three bounded stages, none of which ever materializes an all-pairs
     space:
-    1. nearest foreign cell per row — ``assign_nearest_centroid`` with
-       the row's own cell excluded (one vectorized kernel pass, no
-       shuffle);
-    2. per-cell candidate pool: the ``NEG_POOL_K`` md5-smallest vec_ids
+    1. per-cell candidate pool: the ``NEG_POOL_K`` md5-smallest vec_ids
        per label (a KMV-style deterministic unbiased sample) — batch-
        local Arrow prune to ≤ K·n_batches survivors before the one tiny
-       rank window, the ``topk_per_group`` skew-safe shape, so no
-       full-corpus per-label sort;
-    3. pool join: broadcast (n_cells × K rows) equi-join on the assigned
-       foreign cell — fan-out exactly K per row, O(n·K) scored pairs via
-       the flat codegen cosine, then one row_number per vec_id.
-    At 100 TB: linear in corpus size, one broadcast, one shuffle (the
-    final per-vec rank window keyed on vec_id). Zero-norm / NULL
-    vectors and NULL labels are out of scope on both sides (no defined
-    cell or cosine): the kernel emits them a NULL cell, which the inner
-    pool equi-join drops — single-cell corpora mine nothing on both
-    engines. Centroids fold EVERY labeled vector (zero-norm included),
-    matching the oracle's cent CTE."""
+       rank window (the ``topk_per_group`` skew-safe shape, so no
+       full-corpus per-label sort), then a BOUNDED driver collect
+       (n_cells × K rows — the codebook-boundedness class);
+    2. nearest foreign cell per row — ``assign_nearest_centroid`` with
+       the row's own cell excluded;
+    3. top-1 pool negative — scored INSIDE the same kernel pass (BLAS
+       per Arrow batch + exact fold re-score of margin candidates,
+       vec_id ASC tie-break): no broadcast join, no O(n·K) pair
+       intermediate, no rank shuffle — the join+window tail this
+       replaces measured ~1 s of fixed cost at bench scale.
+    At 100 TB: linear in corpus size, zero post-kernel shuffles.
+    Zero-norm / NULL vectors and NULL labels are out of scope on both
+    sides (no defined cell or cosine): the kernel emits them NULLs,
+    dropped by the post-kernel filter — single-cell corpora mine
+    nothing on both engines. Centroids fold EVERY labeled vector
+    (zero-norm included), matching the oracle's cent CTE; the pool
+    excludes zero-norm rows (the oracle pool draws from e)."""
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
-        _flat_cosine_cols,
         _flat_dot_sql,
         assign_nearest_centroid,
         collect_centroids,
@@ -803,16 +804,8 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("long").alias("neg_vec_id"),
             F.lit(None).cast("double").alias("neg_cosine"),
         )
-    mined = assign_nearest_centroid(
-        base,
-        cents,
-        passthrough=(("label", "int"),),
-        carry_vec=True,
-        exclude_label_col="label",
-        out_label="neg_label",
-    )
 
-    # stage 2: md5-smallest K per label (zero-norm rows excluded — the
+    # stage 1: md5-smallest K per label (zero-norm rows excluded — the
     # oracle pool draws from e), batch-local prune before the window
     emb = (
         base.withColumn(
@@ -839,24 +832,21 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         prune, "vec_id long, label int, embedding array<float>, _mk string"
     )
     w_pool = Window.partitionBy("label").orderBy("_mk", "vec_id")
-    pool = (
-        cand.withColumn("prn", F.row_number().over(w_pool))
+    pool = [
+        (r["label"], r["vec_id"], list(r["embedding"]))
+        for r in cand.withColumn("prn", F.row_number().over(w_pool))
         .filter(F.col("prn") <= NEG_POOL_K)
-        .select(
-            F.col("label").alias("pool_label"),
-            F.col("vec_id").alias("neg_vec_id"),
-            F.col("embedding").alias("_pv"),
-        )
+        .select("label", "vec_id", "embedding")
+        .collect()
+    ]
+    mined = assign_nearest_centroid(
+        base,
+        cents,
+        passthrough=(("label", "int"),),
+        exclude_label_col="label",
+        out_label="neg_label",
+        neg_pool=pool,
     )
-    pairs = mined.join(
-        F.broadcast(pool), F.col("neg_label") == F.col("pool_label")
-    )
-    scored = _flat_cosine_cols(pairs, "embedding", "_pv", EMBED_DIM, out="neg_cosine")
-    w_rank = Window.partitionBy("vec_id").orderBy(
-        F.col("neg_cosine").desc_nulls_last(), F.col("neg_vec_id").asc()
-    )
-    return (
-        scored.withColumn("rn", F.row_number().over(w_rank))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "label", "neg_label", "neg_vec_id", "neg_cosine")
+    return mined.filter(F.col("neg_vec_id").isNotNull()).select(
+        "vec_id", "label", "neg_label", "neg_vec_id", "neg_cosine"
     )

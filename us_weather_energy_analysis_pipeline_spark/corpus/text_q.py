@@ -504,22 +504,32 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     — term counts at the deduped (doc, tok) grain, map-side combine
     collapses the raw token stream before the shuffle — then the token
     unigram count is a window over that grain (SUM(cnt) PARTITION BY
-    tok: no join branch, no second tokenize scan), the corpus total is a
-    broadcast 1-row aggregate over the SAME tf subtree (ReusedExchange —
-    no extra tokenize), and the per-doc fold is one groupBy(doc_id).
-    Weighted-mean form SUM(cnt·ln p)/SUM(cnt) scores token INSTANCES
-    (the LM view) while only folding the deduped grain. At 100 TB:
-    shuffles key on tok then doc_id — both well-distributed; nothing
-    driver-sized anywhere. NULL text yields no token rows on both
-    engines (explode/unnest of a NULL token array), so such docs are
-    absent from the output — same contract as text_tfidf_topk."""
+    tok: no join branch, no second tokenize scan), and the per-doc fold
+    is one groupBy(doc_id). The corpus token total is a broadcast 1-row
+    aggregate over PURE LENGTH ARITHMETIC on a second narrow scan — a
+    single-space split yields exactly (#spaces + 1) tokens, so
+    Σ(length(trim) − length(replace(trim)) + 1) equals the oracle's
+    SUM(cnt) over tf EXACTLY (integers), with no second tokenize/explode
+    /aggregate branch (the ws_token_count trick; trim first because the
+    tf side splits the trimmed text — empty-after-trim still counts 1,
+    matching split('') = ['']). Weighted-mean form SUM(cnt·ln p)/SUM(cnt)
+    scores token INSTANCES (the LM view) while only folding the deduped
+    grain. At 100 TB: shuffles key on tok then doc_id — both
+    well-distributed; nothing driver-sized anywhere. NULL text yields no
+    token rows on both engines (explode/unnest of a NULL token array;
+    NULL length skipped by SUM), so such docs are absent from the
+    output — same contract as text_tfidf_topk."""
     from pyspark.sql import Window
 
     d = load(spark, sf_dir, "documents")
     toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
     tok = d.select("doc_id", F.explode(toks).alias("tok"))
     tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    total = tf.agg(F.sum("cnt").cast("double").alias("total"))
+    total = d.agg(
+        F.sum(ws_token_count(F.trim(F.col("text"))).cast("long"))
+        .cast("double")
+        .alias("total")
+    )
     w_tok = Window.partitionBy("tok")
     return (
         tf.withColumn("tok_cnt", F.sum("cnt").over(w_tok))

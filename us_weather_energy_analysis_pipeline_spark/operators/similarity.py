@@ -702,6 +702,7 @@ def assign_nearest_centroid(
     out_label: str = "assigned_label",
     out_cosine: str = "centroid_cosine",
     margin: float = 2e-6,
+    neg_pool: list[tuple[int, int, list[float]]] | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment over the WHOLE corpus — the corpus-side
     half of IVF index BUILD (``ivf_topk`` assigns only the bounded query
@@ -738,10 +739,23 @@ def assign_nearest_centroid(
     boundaries with probability ~1/n per group (measured: one boundary
     flip vs DuckDB in a 100-group confusion at sf0.001).
 
+    ``neg_pool`` (hard-negative mining): a BOUNDED driver-held candidate
+    pool ``[(cell_label, vec_id, vector), ...]`` — n_cells × K rows, the
+    same driver-boundedness class as the codebook. When given, the SAME
+    kernel pass also scores each row against its assigned cell's pool
+    (BLAS + fold re-score of margin candidates, top-1 by 6-dp round
+    DESC / vec_id ASC) and emits ``neg_vec_id`` / ``neg_cosine`` — no
+    broadcast join, no pair projection, no rank shuffle downstream
+    (the join+window tail measured ~1 s of fixed cost at bench scale and
+    an O(n·K) intermediate at 100 TB; in-kernel it is O(K·dim) flops per
+    row and zero extra plan nodes). Rows whose assigned cell has no pool
+    entries emit NULLs (callers drop them — the join they replace never
+    matched).
+
     Output: ``id_col, *passthrough, [vec_col], out_label, out_cosine,
-    {out_cosine}_raw`` — ``passthrough`` is ``((col, ddl_type), ...)``;
-    ``carry_vec`` re-emits the vector (``array<float>``) for downstream
-    pair scoring."""
+    {out_cosine}_raw[, neg_vec_id, neg_cosine]`` — ``passthrough`` is
+    ``((col, ddl_type), ...)``; ``carry_vec`` re-emits the vector
+    (``array<float>``) for downstream pair scoring."""
     if not cents:
         raise ValueError("assign_nearest_centroid: empty codebook")
     dim = len(cents[0][1])
@@ -761,8 +775,14 @@ def assign_nearest_centroid(
         + "".join(f", {c} {t}" for c, t in passthrough)
         + (f", {vec_col} array<float>" if carry_vec else "")
         + f", {out_label} int, {out_cosine} double, {out_cosine}_raw double"
+        + (", neg_vec_id long, neg_cosine double" if neg_pool is not None else "")
     )
     idc, vc, mg, cv = id_col, vec_col, float(margin), carry_vec
+    pool_l = (
+        [(int(p), int(v), [float(x) for x in w]) for p, v, w in neg_pool]
+        if neg_pool is not None
+        else None
+    )
 
     def gen(batches):
         import math as _m
@@ -773,6 +793,22 @@ def assign_nearest_centroid(
         C = np.asarray(cmat, dtype=np.float64)
         cn = np.sqrt((C * C).sum(axis=1))
         L = np.asarray(labs, dtype=np.int64)
+        pools = None
+        if pool_l is not None:
+            pools = {}
+            for p, v, w in sorted(pool_l, key=lambda t: (t[0], t[1])):
+                pools.setdefault(p, ([], []))
+                pools[p][0].append(v)
+                pools[p][1].append(w)
+            pools = {
+                p: (
+                    np.asarray(vids, dtype=np.int64),
+                    np.asarray(ws, dtype=np.float64),
+                    np.sqrt((np.asarray(ws, dtype=np.float64) ** 2).sum(axis=1)),
+                    ws,
+                )
+                for p, (vids, ws) in pools.items()
+            }
 
         def fold_cos(va, vb):
             d = 0.0
@@ -799,6 +835,8 @@ def assign_nearest_centroid(
             out_lab = np.full(n, None, dtype=object)
             out_cos = np.full(n, None, dtype=object)
             out_raw = np.full(n, None, dtype=object)
+            out_nid = np.full(n, None, dtype=object) if pools is not None else None
+            out_nco = np.full(n, None, dtype=object) if pools is not None else None
             ok = [
                 v is not None and not (isinstance(v, float) and pd.isna(v))
                 and len(v) == dim
@@ -837,6 +875,29 @@ def assign_nearest_centroid(
                         out_lab[j] = best_lab
                         out_cos[j] = -best_key[0]
                         out_raw[j] = best_raw
+                        if pools is not None and best_lab in pools:
+                            pv_ids, P, pn, p_raw = pools[best_lab]
+                            with np.errstate(
+                                divide="ignore", invalid="ignore"
+                            ):
+                                ps = (P @ V[r]) / (pn * vn[r])
+                            pvalid = ~np.isnan(ps)
+                            if pvalid.any():
+                                ptop = ps[pvalid].max()
+                                nkey = nid = ncos = None
+                                for pi in np.flatnonzero(
+                                    pvalid & (ps >= ptop - mg)
+                                ):
+                                    raw = fold_cos(V[r].tolist(), p_raw[pi])
+                                    if raw is None:
+                                        continue
+                                    key = (-drnd6(raw), int(pv_ids[pi]))
+                                    if nkey is None or key < nkey:
+                                        nkey, nid = key, int(pv_ids[pi])
+                                        ncos = -key[0]
+                                if nid is not None:
+                                    out_nid[j] = nid
+                                    out_nco[j] = ncos
             cols = {idc: pdf[idc]}
             for c in pt_cols:
                 cols[c] = pdf[c]
@@ -850,6 +911,14 @@ def assign_nearest_centroid(
             cols[f"{out_cosine}_raw"] = pd.to_numeric(
                 pd.Series(out_raw), errors="coerce"
             )
+            if pools is not None:
+                cols["neg_vec_id"] = pd.array(
+                    [None if x is None else int(x) for x in out_nid],
+                    dtype="Int64",
+                )
+                cols["neg_cosine"] = pd.to_numeric(
+                    pd.Series(out_nco), errors="coerce"
+                )
             yield pd.DataFrame(cols)
 
     return corpus.select(*need).mapInPandas(gen, out_schema)
