@@ -154,6 +154,20 @@ SHOWCASE = {
         "#epochs-row aggregate - the old single-rescale form overflowed "
         "a double at ~3200 days."
     ),
+    "text_unigram_logprob": (
+        "r9 unigram-LM scorer, the tfidf windows-over-tf shape: one real "
+        "aggregation at the deduped (doc, tok) grain, unigram counts as "
+        "a window over it, the corpus token total as a broadcast 1-row "
+        "aggregate of pure LENGTH ARITHMETIC on a narrow second scan "
+        "(no second tokenize/explode), per-doc fold is one groupBy."
+    ),
+    "embed_hard_negative_mine": (
+        "r9 in-kernel mining: codebook + 80-row md5-smallest-K pool ride "
+        "the task closure; ONE mapInPandas pass assigns the nearest "
+        "foreign cell AND scores the top-1 pool negative (BLAS pre-rank "
+        "+ exact fold re-score) - zero post-kernel shuffles; the only "
+        "exchange anywhere is the bounded pool-build window."
+    ),
 }
 
 

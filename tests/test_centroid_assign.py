@@ -178,3 +178,44 @@ def test_new_embed_queries_all_null_labels_empty(spark, tmp_path):
         df = REGISTRY[name].spark_fn(spark, str(tmp_path))
         assert df.count() == 0, name
         assert len(df.columns) >= 4, name
+
+
+def test_new_embed_query_plan_shapes(spark, sf_dir):
+    """Pin the r9 kernel-plan shapes (the class of regression that cost
+    2.1 s interpreted eval / a 25 MiB task binary before the rewrite):
+
+    - embed_hard_negative_mine: ZERO exchanges in the main query plan —
+      scan (both null filters PUSHED) → ONE MapInPandas → filter/project
+      (codebook + pool are separate bounded driver jobs);
+    - embed_nearest_centroid_assign: exactly one Exchange — the
+      ≤ n_cells² confusion aggregate above the kernel."""
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+
+    def fmt(name):
+        df = REGISTRY[name].spark_fn(spark, sf_dir)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    import re
+
+    def nodes(plan, name):
+        # one "(n) NodeName" detail line per physical node (the tree
+        # section repeats the name, so plain substring counts double)
+        return len(re.findall(rf"\n\(\d+\) {name}\b", plan))
+
+    mine = fmt("embed_hard_negative_mine")
+    assert nodes(mine, "MapInPandas") == 1
+    assert nodes(mine, "Exchange") == 0 and nodes(mine, "ShuffleExchange") == 0
+    assert "PushedFilters: [IsNotNull(embedding), IsNotNull(label)]" in mine
+
+    assign = fmt("embed_nearest_centroid_assign")
+    assert nodes(assign, "MapInPandas") == 1
+    assert nodes(assign, "Exchange") == 1

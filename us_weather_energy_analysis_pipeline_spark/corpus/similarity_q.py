@@ -767,10 +767,12 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     Three bounded stages, none of which ever materializes an all-pairs
     space:
     1. per-cell candidate pool: the ``NEG_POOL_K`` md5-smallest vec_ids
-       per label (a KMV-style deterministic unbiased sample) — batch-
-       local Arrow prune to ≤ K·n_batches survivors before the one tiny
-       rank window (the ``topk_per_group`` skew-safe shape, so no
-       full-corpus per-label sort), then a BOUNDED driver collect
+       per label (a KMV-style deterministic unbiased sample) — a batch-
+       local Arrow prune bounds the per-label rank window to
+       ≤ K·n_batches survivors (the ``topk_per_group`` skew-safe shape,
+       so no full-corpus per-label sort; an input-size gate that skips
+       the prune for small inputs measured a no-op — worker reuse makes
+       the stage ~free, BENCH_AB r9), then a BOUNDED driver collect
        (n_cells × K rows — the codebook-boundedness class);
     2. nearest foreign cell per row — ``assign_nearest_centroid`` with
        the row's own cell excluded;
@@ -815,6 +817,11 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_sq")
     )
 
+    keyed = emb.select(
+        "vec_id", "label", "embedding",
+        F.md5(F.col("vec_id").cast("string")).alias("_mk"),
+    )
+
     def prune(batches):
         for pdf in batches:
             if len(pdf):
@@ -824,10 +831,6 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .head(NEG_POOL_K)
                 )
 
-    keyed = emb.select(
-        "vec_id", "label", "embedding",
-        F.md5(F.col("vec_id").cast("string")).alias("_mk"),
-    )
     cand = keyed.mapInPandas(
         prune, "vec_id long, label int, embedding array<float>, _mk string"
     )
