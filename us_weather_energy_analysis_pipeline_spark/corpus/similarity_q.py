@@ -834,13 +834,20 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = keyed.mapInPandas(
         prune, "vec_id long, label int, embedding array<float>, _mk string"
     )
-    w_pool = Window.partitionBy("label").orderBy("_mk", "vec_id")
+    # driver-side merge replaces the rank window + its label exchange
+    # (one fewer AQE stage job): the global md5-smallest-K per label is a
+    # subset of the union of batch top-Ks, so merging the collected
+    # candidates (≤ K × labels × batches rows — the same bound the window
+    # would shuffle) with the identical (md5, vec_id) order is exact.
+    by_label: dict[int, list] = {}
+    for r in cand.collect():
+        by_label.setdefault(r["label"], []).append(
+            (r["_mk"], r["vec_id"], list(r["embedding"]))
+        )
     pool = [
-        (r["label"], r["vec_id"], list(r["embedding"]))
-        for r in cand.withColumn("prn", F.row_number().over(w_pool))
-        .filter(F.col("prn") <= NEG_POOL_K)
-        .select("label", "vec_id", "embedding")
-        .collect()
+        (lab, vid, vec)
+        for lab, cands in by_label.items()
+        for _, vid, vec in sorted(cands)[:NEG_POOL_K]
     ]
     mined = assign_nearest_centroid(
         base,
