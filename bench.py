@@ -69,6 +69,10 @@ def main() -> None:
         "moving_avg_7d",
         "text_quality_score",
         "dedup_exact",
+        # md5/posting-heavy paths (winnow/minhash/ngram family): without
+        # this the family's md5+collect_list codegen lands cold and even
+        # min-of-3 reads ~2x high when those queries draw early order
+        "text_winnow_fingerprint",
     ):
         if _wname in REGISTRY:
             REGISTRY[_wname].spark_fn(spark, sf_dir).write.format("noop").mode(

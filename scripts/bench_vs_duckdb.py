@@ -58,6 +58,10 @@ def main() -> None:
         "moving_avg_7d",
         "text_quality_score",
         "dedup_exact",
+        # md5/posting-heavy paths (winnow/minhash/ngram family): without
+        # this the family's md5+collect_list codegen lands cold and even
+        # min-of-3 reads ~2x high when those queries draw early order
+        "text_winnow_fingerprint",
     ):
         if wname in REGISTRY:
             REGISTRY[wname].spark_fn(spark, sf_dir).write.format("noop").mode(
@@ -76,6 +80,10 @@ def main() -> None:
         "moving_avg_7d",
         "text_quality_score",
         "dedup_exact",
+        # md5/posting-heavy paths (winnow/minhash/ngram family): without
+        # this the family's md5+collect_list codegen lands cold and even
+        # min-of-3 reads ~2x high when those queries draw early order
+        "text_winnow_fingerprint",
     ):
         q = REGISTRY.get(wname)
         if q is not None and q.oracle:

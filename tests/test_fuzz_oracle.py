@@ -64,6 +64,10 @@ FUZZ_QUERIES = [
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
     "text_unigram_logprob",
+    # the other two r9 registrations (registered earlier in the round):
+    # subsampling changes chunk tails and df-bound occupancy
+    "doc_chunk_overlap",
+    "vocab_prune_df_bounds",
 ]
 
 
