@@ -68,6 +68,9 @@ FUZZ_QUERIES = [
     # subsampling changes chunk tails and df-bound occupancy
     "doc_chunk_overlap",
     "vocab_prune_df_bounds",
+    # incremental new-vs-index dedup: subsampling moves band occupancy
+    # AND which doc_ids fall in the 20% newcomer batch
+    "dedup_incremental_minhash",
 ]
 
 

@@ -22,6 +22,7 @@ ROTATED_R9 = (
     "text_unigram_logprob",
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
+    "dedup_incremental_minhash",
     "argmax_supplier",
     "bigram_topk",
     "cohort_retention",
@@ -57,7 +58,6 @@ ROTATED_R9 = (
     "yoy_monthly",
     "embed_dedup_pipeline_e2e",
     "dedup_pipeline_e2e",
-    "dedup_cluster_assign",
     "tpch_q5_local_supplier",
     "rfm_segments",
     "embed_cosine_topk",
@@ -77,6 +77,7 @@ DISPLACED_R9 = (
     "distinct_kmv_estimate",
     "dedup_winnow_pairs",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
 )
 
 

@@ -246,12 +246,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def _minhash_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
-    """CTE body (toks → cands) of the DuckDB MinHash/LSH twin — identical
+def _minhash_base_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
+    """CTE body (toks → banded) of the DuckDB MinHash/LSH twin — identical
     universal-hash permutations over the 32-bit md5 prefix (same
     md5-derived (a, b) constants), so signature values agree exactly.
-    Shared by the standalone candidates query and the end-to-end dedup
-    pipeline oracle (corpus/pipeline_q.py)."""
+    Shared by the candidates/pipeline oracles (which append the self-join
+    cands CTE) and the incremental new-vs-index oracle (which appends an
+    asymmetric band join instead)."""
     from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
         MINHASH_P,
         minhash_params,
@@ -292,13 +293,23 @@ def _minhash_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> st
     banded AS (
       SELECT doc_id, u.band, [{band_exprs}][u.band + 1] AS digest
       FROM sig, UNNEST(generate_series(0, {bands - 1})) AS u(band)
-    ),
+    )"""
+
+
+def _minhash_ctes(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
+    """toks → cands: the base CTEs plus the symmetric self-join candidate
+    CTE (doc_a < doc_b) used by the standalone candidates query and the
+    end-to-end dedup pipeline oracle (corpus/pipeline_q.py)."""
+    return (
+        _minhash_base_ctes(k, bands, shingle_k)
+        + """,
     cands AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared_bands
       FROM banded a JOIN banded b
         ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )"""
+    )
 
 
 def _minhash_oracle(k: int = 12, bands: int = 4, shingle_k: int = SHINGLE_K) -> str:
@@ -513,4 +524,112 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("edit_dist"),
         )
         .filter(F.col("edit_dist") <= 40)
+    )
+
+
+# Incremental (new-vs-index) dedup: newcomers = doc_id % NEW_MOD < NEW_LT
+# (a deterministic, sf-invariant 20% "arriving batch"; the rest is the
+# already-indexed corpus). Production runs this every ingest: band the
+# batch, join against the INDEX's stored band digests, drop newcomers
+# whose best candidate clears the threshold — existing docs never pair
+# with each other, so the join is |batch| × bucket-local, not n².
+INC_NEW_MOD = 10
+INC_NEW_LT = 2
+INC_THRESHOLD = 0.5
+
+
+def _incremental_minhash_oracle(k: int = 12, bands: int = 4) -> str:
+    return f"""
+    WITH {_minhash_base_ctes(k, bands)},
+    pairs AS (
+      SELECT a.doc_id AS doc_id, b.doc_id AS idx_doc,
+             list_sum(list_transform(generate_series(1, {k}),
+                 i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))
+               / {k}.0 AS est
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.digest = b.digest
+      JOIN sig sa ON sa.doc_id = a.doc_id
+      JOIN sig sb ON sb.doc_id = b.doc_id
+      WHERE a.doc_id % {INC_NEW_MOD} < {INC_NEW_LT}
+        AND b.doc_id % {INC_NEW_MOD} >= {INC_NEW_LT}
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT idx_doc) AS BIGINT) AS n_index_candidates,
+           ROUND(MAX(est), 4)                      AS best_est_jaccard,
+           CASE WHEN MAX(est) >= {INC_THRESHOLD} THEN 1 ELSE 0 END AS drop_flag
+    FROM pairs
+    GROUP BY doc_id
+    """
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=_incremental_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash dedup of an arriving batch against the indexed
+    corpus — the every-ingest pass of a growing training set: newcomers
+    (doc_id % 10 < 2, a deterministic 20% batch) are banded and
+    joined against the index side's band digests ONLY; index docs never
+    pair with each other. Emits, per newcomer WITH candidates, its
+    distinct index-candidate count, best estimated Jaccard, and the
+    ≥ 0.5 drop flag (newcomers with no bucket collision are absent —
+    they enter the index untouched on both engines).
+
+    Plan: the modulo split PUSHES THROUGH the signature aggregation to
+    both scans (a group-key predicate), so each document is shingled and
+    signatured exactly once, on exactly one side — the batch side's
+    pipeline touches 20% of the corpus, the index side's 80%; then one
+    (band, digest) bucket join — asymmetric: batch × index, bucket-local
+    fan-in — with the signature arrays riding the banded rows (the
+    minhash_near_dups shape: no post-join sig re-join), and one
+    countDistinct per newcomer. The
+    agreement estimate is an exact integer count / k on both engines —
+    bit-identical, so the threshold compare cannot straddle a rounding
+    boundary. At 100 TB the index's banded digests are a stored table
+    (the compact_parquet pattern); this query recomputes them only
+    because the corpus contract is self-contained per query."""
+    from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
+        LSH_BANDS,
+        MINHASH_K,
+        banded_digests,
+        minhash_signatures,
+        word_shingles,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sig = minhash_signatures(word_shingles(d, "text", dedupe=False))
+    banded = banded_digests(sig, LSH_BANDS, MINHASH_K, carry_sig=True)
+    new = banded.filter(F.col("doc_id") % INC_NEW_MOD < INC_NEW_LT).alias("a")
+    idx = banded.filter(F.col("doc_id") % INC_NEW_MOD >= INC_NEW_LT).alias("b")
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
+        ).cast("double")
+        / MINHASH_K
+    )
+    return (
+        new.join(
+            idx,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.digest") == F.col("b.digest")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("idx_doc"),
+            est.alias("est"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.countDistinct("idx_doc").cast("long").alias("n_index_candidates"),
+            r4(F.max("est")).alias("best_est_jaccard"),
+            F.when(F.max("est") >= INC_THRESHOLD, 1)
+            .otherwise(0)
+            .alias("drop_flag"),
+        )
     )

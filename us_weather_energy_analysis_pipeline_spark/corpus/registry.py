@@ -120,12 +120,12 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-9 window (VERDICT r8 task 1): positions 0-1 are the two queries
-# registered this round (chunking + vocab pruning — never driver
-# verified); next are the 33 queries whose latest driver row is r06 —
-# every other registered query was driver-verified in r07 or r08 — so
-# after this round the whole 133-query union is at most two rounds
-# stale. The tail positions are the queries whose
+# Round-9 window (VERDICT r8 task 1): positions 0-5 are the six queries
+# registered this round (chunking, vocab pruning, unigram-LM scoring,
+# centroid assignment, hard-negative mining, incremental dedup — never
+# driver verified); next are the 33 queries whose latest driver row is
+# r06 — so after this round the whole 137-query union is at most two
+# rounds stale. The remaining in-window positions are the queries whose
 # PLANS this round's tasks touch (VERDICT r8 tasks 2/3/5/6 + ADVICE:
 # the e2e dedup pipelines and their cluster/winnow/ngram stages, the rfm
 # literal-NTILE expression-build rewrite, the four ANN top-k queries that
@@ -138,6 +138,7 @@ WINDOW: tuple[str, ...] = (
     "text_unigram_logprob",
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
+    "dedup_incremental_minhash",
     # -- last driver row r06 (the full stale set) --
     "argmax_supplier",
     "bigram_topk",
@@ -175,7 +176,6 @@ WINDOW: tuple[str, ...] = (
     # -- plans touched by r9 tasks --
     "embed_dedup_pipeline_e2e",
     "dedup_pipeline_e2e",
-    "dedup_cluster_assign",
     "tpch_q5_local_supplier",
     "rfm_segments",
     "embed_cosine_topk",
@@ -187,13 +187,16 @@ WINDOW: tuple[str, ...] = (
     # -- past the driver's ~50-position sample: r8-green driver rows with
     # r9-UNCHANGED plans (the r9 job-cut commits touched only rank.py /
     # similarity.py — the KMV pre-prune and winnow/ngram probes were
-    # dead ends, plans untouched), displaced by the three queries
-    # registered mid-r9 above, which have never been driver-verified.
+    # dead ends, plans untouched), displaced by the mid-r9 registrations
+    # above, which have never been driver-verified.
     # Still in WINDOW so the layout stays declared; still in the local
-    # 136-query oracle gate.
+    # 137-query oracle gate. dedup_cluster_assign joined them when
+    # dedup_incremental_minhash registered (r8-green, r9-unchanged
+    # components/ngram lineage).
     "distinct_kmv_estimate",
     "dedup_winnow_pairs",
     "dedup_ngram_jaccard",
+    "dedup_cluster_assign",
 )
 
 
