@@ -71,6 +71,9 @@ FUZZ_QUERIES = [
     # incremental new-vs-index dedup: subsampling moves band occupancy
     # AND which doc_ids fall in the 20% newcomer batch
     "dedup_incremental_minhash",
+    # JSON extraction rollup: rotation re-pairs props with event types;
+    # the events null-fuzz below nulls event_type under it
+    "json_props_rollup",
 ]
 
 

@@ -23,6 +23,7 @@ ROTATED_R9 = (
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
     "dedup_incremental_minhash",
+    "json_props_rollup",
     "argmax_supplier",
     "bigram_topk",
     "cohort_retention",

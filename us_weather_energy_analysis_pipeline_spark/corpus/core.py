@@ -986,3 +986,51 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_order",
         )
     )
+
+
+@register(
+    "json_props_rollup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT)   AS sum_k,
+           ROUND(AVG(CAST(k AS DOUBLE)), 4) AS avg_k
+    FROM (
+      SELECT event_type,
+             CASE WHEN props IS NOT NULL AND json_valid(props)
+                  THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+             END AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    tags=("json", "semi-structured", "agg"),
+)
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema'd JSON extraction + rollup over the semi-structured
+    ``events.props`` column — the metadata-sidecar parse every training
+    pipeline runs on JSONL provenance fields. ``from_json`` with an
+    explicit one-field schema is the JVM-native path (vectorizable
+    Jackson parse, PERMISSIVE mode → NULL struct on malformed input,
+    matching the oracle's json_valid guard); per event type it emits
+    total events, parseable-k count, and exact/mean k.
+
+    Scale shape: a pure scan-stage projection (the parse) into one
+    map-side-combining aggregate keyed on event_type — shuffle volume
+    O(#types × partitions). Regex extraction of the same field is the
+    fallback the ``unit_convert_project`` query covers (P4); this is the
+    structured-parse twin a real JSON column wants (regex breaks on
+    reordered keys, escaping, nesting — a parsed path does not)."""
+    e = load(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            r4(F.avg(F.col("k").cast("double"))).alias("avg_k"),
+        )
+    )
