@@ -161,6 +161,13 @@ SHOWCASE = {
         "aggregate of pure LENGTH ARITHMETIC on a narrow second scan "
         "(no second tokenize/explode), per-doc fold is one groupBy."
     ),
+    "dedup_incremental_minhash": (
+        "r9 every-ingest dedup: the newcomer/index modulo split pushes "
+        "THROUGH the signature aggregations to both scans (each doc "
+        "shingled once, on one side), and the only pair producer is the "
+        "asymmetric batch x index band join - index docs never pair "
+        "with each other, so the join is bucket-local, never n^2."
+    ),
     "embed_hard_negative_mine": (
         "r9 in-kernel mining: codebook + 80-row md5-smallest-K pool ride "
         "the task closure; ONE mapInPandas pass assigns the nearest "
