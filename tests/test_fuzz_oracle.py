@@ -149,7 +149,9 @@ NULL_COLS = {
     # operators exclude NULL ts on BOTH sides — Spark windows order NULLS
     # FIRST, DuckDB NULLS LAST, and DuckDB ASOF treats a NULL probe as
     # +inf; six queries diverged before the contract)
-    "events": ["value", "event_type", "user_id", "ts"],
+    # props added r9 with json_props_rollup: NULL props must be a NULL
+    # extraction on both sides (from_json(NULL) vs the json_valid guard)
+    "events": ["value", "event_type", "user_id", "ts", "props"],
     # join keys: equi-join NULL exclusion is symmetric in both engines
     # l_shipdate/o_orderdate: time-ordered operators exclude NULL dates
     # (same contract as events.ts); embedding: NULL vectors are excluded
