@@ -23,6 +23,7 @@ from us_weather_energy_analysis_pipeline_spark.benchlib import (
     probe_floor,
     shuffled_order,
     timed_best,
+    WARMUP_QUERIES,
 )
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
@@ -63,17 +64,7 @@ def main() -> None:
     # warm queries, and min-of-3 per query cannot fix it because all three
     # runs of the EARLY queries land cold. Run a few representative
     # queries once, untimed, so the probe and the sweep start steady-state.
-    for _wname in (
-        "tpch_q1_pricing_summary",
-        "join_fact_orders",
-        "moving_avg_7d",
-        "text_quality_score",
-        "dedup_exact",
-        # md5/posting-heavy paths (winnow/minhash/ngram family): without
-        # this the family's md5+collect_list codegen lands cold and even
-        # min-of-3 reads ~2x high when those queries draw early order
-        "text_winnow_fingerprint",
-    ):
+    for _wname in WARMUP_QUERIES:
         if _wname in REGISTRY:
             REGISTRY[_wname].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"

@@ -26,6 +26,7 @@ from us_weather_energy_analysis_pipeline_spark.benchlib import (
     probe_floor,
     shuffled_order,
     timed_best,
+    WARMUP_QUERIES,
 )
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
     REGISTRY,
@@ -52,17 +53,7 @@ def main() -> None:
     # C2 warmup (see bench.py): the floor probe and the first timed
     # queries read 1.3-1.5× high on a fresh JVM — run a few representative
     # queries once, untimed, so the whole sweep measures steady state.
-    for wname in (
-        "tpch_q1_pricing_summary",
-        "join_fact_orders",
-        "moving_avg_7d",
-        "text_quality_score",
-        "dedup_exact",
-        # md5/posting-heavy paths (winnow/minhash/ngram family): without
-        # this the family's md5+collect_list codegen lands cold and even
-        # min-of-3 reads ~2x high when those queries draw early order
-        "text_winnow_fingerprint",
-    ):
+    for wname in WARMUP_QUERIES:
         if wname in REGISTRY:
             REGISTRY[wname].spark_fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
@@ -74,17 +65,7 @@ def main() -> None:
     # same representative queries, so DuckDB's first timed run is also
     # steady-state (OS page cache + its own buffer pool), mirroring the
     # Spark JIT/page-cache warmup above.
-    for wname in (
-        "tpch_q1_pricing_summary",
-        "join_fact_orders",
-        "moving_avg_7d",
-        "text_quality_score",
-        "dedup_exact",
-        # md5/posting-heavy paths (winnow/minhash/ngram family): without
-        # this the family's md5+collect_list codegen lands cold and even
-        # min-of-3 reads ~2x high when those queries draw early order
-        "text_winnow_fingerprint",
-    ):
+    for wname in WARMUP_QUERIES:
         q = REGISTRY.get(wname)
         if q is not None and q.oracle:
             con.execute(q.oracle).fetchall()

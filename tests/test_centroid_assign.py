@@ -219,3 +219,48 @@ def test_new_embed_query_plan_shapes(spark, sf_dir):
     assign = fmt("embed_nearest_centroid_assign")
     assert nodes(assign, "MapInPandas") == 1
     assert nodes(assign, "Exchange") == 1
+
+
+def test_json_props_rollup_adversarial_payloads(spark, tmp_path):
+    """Pin the cross-engine k-extraction contract on payload shapes the
+    fixed dataset never contains (review r9): quoted numbers, floats,
+    booleans, arrays, out-of-range ints, missing key, malformed JSON,
+    NULL — Spark's from_json('k BIGINT') and the oracle's
+    json_type-guarded TRY_CAST must agree on every one (a bare
+    TRY_CAST(json_extract_string(...)) coerces '123' and rounds 1.5)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from us_weather_energy_analysis_pipeline_spark.testing import diff_report
+
+    _ensure_loaded()
+    payloads = [
+        '{"k": 69}', '{"k": "123"}', '{"k": 1.5}', '{"k": -4}',
+        '{"k": null}', '{"j": 1}', "not json", None,
+        '{"k": 99999999999999999999}', '{"k": true}', '{"k": [1]}',
+    ]
+    n = len(payloads)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array([None] * n, pa.timestamp("us")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["view", "click"] * (n // 2) + ["view"]),
+            "value": pa.array([1.0] * n),
+            "props": pa.array(payloads),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    q = REGISTRY["json_props_rollup"]
+    sdf = q.spark_fn(spark, str(tmp_path)).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{tmp_path}/events.parquet')"
+    )
+    odf = con.execute(q.oracle).fetchdf()
+    assert diff_report(sdf, odf) is None

@@ -25,6 +25,21 @@ from collections.abc import Callable, Iterable
 
 _SEQ = itertools.count()  # unique job-group ids across repeated calls
 
+# C2/steady-state warmup set, shared by bench.py and bench_vs_duckdb.py
+# (both engines warm the SAME queries so their numbers stay comparable):
+# representative scan/agg/join/window/text paths plus one md5/posting-
+# heavy query — without the last, the winnow/minhash family's
+# md5+collect_list codegen lands cold and even min-of-3 reads ~2x high
+# when those queries draw early order.
+WARMUP_QUERIES = (
+    "tpch_q1_pricing_summary",
+    "join_fact_orders",
+    "moving_avg_7d",
+    "text_quality_score",
+    "dedup_exact",
+    "text_winnow_fingerprint",
+)
+
 
 def settled_job_count(tracker, group: str, tries: int = 20, interval: float = 0.02) -> int:
     """Length of ``getJobIdsForGroup(group)`` once stable across two

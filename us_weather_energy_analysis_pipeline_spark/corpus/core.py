@@ -998,7 +998,14 @@ def monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(AVG(CAST(k AS DOUBLE)), 4) AS avg_k
     FROM (
       SELECT event_type,
+             -- json_type guard: Spark's from_json('k BIGINT') yields a
+             -- value ONLY for an integral JSON number in bigint range
+             -- (quoted "123", 1.5, true, arrays -> NULL); DuckDB's bare
+             -- TRY_CAST(json_extract_string(...)) would coerce quoted
+             -- numbers and ROUND doubles ('1.5' -> 2) - probed on 11
+             -- payload shapes, the type guard matches Spark exactly
              CASE WHEN props IS NOT NULL AND json_valid(props)
+                  AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
                   THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
              END AS k
       FROM events
@@ -1012,9 +1019,13 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``events.props`` column — the metadata-sidecar parse every training
     pipeline runs on JSONL provenance fields. ``from_json`` with an
     explicit one-field schema is the JVM-native path (vectorizable
-    Jackson parse, PERMISSIVE mode → NULL struct on malformed input,
-    matching the oracle's json_valid guard); per event type it emits
-    total events, parseable-k count, and exact/mean k.
+    Jackson parse, PERMISSIVE mode → NULL on malformed input OR
+    non-integral k — quoted "123", 1.5, true, arrays all yield NULL;
+    the oracle twins this exactly via json_valid + a json_type
+    BIGINT/UBIGINT guard, probed on 11 payload shapes — a bare
+    TRY_CAST(json_extract_string(...)) would coerce quoted numbers and
+    round doubles); per event type it emits total events, parseable-k
+    count, and exact/mean k.
 
     Scale shape: a pure scan-stage projection (the parse) into one
     map-side-combining aggregate keyed on event_type — shuffle volume

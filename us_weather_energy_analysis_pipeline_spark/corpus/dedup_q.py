@@ -614,8 +614,14 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         / MINHASH_K
     )
     return (
-        new.join(
-            idx,
+        # index LEFT, batch RIGHT: when AQE picks a broadcast build it
+        # builds the RIGHT side — the 20% newcomer batch, not 80% of the
+        # corpus's banded signatures (review r9: the unswapped form
+        # shipped 4× the data to every task); above the broadcast
+        # threshold AQE falls back to a shuffle join on (band, digest),
+        # the correct both-sides-huge plan.
+        idx.join(
+            new,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.digest") == F.col("b.digest")),
         )

@@ -793,6 +793,11 @@ def assign_nearest_centroid(
         C = np.asarray(cmat, dtype=np.float64)
         cn = np.sqrt((C * C).sum(axis=1))
         L = np.asarray(labs, dtype=np.int64)
+        # fold_cos/drnd6 below are nested-closure copies of the module's
+        # fold_cosine/py_dround BY DESIGN (same as topk_candidates):
+        # module-level functions pickle by reference, and workers of a
+        # foreign driver cannot import this package — closures serialize
+        # by value. tests pin both copies against the module originals.
         pools = None
         if pool_l is not None:
             pools = {}
@@ -979,16 +984,9 @@ def ivf_topk(
     # per-dim means directly and skip label_centroids' second groupBy
     # (array re-collect) exchange — one fewer AQE stage job; the values
     # are the identical avg() doubles, ordered by pos exactly as
-    # array_sort ordered them (r9 job cut)
-    per_dim = _per_dim_means(corpus, label_col, vec_col)
-    cmap: dict[int, dict[int, float]] = {}
-    for r in per_dim.collect():
-        if r[label_col] is not None:
-            cmap.setdefault(int(r[label_col]), {})[int(r["pos"])] = r["m"]
-    cents = [
-        (lab, [dims[p] for p in sorted(dims)])
-        for lab, dims in sorted(cmap.items())
-    ]
+    # array_sort ordered them (r9 job cut; shared with the assignment
+    # family via collect_centroids — review r9: no hand-synced copies)
+    cents = collect_centroids(corpus, label_col, vec_col)
     qinfo = []
 
     def _cell_key(qv, c):
