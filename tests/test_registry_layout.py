@@ -24,6 +24,7 @@ ROTATED_R9 = (
     "embed_hard_negative_mine",
     "dedup_incremental_minhash",
     "json_props_rollup",
+    "dates_intersect",
     "argmax_supplier",
     "bigram_topk",
     "cohort_retention",
@@ -59,7 +60,6 @@ ROTATED_R9 = (
     "yoy_monthly",
     "embed_dedup_pipeline_e2e",
     "dedup_pipeline_e2e",
-    "tpch_q5_local_supplier",
     "rfm_segments",
     "embed_cosine_topk",
     "embed_ivf_topk",
@@ -79,6 +79,7 @@ DISPLACED_R9 = (
     "dedup_winnow_pairs",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
+    "tpch_q5_local_supplier",
 )
 
 

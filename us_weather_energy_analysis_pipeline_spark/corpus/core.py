@@ -1045,3 +1045,29 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r4(F.avg(F.col("k").cast("double"))).alias("avg_k"),
         )
     )
+
+
+@register(
+    "dates_intersect",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day FROM orders
+    INTERSECT
+    SELECT strftime(l_shipdate, '%Y-%m-%d') AS day FROM lineitem
+    """,
+    tags=("setop", "intersect"),
+)
+def dates_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection on date sets — completes the set-op family
+    (union_slices, dates_except): days that appear as BOTH an order date
+    and a ship date. ``intersect`` is INTERSECT DISTINCT, matching the
+    SQL oracle; same shape discipline as dates_except — each side
+    pre-distincted so partial aggregation compresses the exchanges to
+    ~one row per distinct DAY per partition, the set op runs on 4-byte
+    DATE values, and ISO formatting happens once per RESULT row."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).distinct()
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_shipdate").cast("date").alias("d")
+    ).distinct()
+    return o.intersect(li).select(iso_day("d").alias("day"))

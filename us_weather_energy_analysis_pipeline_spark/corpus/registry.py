@@ -120,12 +120,12 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-9 window (VERDICT r8 task 1): positions 0-6 are the seven queries
+# Round-9 window (VERDICT r8 task 1): positions 0-7 are the eight queries
 # registered this round (chunking, vocab pruning, unigram-LM scoring,
 # centroid assignment, hard-negative mining, incremental dedup, JSON
-# extraction — never
+# extraction, set intersection — never
 # driver verified); next are the 33 queries whose latest driver row is
-# r06 — so after this round the whole 138-query union is at most two
+# r06 — so after this round the whole 139-query union is at most two
 # rounds stale. The remaining in-window positions are the queries whose
 # PLANS this round's tasks touch (VERDICT r8 tasks 2/3/5/6 + ADVICE:
 # the e2e dedup pipelines and their cluster/winnow/ngram stages, the rfm
@@ -141,6 +141,7 @@ WINDOW: tuple[str, ...] = (
     "embed_hard_negative_mine",
     "dedup_incremental_minhash",
     "json_props_rollup",
+    "dates_intersect",
     # -- last driver row r06 (the full stale set) --
     "argmax_supplier",
     "bigram_topk",
@@ -178,7 +179,6 @@ WINDOW: tuple[str, ...] = (
     # -- plans touched by r9 tasks --
     "embed_dedup_pipeline_e2e",
     "dedup_pipeline_e2e",
-    "tpch_q5_local_supplier",
     "rfm_segments",
     "embed_cosine_topk",
     "embed_ivf_topk",
@@ -192,13 +192,16 @@ WINDOW: tuple[str, ...] = (
     # dead ends, plans untouched), displaced by the mid-r9 registrations
     # above, which have never been driver-verified.
     # Still in WINDOW so the layout stays declared; still in the local
-    # 138-query oracle gate. dedup_cluster_assign joined them when
+    # 139-query oracle gate. dedup_cluster_assign joined them when
     # dedup_incremental_minhash registered (r8-green, r9-unchanged
     # components/ngram lineage).
     "distinct_kmv_estimate",
     "dedup_winnow_pairs",
     "dedup_ngram_jaccard",
     "dedup_cluster_assign",
+    # r9-unchanged plan, last driver row r07 (2 rounds stale meets the
+    # VERDICT bar); displaced when dates_intersect registered
+    "tpch_q5_local_supplier",
 )
 
 
