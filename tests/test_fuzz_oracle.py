@@ -74,6 +74,12 @@ FUZZ_QUERIES = [
     # JSON extraction rollup: rotation re-pairs props with event types;
     # the events null-fuzz below nulls event_type under it
     "json_props_rollup",
+    # r10 registrations: subsampling changes which chunks collide
+    # corpus-wide (keep-first occ order shifts with the surviving
+    # doc_id set) and moves the mixed-line anchor length / link-density
+    # margin per doc; rotation re-pairs text with doc_id in both
+    "chunk_dedup_ratio",
+    "html_boilerplate_strip",
 ]
 
 

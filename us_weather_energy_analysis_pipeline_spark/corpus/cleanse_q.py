@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
 from us_weather_energy_analysis_pipeline_spark.operators import cache
@@ -444,4 +444,147 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
         .join(F.broadcast(eg), "gh")
         .groupBy("doc_id", "source")
         .agg(F.count_distinct("gh").alias("n_shared"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML / boilerplate stripping (trafilatura-class normalization, native exprs)
+# ---------------------------------------------------------------------------
+# The corpus stores extracted text, so the registered query first WRAPS each
+# document in a deterministic 4-line HTML page (nav with links, the document
+# body, a mixed related-links line whose anchor share varies per doc, a
+# footer) — identically on both engines — and then genuinely strips it:
+# tag removal, entity decode, whitespace collapse, and the jusText/
+# trafilatura link-density line filter. The strip chain is the operator
+# under test; the wrapper only manufactures realistic input from the
+# corpus tables (TESTDATA contract: no out-of-band inputs).
+
+LINK_DENSITY_MAX = 0.5  # drop lines whose anchor-text share exceeds this
+
+
+def _decode_entities_duck(e: str) -> str:
+    """Entity-decode chain (SQL). Tags are stripped FIRST, entities decoded
+    after (so a decoded ``&lt;tag&gt;`` can't be re-stripped), ``&amp;``
+    decoded LAST (a correct decoder never double-decodes)."""
+    out = f"regexp_replace({e}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                    ("&nbsp;", " "), ("&amp;", "&")):
+        out = f"replace({out}, '{ent}', '{ch}')"
+    return f"trim(regexp_replace({out}, ' +', ' ', 'g'))"
+
+
+@register(
+    "html_boilerplate_strip",
+    oracle=f"""
+    WITH built AS (
+      SELECT doc_id,
+             [concat_ws('', '<div class="nav"><a href="/">Home</a> <a href="/s',
+                        CAST(doc_id % 7 AS VARCHAR), '">Sec &amp; ',
+                        CAST(doc_id % 7 AS VARCHAR), '</a></div>'),
+              concat_ws('', '<p>', text, ' &amp; more &lt;tail&gt;</p>'),
+              concat_ws('', '<p>See <a href="/m">',
+                        substr(text, 1, CAST(8 + doc_id % 40 AS INTEGER)),
+                        '</a> for details</p>'),
+              '<footer><a href="/about">About</a> <a href="/terms">&quot;Terms&quot;</a></footer>'
+             ] AS lines
+      FROM documents
+    ),
+    lined AS (
+      SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_no, lines[i] AS line
+      FROM built, UNNEST(generate_series(1, 4)) AS s(i)
+    ),
+    scored AS (
+      SELECT doc_id, line_no,
+             {_decode_entities_duck('line')} AS clean,
+             {_decode_entities_duck("coalesce(array_to_string(regexp_extract_all(line, '<a[^>]*>(.*?)</a>', 1), ' '), '')")} AS clean_a
+      FROM lined
+    )
+    SELECT doc_id, line_no,
+           CAST(length(clean) AS BIGINT) AS n_clean_chars,
+           ROUND(CASE WHEN length(clean) = 0 THEN 1.0
+                      ELSE length(clean_a) / CAST(length(clean) AS DOUBLE)
+                 END, 6) AS link_density,
+           CASE WHEN length(clean) > 0
+                 AND length(clean_a) / CAST(length(clean) AS DOUBLE)
+                     <= {LINK_DENSITY_MAX}
+                THEN 1 ELSE 0 END AS kept,
+           substr(clean, 1, 48) AS clean_prefix
+    FROM scored
+    """,
+    tags=("text", "normalization", "html", "boilerplate"),
+)
+def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML/boilerplate stripping — the trafilatura/jusText-class
+    normalization pass every web-scrape training pipeline runs first:
+    strip tags, decode entities, collapse whitespace, and drop
+    link-dense lines (nav/footer chrome) by anchor-text share. Emits one
+    row per line with its cleaned length, link density, keep flag, and
+    cleaned prefix, so a downstream pass can reassemble kept content.
+
+    Plan shape: pure per-row expressions — build the page, explode 4
+    lines, run the regexp/replace chain (all JVM codegen, no Python) —
+    zero shuffle, one job, embarrassingly parallel at any scale; at
+    100 TB this runs at scan speed with full column pruning (only
+    doc_id/text read). Tags stripped BEFORE entity decode so decoded
+    ``&lt;tag&gt;`` text cannot be re-stripped; ``&amp;`` decoded last so
+    nothing double-decodes. Link density = cleaned anchor chars /
+    cleaned line chars — a ratio of two exact integers, so the
+    {LINK_DENSITY_MAX} threshold compares identical doubles on both
+    engines; the reported value is dround'd per the corpus float
+    contract. NULL text: concat_ws skips it on both engines, so the
+    body line degrades to its static wrapper instead of nulling out."""
+    d = load(spark, sf_dir, "documents")
+    sec = (F.col("doc_id") % 7).cast("string")
+    lines = F.array(
+        F.concat_ws(
+            "",
+            F.lit('<div class="nav"><a href="/">Home</a> <a href="/s'),
+            sec,
+            F.lit('">Sec &amp; '),
+            sec,
+            F.lit("</a></div>"),
+        ),
+        F.concat_ws(
+            "", F.lit("<p>"), F.col("text"), F.lit(" &amp; more &lt;tail&gt;</p>")
+        ),
+        F.concat_ws(
+            "",
+            F.lit('<p>See <a href="/m">'),
+            F.expr("substring(text, 1, CAST(8 + doc_id % 40 AS INT))"),
+            F.lit("</a> for details</p>"),
+        ),
+        F.lit(
+            '<footer><a href="/about">About</a> <a href="/terms">&quot;Terms&quot;</a></footer>'
+        ),
+    )
+    lined = d.select("doc_id", F.posexplode(lines).alias("line_no", "line"))
+
+    def clean_chain(col: F.Column) -> F.Column:
+        out = F.regexp_replace(col, "<[^>]*>", " ")
+        for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                        ("&nbsp;", " "), ("&amp;", "&")):
+            out = F.replace(out, F.lit(ent), F.lit(ch))
+        return F.trim(F.regexp_replace(out, " +", " "))
+
+    anchors = F.expr("regexp_extract_all(line, '<a[^>]*>(.*?)</a>', 1)")
+    scored = lined.select(
+        "doc_id",
+        "line_no",
+        clean_chain(F.col("line")).alias("clean"),
+        clean_chain(F.array_join(anchors, " ")).alias("clean_a"),
+    )
+    density = F.length("clean_a") / F.length("clean").cast("double")
+    return scored.select(
+        "doc_id",
+        "line_no",
+        F.length("clean").cast("long").alias("n_clean_chars"),
+        r6(
+            F.when(F.length("clean") == 0, F.lit(1.0)).otherwise(density)
+        ).alias("link_density"),
+        F.when(
+            (F.length("clean") > 0) & (density <= LINK_DENSITY_MAX), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("kept"),
+        F.substring("clean", 1, 48).alias("clean_prefix"),
     )

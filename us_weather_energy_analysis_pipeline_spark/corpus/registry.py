@@ -120,88 +120,81 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-9 window (VERDICT r8 task 1): positions 0-7 are the eight queries
-# registered this round (chunking, vocab pruning, unigram-LM scoring,
-# centroid assignment, hard-negative mining, incremental dedup, JSON
-# extraction, set intersection — never
-# driver verified); next are the 33 queries whose latest driver row is
-# r06 — so after this round the whole 139-query union is at most two
-# rounds stale. The remaining in-window positions are the queries whose
-# PLANS this round's tasks touch (VERDICT r8 tasks 2/3/5/6 + ADVICE:
-# the e2e dedup pipelines and their cluster/winnow/ngram stages, the rfm
-# literal-NTILE expression-build rewrite, the four ANN top-k queries that
-# gain distributed probe assignment, the KMV pre-prune probe, and
-# embed_cosine_topk whose module's brute-force fallback schema changed).
+# Round-10 window (VERDICT r9 task 1): positions 0-1 are the two queries
+# registered this round (chunk-level dedup consuming doc_chunk_overlap's
+# chunk_md5 key; HTML/boilerplate strip — never driver-verified);
+# positions 2-49 are the FULL 48-query cohort whose latest driver row
+# is r07 (the staleness frontier after r9) — so after this round the
+# whole 141-query union is at most two rounds stale (the r8 cohort).
+# The queries whose plans r10 tasks touch (ewma_daily window fusion,
+# the IVF distributed-fallback pre-prune + dim hint, the ADVICE
+# centroid/hard-negative width fixes) are all r9-green; they form the
+# declared tail at positions 50-54 — first in line if the driver
+# samples past 50, and every plan change is pinned by the local
+# 141-query oracle gate in pytest.
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
-    "doc_chunk_overlap",
-    "vocab_prune_df_bounds",
-    "text_unigram_logprob",
+    "chunk_dedup_ratio",
+    "html_boilerplate_strip",
+    # -- last driver row r07 (the full stale cohort, 48 queries) --
+    "asof_join_last_view",
+    "cooccurrence_pairs",
+    "corr_pearson",
+    "count_distinct_users",
+    "cube_priority_status",
+    "dates_except",
+    "dedup_keep_first",
+    "grouped_quantiles",
+    "heatmap_pivot",
+    "hourly_profile",
+    "join_dims_broadcast",
+    "join_fact_orders",
+    "lag_diff_pct",
+    "last_per_group",
+    "mean_impute_group",
+    "missing_days_anti",
+    "mode_event_type",
+    "monthly_rollup",
+    "moving_avg_7d",
+    "multimodal_fake_decode",
+    "multimodal_frame_sample",
+    "ols_by_group",
+    "ols_ci_frame",
+    "ols_closed_form",
+    "pivot_eav",
+    "problem_rows",
+    "quality_daily",
+    "quality_report",
+    "quantiles_exact",
+    "regexp_normalize",
+    "resample_hourly_daily",
+    "revenue_share",
+    "rollup_revenue",
+    "sample_hash_mod",
+    "scalar_stats",
+    "semi_join_customers",
+    "sessionize_gap",
+    "skew_salted_agg",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier",
+    "tpch_q6_forecast_revenue",
+    "ts_daily_rollup",
+    "tumbling_window_rollup",
+    "unit_convert_project",
+    "unpivot_measures",
+    "user_journey_path",
+    "weekday_profile",
+    # -- declared tail (positions 50+): r9-green driver rows whose
+    # plans r10 tasks touch; displaced past the ~50-position sample by
+    # the never-verified registrations + the r7 cohort above, which
+    # take priority per the VERDICT staleness bar. Still in the local
+    # 141-query oracle gate.
+    "ewma_daily",
+    "embed_ivf_topk",
+    "embed_ivf_multiprobe_topk",
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
-    "dedup_incremental_minhash",
-    "json_props_rollup",
-    "dates_intersect",
-    # -- last driver row r06 (the full stale set) --
-    "argmax_supplier",
-    "bigram_topk",
-    "cohort_retention",
-    "corpus_temperature_resample",
-    "decontaminate_ngram_overlap",
-    "dedup_embed_cosine",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "embed_centroid_by_label",
-    "embed_corr_pairs_topk",
-    "embed_dim_stats",
-    "embed_int8_quantize",
-    "ewma_daily",
-    "funnel_conversion",
-    "gopher_quality_filter",
-    "map_view_decorated",
-    "moments_skew_kurt",
-    "range_join_price_band",
-    "text_fingerprint",
-    "text_heaps_fit",
-    "text_lang_id",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_token_count",
-    "text_zipf_fit",
-    "tpch_q13_custdist",
-    "tpch_q14_promo_revenue",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q19_disjunctive",
-    "tpch_q22_dormant_customers",
-    "tpch_q4_order_priority",
-    "trailing_range_7d",
-    "yoy_monthly",
-    # -- plans touched by r9 tasks --
-    "embed_dedup_pipeline_e2e",
-    "dedup_pipeline_e2e",
-    "rfm_segments",
-    "embed_cosine_topk",
-    "embed_ivf_topk",
-    "embed_lsh_bucket_topk",
-    "embed_lsh_multiprobe_topk",
-    "embed_ivf_multiprobe_topk",
-    "topk_per_group",
-    # -- past the driver's ~50-position sample: r8-green driver rows with
-    # r9-UNCHANGED plans (the r9 job-cut commits touched only rank.py /
-    # similarity.py — the KMV pre-prune and winnow/ngram probes were
-    # dead ends, plans untouched), displaced by the mid-r9 registrations
-    # above, which have never been driver-verified.
-    # Still in WINDOW so the layout stays declared; still in the local
-    # 139-query oracle gate. dedup_cluster_assign joined them when
-    # dedup_incremental_minhash registered (r8-green, r9-unchanged
-    # components/ngram lineage).
-    "distinct_kmv_estimate",
-    "dedup_winnow_pairs",
-    "dedup_ngram_jaccard",
-    "dedup_cluster_assign",
-    # r9-unchanged plan, last driver row r07 (2 rounds stale meets the
-    # VERDICT bar); displaced when dates_intersect registered
-    "tpch_q5_local_supplier",
 )
 
 

@@ -476,6 +476,87 @@ def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "chunk_dedup_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                                    'abcdefghijklmnopqrstuvwxyz'), ' ') AS t
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id,
+             CAST((i - 1) // {CHUNK_STRIDE} AS INTEGER) AS chunk_id,
+             md5(array_to_string(t[i:i+{CHUNK_TOKENS}-1], ' ')) AS chunk_md5
+      FROM toks, UNNEST(generate_series(1, len(t), {CHUNK_STRIDE})) AS s(i)
+    ),
+    ranked AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY chunk_md5
+                                ORDER BY doc_id, chunk_id) AS occ
+      FROM chunks
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT)                          AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                                                             AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6)              AS dup_chunk_ratio
+    FROM ranked
+    GROUP BY doc_id
+    """,
+    tags=("text", "chunking", "dedup", "training-windows"),
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup (the FineWeb-style intra-corpus pass):
+    consume the ``chunk_md5`` key that ``doc_chunk_overlap`` emits for
+    exactly this purpose, keep-first over (doc_id, chunk_id), and report
+    per document how many of its training windows are verbatim repeats
+    of a chunk seen earlier in the corpus — the signal that routes a doc
+    to chunk-pruned emission instead of whole-doc drop.
+
+    Plan shape: the zero-shuffle chunking scan (same per-row array
+    expressions as ``doc_chunk_overlap``), then exactly two exchanges —
+    a row_number window keyed on chunk_md5 (md5 keys are uniform, no
+    skew at any scale) and the per-doc fold. Keep-first semantics (occ
+    > 1 = would be removed) rather than member-of-dup-group: it matches
+    the O3 dedup family and counts exactly the rows a dedup pass drops.
+    NULL text emits no chunks on both engines, so such docs are absent
+    from the output (same contract as ``doc_chunk_overlap``)."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
+    staged = d.select("doc_id", toks.alias("t")).select(
+        "doc_id",
+        "t",
+        F.explode(
+            F.sequence(F.lit(1), F.size("t"), F.lit(CHUNK_STRIDE))
+        ).alias("s"),
+    )
+    chunks = staged.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {CHUNK_STRIDE} AS INT)").alias("chunk_id"),
+        F.md5(F.array_join(F.slice("t", F.col("s"), CHUNK_TOKENS), " ")).alias(
+            "chunk_md5"
+        ),
+    )
+    occ = F.row_number().over(
+        Window.partitionBy("chunk_md5").orderBy("doc_id", "chunk_id")
+    )
+    dup = (occ > 1).cast("int")
+    return (
+        chunks.select("doc_id", dup.alias("dup"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("dup").cast("long").alias("n_dup_chunks"),
+            r6(F.sum("dup") / F.count(F.lit(1))).alias("dup_chunk_ratio"),
+        )
+    )
+
+
+@register(
     "text_unigram_logprob",
     oracle="""
     WITH tok AS (
