@@ -264,3 +264,88 @@ def test_json_props_rollup_adversarial_payloads(spark, tmp_path):
     )
     odf = con.execute(q.oracle).fetchdf()
     assert diff_report(sdf, odf) is None
+
+
+def _write_embeddings(tmp_path, rows, dim):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array(
+                [r[2] for r in rows], pa.list_(pa.float32())
+            ),
+            "label": pa.array([r[1] for r in rows], pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+
+def _oracle_parity(spark, tmp_path, names):
+    import duckdb
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+    from us_weather_energy_analysis_pipeline_spark.testing import diff_report
+
+    _ensure_loaded()
+    con = duckdb.connect()
+    con.execute(
+        "CREATE OR REPLACE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    out = {}
+    for name in names:
+        sdf = REGISTRY[name].spark_fn(spark, str(tmp_path)).toPandas()
+        odf = con.execute(REGISTRY[name].oracle).fetchdf()
+        assert diff_report(sdf, odf) is None, name
+        out[name] = sdf
+    return out
+
+
+def test_zero_norm_centroid_cell_excluded_both_engines(spark, tmp_path):
+    """ADVICE r9: a cell whose members are ALL zero vectors folds to an
+    exactly-zero centroid. The kernel NaN-excludes it while DuckDB's
+    list_cosine_similarity scores it -1.0 — the oracle cvec CTEs now
+    filter zero-norm centroids, so both engines skip the cell and the
+    results stay hash-identical (previously the oracle kept it as a
+    last-ranked candidate, diverging when it was the ONLY candidate)."""
+    rows = [
+        (0, 0, [0.0, 0.0, 0.0, 0.0]),
+        (1, 0, [0.0, 0.0, 0.0, 0.0]),
+        (2, 1, [1.0, 0.0, 0.0, 0.0]),
+        (3, 1, [0.9, 0.1, 0.0, 0.0]),
+        (4, 2, [0.0, 1.0, 0.0, 0.0]),
+        (5, 2, [0.1, 0.9, 0.0, 0.0]),
+    ]
+    _write_embeddings(tmp_path, rows, 4)
+    out = _oracle_parity(
+        spark,
+        tmp_path,
+        ("embed_nearest_centroid_assign", "embed_hard_negative_mine"),
+    )
+    assign = out["embed_nearest_centroid_assign"]
+    assert len(assign) > 0
+    assert 0 not in set(assign["assigned_label"])  # zero cell never wins
+    mine = out["embed_hard_negative_mine"]
+    assert len(mine) > 0
+    assert 0 not in set(mine["neg_label"])
+
+
+def test_hard_negative_mine_non64_width_returns_rows(spark, tmp_path):
+    """ADVICE r9: the pool's zero-norm prune must derive its flat-dot
+    width from the collected codebook, not the EMBED_DIM=64 constant —
+    with the constant, a 4-wide corpus NULLed every _sq and the query
+    silently returned 0 rows while the width-agnostic oracle didn't."""
+    import random
+
+    rng = random.Random(11)
+    rows = [
+        (i, i % 3, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(30)
+    ]
+    _write_embeddings(tmp_path, rows, 4)
+    out = _oracle_parity(spark, tmp_path, ("embed_hard_negative_mine",))
+    assert len(out["embed_hard_negative_mine"]) == 30

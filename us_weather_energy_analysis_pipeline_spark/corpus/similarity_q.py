@@ -639,8 +639,13 @@ NEG_POOL_K = 8  # bounded hard-negative candidates per cell (md5-smallest)
     cent AS (
       SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
     ),
-    cvec AS (SELECT label AS clabel, list(m ORDER BY pos) AS centroid
-             FROM cent GROUP BY label),
+    -- zero-norm centroids have no defined cosine: the Spark kernel
+    -- NaN-excludes them while list_cosine_similarity returns -1.0
+    -- against a zero vector, so filter them here too (ADVICE r9)
+    cvec AS (SELECT clabel, centroid FROM (
+               SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+               FROM cent GROUP BY label)
+             WHERE list_dot_product(centroid, centroid) > 0),
     e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
           WHERE embedding IS NOT NULL
             AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
@@ -726,8 +731,12 @@ def embed_nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame
     cent AS (
       SELECT label, pos, AVG(CAST(x AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
     ),
-    cvec AS (SELECT label AS clabel, list(m ORDER BY pos) AS centroid
-             FROM cent GROUP BY label),
+    -- zero-norm centroids: same NaN-exclusion contract as
+    -- embed_nearest_centroid_assign's cvec (ADVICE r9)
+    cvec AS (SELECT clabel, centroid FROM (
+               SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+               FROM cent GROUP BY label)
+             WHERE list_dot_product(centroid, centroid) > 0),
     best_cell AS (
       SELECT vec_id, label, v, clabel AS neg_label FROM (
         SELECT e.vec_id, e.label, e.v, c.clabel,
@@ -808,10 +817,16 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # stage 1: md5-smallest K per label (zero-norm rows excluded — the
-    # oracle pool draws from e), batch-local prune before the window
+    # oracle pool draws from e), batch-local prune before the window.
+    # The prune's flat-dot width comes from the collected codebook (the
+    # same data-driven source the kernel uses), NOT the EMBED_DIM
+    # constant: with a hardcoded width a wider/narrower corpus would
+    # make try_element_at yield NULL, silently emptying the pool while
+    # the width-agnostic oracle still returns rows (ADVICE r9).
+    dim = len(cents[0][1])
     emb = (
         base.withColumn(
-            "_sq", F.expr(_flat_dot_sql("embedding", "embedding", EMBED_DIM))
+            "_sq", F.expr(_flat_dot_sql("embedding", "embedding", dim))
         )
         .filter(F.col("_sq") > 0)
         .drop("_sq")
