@@ -336,50 +336,80 @@ def ewma_frame(
     Exposed at DF level so property tests can drive multi-year synthetic
     series through the exact production plan."""
     beta = 1.0 - alpha
-    t = F.row_number().over(Window.orderBy("day")) - 1
-    seq = daily.select(
+    b, bL = repr(beta), repr(beta**L)
+    # Fused carry plumbing (r10, VERDICT r9 task 3): the old shape
+    # branched seq into a groupBy(epoch) aggregate + an epoch-lag window
+    # + a broadcast join back — three extra exchanges/jobs and a doubly
+    # computed seq. Instead every row carries its epoch-END accumulators
+    # via an unbounded-following frame over the SAME epoch partition
+    # spec (one WindowExec evaluates p/q and a/b in a single pass —
+    # Spark groups window expressions by (partition, order) spec
+    # regardless of frame), and the one-/two-epoch-back carries come
+    # from range frames over the bounded epoch index (RANGE [-1,-1] /
+    # [-2,-2]: all rows of an epoch hold the identical A_k, so MAX over
+    # the frame IS the lagged scalar). Identical arithmetic →
+    # bit-identical output; the plan is one linear pipeline, no join,
+    # no aggregation branch.
+    #
+    # selectExpr, not Column chains (r10): building this plan from
+    # Column objects cost 0.24-0.32 s of py4j round-trips PER BENCH RUN
+    # (each F.* call is a JVM hop; bench rebuilds the DataFrame every
+    # timed run) — four SQL strings parse JVM-side in single calls and
+    # produce the same analyzed plan. repr(beta) round-trips the exact
+    # double, so parsed literals are bit-identical to F.lit(beta).
+    w_ep = ("PARTITION BY epoch ORDER BY j "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    w_end = ("PARTITION BY epoch ORDER BY j "
+             "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING")
+    seq = daily.selectExpr(
         "day",
         "total",
-        (t % L).alias("j"),
-        (t / F.lit(L)).cast("long").alias("epoch"),
-    )
-    w_ep = Window.partitionBy("epoch").orderBy("j").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    inv = F.pow(F.lit(beta), -F.col("j"))  # β⁻ʲ, j < L → bounded
-    seq = seq.select(
+        f"(ROW_NUMBER() OVER (ORDER BY day) - 1) % {L} AS j",
+        f"CAST((ROW_NUMBER() OVER (ORDER BY day) - 1) / {L} AS BIGINT)"
+        " AS epoch",
+    ).selectExpr(
         "day",
         "total",
         "j",
         "epoch",
-        F.sum(F.col("total") * inv).over(w_ep).alias("p"),
-        F.sum(inv).over(w_ep).alias("q"),
-    )
-    # Epoch-end accumulators A_k = β^(j_end)·P_end (numerator) and
-    # B_k = β^(j_end)·Q_end (weights), lagged one and two epochs.
-    ep = seq.groupBy("epoch").agg(
-        F.max_by(F.pow(F.lit(beta), F.col("j")) * F.col("p"), F.col("j")).alias("a"),
-        F.max_by(F.pow(F.lit(beta), F.col("j")) * F.col("q"), F.col("j")).alias("b"),
-    )
-    w_lag = Window.orderBy("epoch")
-    bL = F.lit(beta**L)
-    carries = ep.select(
+        f"SUM(total * POW({b}, -j)) OVER ({w_ep}) AS p",  # β⁻ʲ, j < L → bounded
+        f"SUM(POW({b}, -j)) OVER ({w_ep}) AS q",
+    ).selectExpr(
+        "day",
+        "total",
+        "j",
+        "p",
+        "q",
+        # A_k = β^(j_end)·P_end, B_k = β^(j_end)·Q_end on every row
+        f"MAX_BY(POW({b}, j) * p, j) OVER ({w_end}) AS a",
+        f"MAX_BY(POW({b}, j) * q, j) OVER ({w_end}) AS b",
         "epoch",
-        (F.coalesce(F.lag("a", 1).over(w_lag), F.lit(0.0))
-         + bL * F.coalesce(F.lag("a", 2).over(w_lag), F.lit(0.0))).alias("ca"),
-        (F.coalesce(F.lag("b", 1).over(w_lag), F.lit(0.0))
-         + bL * F.coalesce(F.lag("b", 2).over(w_lag), F.lit(0.0))).alias("cb"),
+    ).selectExpr(
+        "day",
+        "total",
+        "j",
+        "p",
+        "q",
+        "COALESCE(MAX(a) OVER (ORDER BY epoch RANGE BETWEEN 1 PRECEDING"
+        f" AND 1 PRECEDING), 0.0D) + {bL} * COALESCE(MAX(a) OVER (ORDER"
+        " BY epoch RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0D)"
+        " AS ca",
+        "COALESCE(MAX(b) OVER (ORDER BY epoch RANGE BETWEEN 1 PRECEDING"
+        f" AND 1 PRECEDING), 0.0D) + {bL} * COALESCE(MAX(b) OVER (ORDER"
+        " BY epoch RANGE BETWEEN 2 PRECEDING AND 2 PRECEDING), 0.0D)"
+        " AS cb",
     )
-    bj = F.pow(F.lit(beta), F.col("j"))
-    num = bj * F.col("p") + bj * F.lit(beta) * F.col("ca")
-    den = bj * F.col("q") + bj * F.lit(beta) * F.col("cb")
-    return (
-        seq.join(F.broadcast(carries), "epoch")
-        .select(
-            "day",
-            r2(F.col("total")).alias("total"),
-            r4(num / den).alias("ewma"),
-        )
+    num = f"(POW({b}, j) * p + POW({b}, j) * {b} * ca)"
+    den = f"(POW({b}, j) * q + POW({b}, j) * {b} * cb)"
+    return seq.selectExpr(
+        "day",
+        # dround(·, 2) / dround(·, 4) written out (same IEEE op order as
+        # corpus/_util.dround: signum·floor(|x|·10ⁿ + 0.5)/10ⁿ)
+        "SIGNUM(CAST(total AS DOUBLE)) * FLOOR(ABS(CAST(total AS DOUBLE))"
+        " * 100.0D + 0.5D) / 100.0D AS total",
+        f"SIGNUM(CAST({num} / {den} AS DOUBLE))"
+        f" * FLOOR(ABS(CAST({num} / {den} AS DOUBLE)) * 10000.0D + 0.5D)"
+        " / 10000.0D AS ewma",
     )
 
 

@@ -514,32 +514,186 @@ def _ivf_join_plan(
         vec_col,
         F.col(label_col).cast("int").alias("_clab"),
     ).filter(F.col(id_col).isNotNull())
-    joined = c.join(
-        probes,
-        (F.col("_clab") == F.col("_cell")) & (F.col(id_col) != F.col(qid_col)),
+    cand = _cell_pair_topk(
+        c, probes, k, id_col, vec_col, qid_col, qvec_col, dim=dim
     )
-    if dim is not None:
-        # flat codegen cosine — per-pair scoring dominates this plan
-        # (measured 184 s → 64 s at 8k×8k with 8 cells; the residual is
-        # the 8M-pair rank window); the HOF fold below is the
-        # dim-agnostic fallback, bit-identical output
-        scored = _flat_cosine_cols(joined, vec_col, qvec_col, int(dim))
-    else:
-        den = norm(F.col(vec_col)) * norm(F.col(qvec_col))
-        scored = joined.withColumn(
-            "cosine",
-            F.when(
-                den != F.lit(0.0),
-                _dround6(dot(F.col(vec_col), F.col(qvec_col)) / den),
-            ),
-        )
     w = Window.partitionBy(qid_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(k))
         .select(qid_col, F.col("_cell").alias("cell"), id_col, "cosine", "rnk")
+    )
+
+
+def _cell_pair_topk(
+    c: DataFrame,
+    probes: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    qid_col: str,
+    qvec_col: str,
+    dim: int | None = None,
+    margin: float = 2e-6,
+    left_key: str = "_clab",
+    right_key: str = "_cell",
+) -> DataFrame:
+    """Per-cell BLAS top-k candidate generation for the distributed ANN
+    fallbacks (r10, VERDICT r9 task 2). ``c`` is the corpus keyed by
+    ``left_key`` (IVF cell / LSH bucket), ``probes`` the (query,
+    probe-cell) stream keyed by ``right_key``; output is the per-(cell,
+    query) candidate set — exact 6-dp-rounded sequential-fold cosines,
+    cell emitted as ``_cell`` — which the caller's rank window merges
+    into the global top-k.
+
+    Replaces the join + per-pair JVM scoring + full rank window: the
+    63.8 s 8k×8k forced-IVF probe was ~60 s of per-pair scoring because
+    the dim-term ``try_element_at`` chains (one per pair for the dot,
+    plus both norms) blow janino's 64 KB whole-stage-codegen method and
+    the stage silently evaluates INTERPRETED (~10 µs/pair — measured
+    again this round with pre-joined norms and a single chain: still
+    interpreted). This is N-chains-per-row territory, and the repo's
+    own lesson applies: use the BLAS-pre-rank + exact-fold-re-score
+    kernel shape (``topk_candidates`` is the template). Here the
+    cogroup ships each cell's corpus and query rows ONCE (8k + 8k rows
+    ≈ 8 MB at the probe scale, vs the old 6.4M-pair × two-vector
+    stream), one ``V @ Q.T`` matmul per cell scores every pair at BLAS
+    speed, and only margin candidates are fold re-scored.
+
+    Exactness (the ``topk_candidates`` margin argument, applied per
+    (cell, query)): a row outside the per-query BLAS top-k + ``margin``
+    band has fold score < every candidate's fold − 1e-6, i.e. strictly
+    below after 6-dp rounding, so the in-cell exact top-k is always
+    inside the candidate set; the global top-k is a subset of the union
+    of in-cell top-ks. NULL-score rows (NULL vector, zero norm, width
+    mismatch — ``dim`` fixes the width when given, else pairwise-equal
+    widths score, mirroring ``zip_with``'s NULL padding) are emitted
+    with NULL cosine, ``k`` smallest ids per (cell, query), matching
+    the rank window's NULLS-LAST ordering. ``id == qid`` self-pairs are
+    excluded in-kernel (the old join predicate). Skew posture: one task
+    per cell; a giant cell is one matmul chunked over query blocks —
+    the standard batched IVF search shape."""
+    kk, mg = int(k), float(margin)
+    d = None if dim is None else int(dim)
+    qc, ic, vc, qv = qid_col, id_col, vec_col, qvec_col
+    out_schema = f"{qc} long, _cell int, {ic} long, cosine double"
+
+    def fn(key, left, right):
+        import math as _m
+
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame(
+            {
+                qc: pd.array([], dtype="int64"),
+                "_cell": pd.array([], dtype="int32"),
+                ic: pd.array([], dtype="int64"),
+                "cosine": pd.array([], dtype="float64"),
+            }
+        )
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        cell = int(key[0])
+
+        def fold_cos(va, vb):
+            dd = 0.0
+            for x, y in zip(va, vb):
+                dd = dd + x * y
+            na = 0.0
+            for x in va:
+                na = na + x * x
+            nb = 0.0
+            for y in vb:
+                nb = nb + y * y
+            den = _m.sqrt(na) * _m.sqrt(nb)
+            return dd / den if den != 0.0 else None
+
+        def drnd6(x):
+            return _m.copysign(1.0, x) * _m.floor(abs(x) * 1e6 + 0.5) / 1e6
+
+        ids = left[ic].to_numpy()
+        vecs = left[vc]
+        n = len(ids)
+        widths = np.array(
+            [-1 if v is None else len(v) for v in vecs], dtype=np.int64
+        )
+        nv = np.zeros(n)
+        by_width: dict[int, tuple] = {}
+        for w in np.unique(widths[widths >= 0]):
+            js = np.flatnonzero(widths == w)
+            V = np.asarray(
+                [np.asarray(vecs.iloc[j], dtype=np.float64) for j in js]
+            )
+            nv[js] = np.sqrt((V * V).sum(axis=1))
+            by_width[int(w)] = (js, V)
+
+        out_qid: list[int] = []
+        out_id: list[int] = []
+        out_cos: list[float | None] = []
+        qids = right[qc].to_numpy()
+        qvecs = right[qv]
+        for j in range(len(qids)):
+            qid = int(qids[j])
+            qvec = qvecs.iloc[j]
+            qw = -1 if qvec is None else len(qvec)
+            ok_w = qw if (d is None or qw == d) else -2
+            scored_js = np.array([], dtype=np.int64)
+            scores = np.array([])
+            if ok_w >= 0 and ok_w in by_width:
+                js, V = by_width[ok_w]
+                Qv = np.asarray(qvec, dtype=np.float64)
+                nq = _m.sqrt(float(Qv @ Qv))
+                den = nv[js] * nq
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    s = (V @ Qv) / den
+                valid = (den != 0.0) & ~np.isnan(s) & (ids[js] != qid)
+                scored_js = js[valid]
+                scores = s[valid]
+            # everything not validly scored (and not the self-pair) is a
+            # NULL-score row: k smallest ids, the NULLS-LAST tail
+            null_mask = np.ones(n, dtype=bool)
+            null_mask[scored_js] = False
+            null_mask &= ids != qid
+            if scores.size > kk:
+                kth = np.partition(scores, -kk)[-kk]
+                keep = scores >= kth - mg
+                cand_js, cand_s = scored_js[keep], scores[keep]
+            else:
+                cand_js, cand_s = scored_js, scores
+            # fold re-score over PYTHON floats (tolist): float32 numpy
+            # scalars would accumulate in float32 under NEP-50 promotion,
+            # while the JVM fold casts every element to double first
+            qlist = (
+                [float(x) for x in qvec] if len(cand_js) else None
+            )
+            for cj in cand_js:
+                ex = fold_cos([float(x) for x in vecs.iloc[cj]], qlist)
+                out_qid.append(qid)
+                out_id.append(int(ids[cj]))
+                out_cos.append(None if ex is None else drnd6(ex))
+            null_ids = np.sort(ids[null_mask])[:kk]
+            for ni in null_ids:
+                out_qid.append(qid)
+                out_id.append(int(ni))
+                out_cos.append(None)
+        if not out_qid:
+            return empty
+        return pd.DataFrame(
+            {
+                qc: pd.array(out_qid, dtype="int64"),
+                "_cell": pd.array([cell] * len(out_qid), dtype="int32"),
+                ic: pd.array(out_id, dtype="int64"),
+                "cosine": pd.to_numeric(pd.Series(out_cos), errors="coerce"),
+            }
+        )
+
+    return (
+        c.groupBy(left_key)
+        .cogroup(probes.groupBy(right_key))
+        .applyInPandas(fn, out_schema)
     )
 
 
@@ -593,19 +747,31 @@ def _lsh_join_plan(
         .filter(F.col(id_col).isNotNull())
         .withColumn("bucket", lsh_bucket_code(vec_col, planes))
     )
-    joined = cc.join(
-        qp, (F.col("bucket") == F.col("_qcode")) & (F.col(id_col) != F.col(qid_col))
+    # per-bucket BLAS kernel + exact fold re-score (r10 — see
+    # _cell_pair_topk: the old per-pair flat chains evaluated
+    # interpreted; 12.7 s → ~2 s on the 8k×8k forced probe); dim is the
+    # planes' width by construction, self-pairs excluded in-kernel
+    cand = _cell_pair_topk(
+        cc,
+        qp,
+        k,
+        id_col,
+        vec_col,
+        qid_col,
+        qvec_col,
+        dim=len(planes[0]),
+        left_key="bucket",
+        right_key="_qcode",
     )
-    # flat codegen cosine (same fold bit-order) — the per-pair scoring is
-    # the fallback's whole cost; dim is the planes' width by construction
-    scored = _flat_cosine_cols(joined, vec_col, qvec_col, len(planes[0]))
     w = Window.partitionBy(qid_col).orderBy(
         F.col("cosine").desc(), F.col(id_col).asc()
     )
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        cand.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= int(k))
-        .select(qid_col, "bucket", id_col, "cosine", "rnk")
+        .select(
+            qid_col, F.col("_cell").alias("bucket"), id_col, "cosine", "rnk"
+        )
     )
 
 
