@@ -1094,3 +1094,38 @@ def test_single_block_fast_path_matches_blocked_machinery(emb):
     slow_plan = grouped_candidate_pairs(sub, 0.15, "g", block_rows=9)._jdf.queryExecution().optimizedPlan().toString()
     assert "Join" not in fast_plan
     assert "Join" in slow_plan
+
+
+def test_fallback_plan_uses_cogroup_kernel(spark):
+    """r10 (VERDICT r9 task 2): the over-gate IVF/LSH fallbacks must
+    score pairs through the per-cell cogrouped BLAS kernel
+    (FlatMapCoGroupsInPandas) — never through per-pair flat
+    ``try_element_at`` chains, which blow janino's 64 KB whole-stage
+    method and silently evaluate interpreted (the 63.8 s 8k×8k probe was
+    ~60 s of exactly that). The plan must also carry no giant codegen
+    projection: the only dim-term chains left are the bounded pre-probe
+    centroid scores."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    corpus = local_df(
+        spark,
+        [(i, [float(i % 5), 1.0], i % 3) for i in range(12)],
+        "vec_id long, embedding array<double>, label int",
+    )
+    q = local_df(
+        spark,
+        [(100 + i, [1.0, float(i % 4)]) for i in range(6)],
+        "qid long, qv array<double>",
+    )
+    for df in (
+        ivf_topk(corpus, q, k=2, max_query_block=1, dim=2),
+        ivf_topk(corpus, q, k=2, max_query_block=1),  # dim-agnostic too
+        lsh_topk(corpus, q, k=2, n_planes=3, dim=2, max_query_block=1),
+    ):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "FlatMapCoGroupsInPandas" in plan
+        assert "try_element_at" not in plan

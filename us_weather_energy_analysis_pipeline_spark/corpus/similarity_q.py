@@ -419,7 +419,10 @@ def embed_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return ivf_topk(emb, q, k=3, n_probes=2).select(
+    # dim hint (VERDICT r9 task 6): embeddings are fixed-width 64 by the
+    # TESTDATA contract; the hint pins the over-gate fallback's width
+    # guard (kernel semantics) for unbounded query sets
+    return ivf_topk(emb, q, k=3, n_probes=2, dim=EMBED_DIM).select(
         "qid", "cell", "vec_id", "cosine", "rnk"
     )
 
@@ -441,7 +444,9 @@ def embed_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    return ivf_topk(emb, q, k=3).select("qid", "cell", "vec_id", "cosine", "rnk")
+    return ivf_topk(emb, q, k=3, dim=EMBED_DIM).select(
+        "qid", "cell", "vec_id", "cosine", "rnk"
+    )
 
 
 @register(
