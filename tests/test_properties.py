@@ -36,6 +36,21 @@ def test_dround_matches_duckdb_round(spark, xs, n):
     assert got == pytest.approx(want, nan_ok=True, abs=0.0)
 
 
+@settings(max_examples=8, deadline=None)
+@given(st.lists(finite_doubles, min_size=1, max_size=40), st.integers(0, 6))
+def test_dround_sql_matches_column_dround(spark, xs, n):
+    """corpus/_util.dround_sql (the selectExpr twin introduced r10 for
+    plan-build cost) must emit the SAME BITS as the Column dround —
+    including on .5 boundaries and negatives — since converted queries
+    substitute one for the other inside oracle-checked projections."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
+    sdf = spark.createDataFrame([(x,) for x in xs], "x double")
+    a = [r["y"] for r in sdf.select(dround("x", n).alias("y")).collect()]
+    b = [r["y"] for r in sdf.selectExpr(f"{dround_sql('x', n)} AS y").collect()]
+    assert a == pytest.approx(b, nan_ok=True, abs=0.0)
+
+
 ts_strategy = st.datetimes(
     min_value=dt.datetime(2024, 1, 1), max_value=dt.datetime(2024, 1, 5)
 )

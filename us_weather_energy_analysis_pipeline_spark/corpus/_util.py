@@ -45,6 +45,21 @@ def dround(col: Column | str, n: int) -> Column:
     return F.signum(c) * F.floor(F.abs(c) * p + F.lit(0.5)) / p
 
 
+def dround_sql(expr: str, n: int) -> str:
+    """SQL-string twin of :func:`dround` — same IEEE op order
+    (``SIGNUM(c)·FLOOR(ABS(c)·10ⁿ + 0.5)/10ⁿ`` over the double cast), so
+    a selectExpr-built plan emits the same bits as the Column form.
+
+    Exists for plan-build cost (r10): every Column operation is a py4j
+    round-trip measured at ~1.4 ms on this runtime, and bench rebuilds
+    each query's DataFrame every timed run — the Column ``dround`` costs
+    ~8 calls (~11 ms) per use, while a parsed string is free. Hot
+    queries build their final projections with this twin."""
+    p = f"{float(10 ** n)!r}D"
+    c = f"CAST({expr} AS DOUBLE)"
+    return f"SIGNUM({c}) * FLOOR(ABS({c}) * {p} + 0.5D) / {p}"
+
+
 def py_dround(x: float | None, n: int) -> float | None:
     """Driver-side twin of :func:`dround` — same IEEE op order
     (signum·floor(|x|·10^n + 0.5)/10^n), so a Python-computed small-path

@@ -7,12 +7,11 @@ registry._ensure_loaded for the window layout.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
 
 
 # ---------------------------------------------------------------------------
@@ -130,49 +129,49 @@ def winnow_selected(
       density, shared-run ⇒ shared fingerprint) hold for any uniform
       hash family — only the tie-breaks among window minima differ.
     """
-    toks = F.split(ascii_lower(F.trim(F.col(text_col))), " ")
-    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
-    idx = F.sequence(F.lit(1), F.size("t") - k + 1)
+    # Built as parsed SQL strings, not Column chains (r10): each Column
+    # op is a ~1.4 ms py4j round-trip and bench rebuilds this plan every
+    # timed run — the string form produces the identical analyzed plan
+    # for ~0.1 s less build time (same expressions, same window).
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ascii_lower_sql,
+    )
+
+    base = d.selectExpr(
+        "doc_id", f"split({ascii_lower_sql(f'trim({text_col})')}, ' ') AS t"
+    ).filter(f"size(t) >= {k}")
     if hash_fn == "md5":
-        h = F.conv(
-            F.substring(F.md5(F.array_join(F.slice("t", F.col("i"), k), " ")), 1, 7),
-            16,
-            10,
-        ).cast("long")
+        h_sql = (
+            f"CAST(conv(substring(md5(array_join(slice(t, i, {k}), ' ')),"
+            " 1, 7), 16, 10) AS BIGINT)"
+        )
     elif hash_fn == "xxhash64":
         # hash the k tokens as separate args: position j is seed-chained
         # by xxhash64 itself, so ("ab","c") and ("a","bc") differ and no
         # join/concat string is materialized per gram
-        h = F.xxhash64(
-            *[F.element_at("t", F.col("i") + j) for j in range(k)]
-        ).bitwiseAND(F.lit(2147483647))
+        args = ", ".join(f"element_at(t, i + {j})" for j in range(k))
+        h_sql = f"(xxhash64({args}) & 2147483647)"
     else:
         raise ValueError(f"unknown winnow gram-hash family: {hash_fn!r}")
     # n_grams = size(t) − k + 1 is a per-doc CONSTANT known at the base
     # projection — carried through the explode instead of recomputed as
     # a count-over-doc window (r6: that second WindowExec pass shared
     # the exchange with the run-min window but cost its own full pass)
-    grams = base.select(
+    grams = base.selectExpr(
         "doc_id",
-        (F.size("t") - k + 1).cast("long").alias("n_grams"),
-        F.explode(idx).alias("i"),
-        F.col("t"),
-    ).select(
-        "doc_id",
-        "n_grams",
-        F.col("i").cast("long").alias("i"),
-        h.alias("h"),
+        f"CAST(size(t) - {k} + 1 AS BIGINT) AS n_grams",
+        f"explode(sequence(1, size(t) - {k} + 1)) AS i",
+        "t",
+    ).selectExpr(
+        "doc_id", "n_grams", "CAST(i AS BIGINT) AS i", f"{h_sql} AS h"
     )
-    wrun = Window.partitionBy("doc_id").orderBy("i").rowsBetween(-(w - 1), 0)
-    keyed = grams.select(
+    winmin = grams.selectExpr(
         "doc_id",
         "n_grams",
         "i",
-        (F.col("h") * F.lit(4294967296) + F.col("i")).alias("key"),
-    )
-    winmin = keyed.withColumn("sel", F.min("key").over(wrun)).filter(
-        F.col("i") >= F.least(F.lit(w), F.col("n_grams"))
-    )
+        "MIN(h * 4294967296 + i) OVER (PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN {w - 1} PRECEDING AND CURRENT ROW) AS sel",
+    ).filter(f"i >= LEAST(CAST({w} AS BIGINT), n_grams)")
     out = winmin.select("doc_id", "n_grams", "sel")
     # ``dedupe=False`` skips the (doc, sel) distinct exchange — correct
     # whenever the consumer applies its own coarser distinct downstream
@@ -291,7 +290,7 @@ def winnow_near_dups(
 
     fps_all = cache.track(
         winnow_selected(d, text_col, hash_fn=hash_fn, dedupe=False)
-        .select("doc_id", F.shiftrightunsigned("sel", 32).alias("h"))
+        .selectExpr("doc_id", "shiftrightunsigned(sel, 32) AS h")
         .distinct()
     )
     hot = (
@@ -301,29 +300,30 @@ def winnow_near_dups(
         .select("h")
     )
     capped = fps_all.join(F.broadcast(hot), "h", "left_anti")
-    w_doc = Window.partitionBy("doc_id")
-    sized = capped.withColumn("n", F.count(F.lit(1)).over(w_doc))
     # struct sort order = (doc_id, n) = doc_id order (n is per-doc
     # constant), so ordered_pairs emits (smaller doc, larger doc)
     posts = (
-        sized.groupBy("h")
-        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "n"))).alias("ds"))
-        .filter(F.size("ds") >= 2)
-    )
-    pairs = (
-        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
-        .groupBy(
-            F.col("p.a.doc_id").alias("doc_a"),
-            F.col("p.a.n").alias("na"),
-            F.col("p.b.doc_id").alias("doc_b"),
-            F.col("p.b.n").alias("nb"),
+        capped.selectExpr(
+            "h", "doc_id", "COUNT(1) OVER (PARTITION BY doc_id) AS n"
         )
-        .agg(F.count(F.lit(1)).alias("inter"))
+        .groupBy("h")
+        .agg(
+            F.expr("sort_array(collect_set(struct(doc_id, n)))").alias("ds")
+        )
+        .filter("size(ds) >= 2")
     )
-    jac = F.col("inter").cast("double") / (
-        F.col("na") + F.col("nb") - F.col("inter")
-    )
+    jac_sql = "CAST(inter AS DOUBLE) / (na + nb - inter)"
     return (
-        pairs.filter(jac >= threshold)
-        .select("doc_a", "doc_b", "inter", r4(jac).alias("jaccard"))
+        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
+        .selectExpr(
+            "p.a.doc_id AS doc_a", "p.a.n AS na",
+            "p.b.doc_id AS doc_b", "p.b.n AS nb",
+        )
+        .groupBy("doc_a", "na", "doc_b", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .filter(f"{jac_sql} >= {threshold!r}")
+        .selectExpr(
+            "doc_a", "doc_b", "inter",
+            f"{dround_sql(jac_sql, 4)} AS jaccard",
+        )
     )
