@@ -22,7 +22,6 @@ from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
     ascii_lower,
-    top_token_count,
     ws_token_count,
 )
 
@@ -140,38 +139,22 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     audit WHY documents were dropped. Zero shuffle: every metric is an
     array/regexp expression evaluated per row in one stage.
 
-    Top-word count is sort + run-length (array_sort, then one aggregate
-    fold tracking current/best run): O(n log n) per doc vs the naive
-    transform×filter O(n_distinct·n_words) — HOF lambdas evaluate
-    interpreted, so dropping the quadratic term measured 2.6× faster at
-    sf0.1 and matters more as documents lengthen."""
-    import string as _string
+    Features come from the vectorized ``token_stats_features`` kernel
+    (r10): the previous JVM sort+run-length HOF fold evaluated
+    interpreted and was this 1-job scan's entire 0.71 s data cost at
+    sf0.1 — the kernel tokenizes in C and reduces the token stream with
+    one factorize+unique, same zero-shuffle single-stage shape."""
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        token_stats_features,
+    )
 
     # NULL text is out of scope, explicitly on BOTH engines: the oracle's
     # inner join against the per-doc token aggregate drops such docs
-    # (unnest of a NULL split emits no rows), while Spark's
-    # size(split(NULL)) = -1 would silently flag them fail_length —
-    # a pushed-down not-null filter aligns the row sets.
+    # (unnest of a NULL split emits no rows), while a NULL-text row
+    # would otherwise be silently flagged fail_length — the pushed-down
+    # not-null filter aligns the row sets.
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    # Layered projections so each expensive expression evaluates ONCE:
-    # CollapseProject refuses to inline a non-cheap alias referenced more
-    # than once, so `t` (the split) and `n_words` become attributes — the
-    # previous single-select form re-ran the split for every reference
-    # (fail_length's two comparisons + the repetition denominator).
-    base = d.select("doc_id", "text", toks.alias("t"))
-    # alpha chars counted via translate (plain char mapping), not a
-    # regexp_replace scan — same [a-zA-Z ] class, measured cheaper
-    alpha_sp = _string.ascii_lowercase + _string.ascii_uppercase + " "
-    feat = base.select(
-        "doc_id",
-        F.size("t").alias("n_words"),
-        top_token_count(F.col("t")).alias("top_n"),
-        (
-            F.length("text") - F.length(F.translate("text", alpha_sp, ""))
-        ).alias("alpha_len"),
-        F.length("text").alias("len_all"),
-    )
+    feat = token_stats_features(d)
     fail_length = (F.col("n_words") < MIN_WORDS) | (F.col("n_words") > MAX_WORDS)
     fail_rep = (
         F.col("top_n").cast("double") / F.col("n_words") > MAX_TOP_WORD_RATIO
@@ -181,9 +164,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         < MIN_ALPHA_RATIO
     )
     # keep derives from the FAIL COLUMNS, not from re-stating the fail
-    # expressions: inlining them would re-evaluate every feature —
-    # including the interpreted sort+fold of top_token_count — a second
-    # time per row (measured ~2× the whole map stage).
+    # expressions (re-stating would re-evaluate every feature per row).
     flags = feat.select(
         "doc_id",
         fail_length.cast("int").alias("fail_length"),

@@ -15,7 +15,6 @@ from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
     ascii_lower,
-    top_token_count,
     ws_token_count,
 )
 
@@ -318,24 +317,23 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's size(split(NULL)) = -1 would fabricate ratios — the
     pushed-down not-null filter aligns the row sets."""
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    # Stage the token array ONCE: inlining `toks` in all three features
-    # re-runs the split 3× per row (CollapseProject only re-inlines
-    # single-reference non-cheap expressions; with 3 references the
-    # staged column survives — verified split appears once in the
-    # executed plan). A/B (sf0.1, noop sink, min-of-3, 5 interleaved
-    # pairs): 0.35/0.75 s → 0.32/0.43 s, wins every pair.
-    feat = d.select("doc_id", toks.alias("_toks")).select(
-        "doc_id",
-        F.size("_toks").alias("_total"),
-        F.size(F.array_distinct("_toks")).alias("_nd"),
-        top_token_count(F.col("_toks")).alias("_top"),
+    # Vectorized token-stats kernel (r10): the staged-array JVM form's
+    # array_distinct + sort+run-length HOF fold evaluated interpreted
+    # and dominated this 1-job scan (~0.5 s data at sf0.1); the kernel
+    # tokenizes in C and reduces the flat token stream with one
+    # factorize+unique — same zero-shuffle single-stage shape.
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        token_stats_features,
     )
-    total = F.col("_total")
+
+    feat = token_stats_features(d)
+    total = F.col("n_words")
     return feat.select(
         "doc_id",
-        r4(1.0 - F.col("_nd").cast("double") / total).alias("dup_word_ratio"),
-        r4(F.col("_top").cast("double") / total).alias("top_word_ratio"),
+        r4(1.0 - F.col("n_distinct").cast("double") / total).alias(
+            "dup_word_ratio"
+        ),
+        r4(F.col("top_n").cast("double") / total).alias("top_word_ratio"),
         total.cast("long").alias("n_tokens"),
     )
 
