@@ -959,11 +959,26 @@ def assign_nearest_centroid(
         C = np.asarray(cmat, dtype=np.float64)
         cn = np.sqrt((C * C).sum(axis=1))
         L = np.asarray(labs, dtype=np.int64)
-        # fold_cos/drnd6 below are nested-closure copies of the module's
-        # fold_cosine/py_dround BY DESIGN (same as topk_candidates):
-        # module-level functions pickle by reference, and workers of a
-        # foreign driver cannot import this package — closures serialize
-        # by value. tests pin both copies against the module originals.
+        # fold_rescore/drnd6_vec below are nested-closure twins of the
+        # module's fold_cosine/py_dround BY DESIGN (same as
+        # topk_candidates): module-level functions pickle by reference,
+        # and workers of a foreign driver cannot import this package —
+        # closures serialize by value. r10: the folds are VECTORIZED
+        # over row blocks — acc = acc + V[:,d]·w[d] steps dims in the
+        # exact scalar left-to-right order, so each row's accumulation
+        # is the identical IEEE op sequence, batched (the per-row
+        # Python fold loop was this kernel's dominant cost; the
+        # exhaustive-fold parity tests pin the bits).
+        def _seq_sqrt_norm(ws):
+            # sqrt of the SEQUENTIAL square fold — the exact nb/sqrt the
+            # scalar fold_cos computed per call, hoisted (it only
+            # depends on the codebook/pool vector)
+            nb = 0.0
+            for y in ws:
+                nb = nb + y * y
+            return _m.sqrt(nb)
+
+        nb_sqrt = np.asarray([_seq_sqrt_norm(c) for c in cmat])
         pools = None
         if pool_l is not None:
             pools = {}
@@ -977,25 +992,26 @@ def assign_nearest_centroid(
                     np.asarray(ws, dtype=np.float64),
                     np.sqrt((np.asarray(ws, dtype=np.float64) ** 2).sum(axis=1)),
                     ws,
+                    np.asarray([_seq_sqrt_norm(w) for w in ws]),
                 )
                 for p, (vids, ws) in pools.items()
             }
 
-        def fold_cos(va, vb):
-            d = 0.0
-            for x, y in zip(va, vb):
-                d = d + x * y
-            na = 0.0
-            for x in va:
-                na = na + x * x
-            nb = 0.0
-            for y in vb:
-                nb = nb + y * y
-            den = _m.sqrt(na) * _m.sqrt(nb)
-            return d / den if den != 0.0 else None
+        def fold_rescore(Vr, na_r, w_list, w_nb_sqrt):
+            """Vectorized-over-rows twin of the scalar sequential fold
+            (r10): acc = acc + Vr[:, d]·w[d] steps through dims in the
+            same order as ``d = d + x*y``, so every row's accumulation
+            is the IDENTICAL IEEE op sequence — batched instead of one
+            Python loop per (row, candidate). den > 0 is guaranteed by
+            the callers (zero-norm rows/cells are masked before the
+            margin set forms)."""
+            acc = np.zeros(len(Vr))
+            for dd in range(dim):
+                acc = acc + Vr[:, dd] * w_list[dd]
+            return acc / (np.sqrt(na_r) * w_nb_sqrt)
 
-        def drnd6(x):
-            return _m.copysign(1.0, x) * _m.floor(abs(x) * 1e6 + 0.5) / 1e6
+        def drnd6_vec(x):
+            return np.copysign(1.0, x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
 
         for pdf in batches:
             if len(pdf) == 0:
@@ -1021,54 +1037,98 @@ def assign_nearest_centroid(
                 vn = np.sqrt((V * V).sum(axis=1))
                 with np.errstate(divide="ignore", invalid="ignore"):
                     S = (V @ C.T) / np.outer(vn, cn)
-                for r, j in enumerate(vi):
-                    if vn[r] == 0.0:
-                        continue  # zero-norm: cosine undefined
-                    sc = S[r]
-                    elig = ~np.isnan(sc)
-                    if ex is not None:
-                        e = ex.iloc[j]
-                        if not pd.isna(e):
-                            elig &= L != int(e)
-                    cand = np.flatnonzero(elig)
-                    if not cand.size:
-                        continue
-                    top = sc[cand].max()
-                    best_lab, best_key, best_raw = None, None, None
-                    for ci in cand[sc[cand] >= top - mg]:
-                        raw = fold_cos(V[r].tolist(), cmat[ci])
-                        if raw is None:
-                            continue
-                        key = (-drnd6(raw), labs[ci])
-                        if best_key is None or key < best_key:
-                            best_key, best_lab, best_raw = key, labs[ci], raw
-                    if best_lab is not None:
-                        out_lab[j] = best_lab
-                        out_cos[j] = -best_key[0]
-                        out_raw[j] = best_raw
-                        if pools is not None and best_lab in pools:
-                            pv_ids, P, pn, p_raw = pools[best_lab]
+                # exact per-row self-norm, sequential square fold (the
+                # na every scalar fold_cos call recomputed identically)
+                na = np.zeros(len(vi))
+                for dd in range(dim):
+                    x = V[:, dd]
+                    na = na + x * x
+                # eligibility matrix: NaN cells out, own label out,
+                # zero-norm rows out (cosine undefined)
+                E = ~np.isnan(S)
+                if ex is not None:
+                    e_num = pd.to_numeric(
+                        pd.Series(list(ex.iloc[vi])), errors="coerce"
+                    ).to_numpy(dtype=np.float64)
+                    has_e = ~np.isnan(e_num)
+                    e_t = np.full(len(vi), np.int64(-(2**62)))
+                    e_t[has_e] = e_num[has_e].astype(np.int64)
+                    E &= L[None, :] != e_t[:, None]
+                E &= (vn != 0.0)[:, None]
+                Sm = np.where(E, S, -np.inf)
+                top = Sm.max(axis=1, initial=-np.inf)
+                M = E & (S >= (top - mg)[:, None]) & (top > -np.inf)[:, None]
+                rown, coln = np.nonzero(M)
+                if rown.size:
+                    # fold re-score, grouped by centroid so each group is
+                    # one dim-step vector fold (identical bits per row)
+                    raw_all = np.full(rown.size, np.nan)
+                    for ci in np.unique(coln):
+                        s_ = coln == ci
+                        raw_all[s_] = fold_rescore(
+                            V[rown[s_]], na[rown[s_]], cmat[ci], nb_sqrt[ci]
+                        )
+                    ok_r = ~np.isnan(raw_all)
+                    rnd = drnd6_vec(raw_all[ok_r])
+                    rws, lbs = rown[ok_r], L[coln[ok_r]]
+                    raws = raw_all[ok_r]
+                    # winner per row under (rounded DESC, label ASC):
+                    # lexsort primary row, then -rounded, then label
+                    order = np.lexsort((lbs, -rnd, rws))
+                    rws, lbs = rws[order], lbs[order]
+                    rnd, raws = rnd[order], raws[order]
+                    first_rows, first_idx = np.unique(rws, return_index=True)
+                    jidx = vi[first_rows]
+                    out_lab[jidx] = lbs[first_idx]
+                    out_cos[jidx] = rnd[first_idx]
+                    out_raw[jidx] = raws[first_idx]
+                    if pools is not None:
+                        win_lab = lbs[first_idx]
+                        for lab_v in np.unique(win_lab):
+                            if int(lab_v) not in pools:
+                                continue
+                            pv_ids, P, pn, p_raw, p_nb = pools[int(lab_v)]
+                            sel = win_lab == lab_v
+                            rs = first_rows[sel]  # row indexes into V
                             with np.errstate(
                                 divide="ignore", invalid="ignore"
                             ):
-                                ps = (P @ V[r]) / (pn * vn[r])
+                                ps = (V[rs] @ P.T) / (
+                                    pn[None, :] * vn[rs][:, None]
+                                )
                             pvalid = ~np.isnan(ps)
-                            if pvalid.any():
-                                ptop = ps[pvalid].max()
-                                nkey = nid = ncos = None
-                                for pi in np.flatnonzero(
-                                    pvalid & (ps >= ptop - mg)
-                                ):
-                                    raw = fold_cos(V[r].tolist(), p_raw[pi])
-                                    if raw is None:
-                                        continue
-                                    key = (-drnd6(raw), int(pv_ids[pi]))
-                                    if nkey is None or key < nkey:
-                                        nkey, nid = key, int(pv_ids[pi])
-                                        ncos = -key[0]
-                                if nid is not None:
-                                    out_nid[j] = nid
-                                    out_nco[j] = ncos
+                            anyv = pvalid.any(axis=1)
+                            ptop = np.where(pvalid, ps, -np.inf).max(
+                                axis=1, initial=-np.inf
+                            )
+                            Mp = (
+                                pvalid
+                                & (ps >= (ptop - mg)[:, None])
+                                & anyv[:, None]
+                            )
+                            pr, pc = np.nonzero(Mp)
+                            if not pr.size:
+                                continue
+                            raw_p = np.full(pr.size, np.nan)
+                            for pi in np.unique(pc):
+                                s2 = pc == pi
+                                raw_p[s2] = fold_rescore(
+                                    V[rs[pr[s2]]],
+                                    na[rs[pr[s2]]],
+                                    p_raw[pi],
+                                    p_nb[pi],
+                                )
+                            okp = ~np.isnan(raw_p)
+                            rnd_p = drnd6_vec(raw_p[okp])
+                            prr = pr[okp]
+                            pids = pv_ids[pc[okp]]
+                            order_p = np.lexsort((pids, -rnd_p, prr))
+                            prr, pids = prr[order_p], pids[order_p]
+                            rnd_p = rnd_p[order_p]
+                            fr, fi = np.unique(prr, return_index=True)
+                            jn = vi[rs[fr]]
+                            out_nid[jn] = pids[fi]
+                            out_nco[jn] = rnd_p[fi]
             cols = {idc: pdf[idc]}
             for c in pt_cols:
                 cols[c] = pdf[c]
