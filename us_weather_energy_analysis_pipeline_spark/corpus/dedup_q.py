@@ -40,52 +40,86 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
     multi-word strings (the r3 bench showed the string shuffle dominating
     this family).
 
-    HASH-ONCE formulation (r5 A/B, BENCH_NOTES): each TOKEN is xxhash64'd
-    exactly once, and a shingle's key is the XOR of its k token hashes
-    under position-distinct rotations — bitwise ops that cost far less
-    per element than the previous per-shingle ``xxhash64(slice(t, i, k))``
-    (each token was re-hashed k times there; measured 0.61 s → 0.38–0.52 s
-    for the sf0.1 shingle pass). Both HOF lambdas evaluate interpreted,
-    which is why shrinking per-element work pays. Position rotations are
-    distinct (0/21/42 bits for k=3), so permuted or repeated tokens yield
-    different keys; collision probability stays ~n²/2⁶⁴ like any uniform
-    64-bit key. The key only needs consistency WITHIN Spark — the DuckDB
-    oracle matches on the raw ``array_to_string`` shingle and doubles as
-    the collision check at test SFs.
+    HASH-ONCE formulation (r5), vectorized kernel (r10): each TOKEN is
+    hashed exactly once and a shingle's key is the XOR of its k token
+    hashes under position-distinct rotations (0/21/42 bits for k=3 —
+    permuted or repeated tokens yield different keys; collisions
+    ~n²/2⁶⁴ like any uniform 64-bit key). The key only needs
+    consistency WITHIN Spark — the DuckDB oracle matches on the raw
+    ``array_to_string`` shingle and doubles as the collision check at
+    test SFs — so r10 moved the hash off xxhash64 HOF lambdas (which
+    evaluate INTERPRETED per element and dominated the pass) onto
+    pandas' stable fixed-key siphash inside one numpy-vectorized
+    ``mapInPandas`` batch: tokenize in C, hash the flat token stream
+    once, slide the XOR-rotate window with masked doc boundaries.
 
-    Per-doc dedup is ``array_distinct`` MAP-SIDE (every doc's shingles
-    sit in one row pre-explode), not a ``.distinct()`` — that removes an
-    entire shingle-index exchange from the plan."""
-    # parsed SQL strings, not Column chains (r10): ~1.4 ms py4j per
-    # Column op and bench rebuilds this plan every run — identical
-    # analyzed plan, ~3× cheaper build
+    Per-doc dedup stays map-side (batch-local drop_duplicates — (doc,
+    shingle) rows are unique within a doc's contiguous batch span), not
+    a ``.distinct()`` — no shingle-index exchange enters the plan."""
+    # Vectorized kernel (r10): the HOF form — transform(t, xxhash64) +
+    # an XOR-rotate combine transform — evaluated its lambdas
+    # INTERPRETED per element and was the shingle pass's dominant cost
+    # (measured 0.38-0.52 s at sf0.1 in r5, still the floor of the
+    # 1.5 s ngram data time). Legal to move off xxhash64 entirely: the
+    # shingle key is SPARK-INTERNAL (the oracle matches raw shingle
+    # strings independently), so any within-query-deterministic uniform
+    # 64-bit hash yields the same pair set up to ~n²/2⁶⁴ collisions —
+    # here pandas' stable siphash (fixed default key, deterministic
+    # across processes/executors) over each token ONCE, with the same
+    # position-distinct XOR-rotate combine, fully vectorized in numpy
+    # (uint64 shifts; sliding windows masked at doc boundaries).
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
-        ascii_lower_sql,
+        ASCII_LO,
+        ASCII_UP,
     )
 
-    def _rot(c: str, r: int) -> str:  # 64-bit rotate-left (no ANSI overflow)
-        return f"(shiftleft({c}, {r}) | shiftrightunsigned({c}, {64 - r}))"
+    lower_map = str.maketrans(ASCII_UP, ASCII_LO)
+    kk = int(k)
+    proj = df.select("doc_id", F.col(text_col).alias("_t"))
 
-    comb = " ^ ".join(
-        ["element_at(h, i + 1)"]
-        + [
-            _rot(f"element_at(h, i + 1 + {j})", (21 * j) % 64)
-            for j in range(1, k)
-        ]
-    )
-    return (
-        df.selectExpr(
-            "doc_id",
-            f"split({ascii_lower_sql(f'trim({text_col})')}, ' ') AS t",
-        )
-        .filter(f"size(t) >= {k}")
-        .selectExpr("doc_id", "transform(t, x -> xxhash64(x)) AS h")
-        .selectExpr(
-            "doc_id",
-            "explode(array_distinct(transform("
-            f"sequence(0, size(h) - {k}), i -> {comb}))) AS shingle",
-        )
-    )
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            docs = pdf["doc_id"].to_numpy()
+            texts = pdf["_t"]
+            tok_parts: list = []
+            doc_parts: list = []
+            for j in range(len(pdf)):
+                t = texts.iloc[j]
+                if t is None or (isinstance(t, float) and pd.isna(t)):
+                    continue
+                toks = t.strip(" ").translate(lower_map).split(" ")
+                if len(toks) < kk:
+                    continue
+                a = np.empty(len(toks), dtype=object)
+                a[:] = toks
+                tok_parts.append(a)
+                doc_parts.append(np.full(len(toks), docs[j]))
+            if not tok_parts:
+                continue
+            flat = np.concatenate(tok_parts)
+            drep = np.concatenate(doc_parts)
+            th = pd.util.hash_array(flat)  # stable uint64 per token
+            m = len(th) - kk + 1
+            sh = th[:m].copy()
+            for jj in range(1, kk):
+                r = (21 * jj) % 64
+                x = th[jj : jj + m]
+                sh ^= (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+            valid = drep[:m] == drep[kk - 1 :]
+            out = pd.DataFrame(
+                {
+                    "doc_id": drep[:m][valid],
+                    "shingle": sh[valid].view(np.int64),
+                }
+            ).drop_duplicates()
+            yield out
+
+    return proj.mapInPandas(gen, "doc_id long, shingle long")
 
 
 def capped_shingles(sh: DataFrame, cap: int = NGRAM_DF_CAP) -> DataFrame:
