@@ -154,6 +154,25 @@ def test_ws_token_count_identity_on_edge_strings(spark):
         assert r["fast"] == r["ref"], (repr(r["s"]), r["fast"], r["ref"])
 
 
+def test_token_stats_skips_null_text_rows(spark):
+    """token_stats_features drops NULL-text rows in-kernel (ADVICE r10):
+    the output row set equals what an isNotNull pre-filter yields, and a
+    caller that forgets the filter gets that contract instead of an
+    executor TypeError."""
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        token_stats_features,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a"), (2, None), (3, ""), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in token_stats_features(df).collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_words"] == 3 and rows[1]["top_n"] == 2
+    assert rows[3]["n_words"] == 1  # split('', ' ') keeps one empty token
+
+
 @settings(max_examples=10, deadline=None)
 @given(st.lists(st.integers(-1000, 1000), min_size=0, max_size=12, unique=True))
 def test_ordered_pairs_matches_combinations(spark, xs):

@@ -64,8 +64,9 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
     # shingle key is SPARK-INTERNAL (the oracle matches raw shingle
     # strings independently), so any within-query-deterministic uniform
     # 64-bit hash yields the same pair set up to ~n²/2⁶⁴ collisions —
-    # here pandas' stable siphash (fixed default key, deterministic
-    # across processes/executors) over each token ONCE, with the same
+    # here pandas' siphash under an EXPLICIT fixed key (pinned below, so
+    # the hash is identical across pandas builds and executor
+    # processes) over each token ONCE, with the same
     # position-distinct XOR-rotate combine, fully vectorized in numpy
     # (uint64 shifts; sliding windows masked at doc boundaries).
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
@@ -103,7 +104,11 @@ def word_shingles(df: DataFrame, text_col: str = "text", k: int = SHINGLE_K) -> 
                 continue
             flat = np.concatenate(tok_parts)
             drep = np.concatenate(doc_parts)
-            th = pd.util.hash_array(flat)  # stable uint64 per token
+            # Explicit 16-byte siphash key (ADVICE r10): hash_array's
+            # default key is a pandas implementation detail — pinning it
+            # makes the token hash identical across pandas builds, so
+            # heterogeneous executors can never disagree on shingle keys.
+            th = pd.util.hash_array(flat, hash_key="spark-graft-0011")
             m = len(th) - kk + 1
             sh = th[:m].copy()
             for jj in range(1, kk):

@@ -120,9 +120,10 @@ def token_stats_features(d, text_col: str = "text", id_col: str = "doc_id"):
     merge colliding tokens at ~n²/2⁶⁵ odds — this is strictly closer to
     the string-keyed oracle); ``alpha_len``/``len_all`` count code
     points (Python ``len`` ≡ Spark ``length``), alpha = ``[a-zA-Z ]``
-    via C-level ``str.translate`` deletion. NULL ``text`` must be
-    filtered by the caller (both corpus consumers already do — the
-    not-null pushdown is part of their oracle row-set contract)."""
+    via C-level ``str.translate`` deletion. NULL/NaN ``text`` rows are
+    skipped in-kernel (emitting nothing — the same row set an
+    ``isNotNull`` pre-filter yields, which both corpus consumers also
+    push down as part of their oracle row-set contract)."""
     from pyspark.sql import functions as _F
 
     proj = d.select(_F.col(id_col).alias("_id"), _F.col(text_col).alias("_t"))
@@ -146,6 +147,14 @@ def token_stats_features(d, text_col: str = "text", id_col: str = "doc_id"):
         import pandas as pd
 
         for pdf in batches:
+            # NULL/NaN text rows emit nothing — the same row set a
+            # caller-side isNotNull filter produces, so a consumer that
+            # forgets the filter gets the oracle's row-set contract
+            # instead of an executor TypeError (ADVICE r10).
+            if len(pdf):
+                mask = pdf["_t"].notna().to_numpy()
+                if not mask.all():
+                    pdf = pdf[mask].reset_index(drop=True)
             n = len(pdf)
             if not n:
                 continue
