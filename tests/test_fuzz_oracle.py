@@ -80,6 +80,12 @@ FUZZ_QUERIES = [
     # margin per doc; rotation re-pairs text with doc_id in both
     "chunk_dedup_ratio",
     "html_boilerplate_strip",
+    # r11 registrations: subsampling + rotation re-pair text with doc_id
+    # (moving which docs carry injected phones/SSNs and what the regexes
+    # find inside the rotated text); for the throttle, subsampling moves
+    # per-host occupancy across the DOMAIN_CAP boundary
+    "pii_redact_scrub",
+    "url_domain_throttle",
 ]
 
 

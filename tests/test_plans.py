@@ -81,6 +81,32 @@ def test_q6_no_shuffle(spark, sf_dir):
     assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed
 
 
+def test_pii_redact_zero_shuffle(spark, sf_dir):
+    """pii_redact_scrub is pure per-row JVM regexp work: no exchange, no
+    Python stage, and the scan prunes to (doc_id, text) only."""
+    plan = _formatted(spark, "pii_redact_scrub", sf_dir)
+    body = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+    assert "Exchange" not in body
+    assert "InPandas" not in plan and "BatchEvalPython" not in plan
+    sched = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in sched and "text" in sched and "lang" not in sched
+
+
+def test_url_domain_throttle_single_exchange(spark, sf_dir):
+    """url_domain_throttle's only shuffle is the window partitionBy(host)
+    exchange — rank and count(*) share it (two Window nodes, one
+    Exchange) — and the scan reads doc_id alone (the url is synthesized,
+    so text never loads)."""
+    plan = _formatted(spark, "url_domain_throttle", sf_dir)
+    detail = plan.split("\n\n", 1)[1]
+    assert detail.count("(\n") == 0  # formatted detail: one node per paragraph
+    ex = [l for l in detail.splitlines() if l.startswith("(") and "Exchange" in l]
+    assert len(ex) == 1, ex
+    assert "hashpartitioning(host" in detail
+    sched = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in sched and "text" not in sched
+
+
 def test_upsert_parquet_roundtrip(spark, tmp_path):
     from us_weather_energy_analysis_pipeline_spark.operators.upsert import (
         upsert_parquet,

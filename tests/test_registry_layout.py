@@ -11,71 +11,69 @@ from __future__ import annotations
 
 from us_weather_energy_analysis_pipeline_spark.corpus import registry
 
-# Round-10 must-haves (VERDICT r9 task 1): the two queries registered
-# this round (never driver-verified), then the FULL 48-query cohort
-# whose latest driver row is r07 — after this round the whole 141-query
-# union is at most two rounds stale.
-ROTATED_R10 = (
-    "chunk_dedup_ratio",
-    "html_boilerplate_strip",
-    "asof_join_last_view",
-    "cooccurrence_pairs",
-    "corr_pearson",
-    "count_distinct_users",
-    "cube_priority_status",
-    "dates_except",
-    "dedup_keep_first",
-    "grouped_quantiles",
-    "heatmap_pivot",
-    "hourly_profile",
-    "join_dims_broadcast",
-    "join_fact_orders",
-    "lag_diff_pct",
-    "last_per_group",
-    "mean_impute_group",
-    "missing_days_anti",
-    "mode_event_type",
-    "monthly_rollup",
-    "moving_avg_7d",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "ols_by_group",
-    "ols_ci_frame",
-    "ols_closed_form",
-    "pivot_eav",
-    "problem_rows",
-    "quality_daily",
-    "quality_report",
-    "quantiles_exact",
-    "regexp_normalize",
-    "resample_hourly_daily",
-    "revenue_share",
-    "rollup_revenue",
-    "sample_hash_mod",
-    "scalar_stats",
-    "semi_join_customers",
-    "sessionize_gap",
-    "skew_salted_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "ts_daily_rollup",
-    "tumbling_window_rollup",
-    "unit_convert_project",
-    "unpivot_measures",
-    "user_journey_path",
-    "weekday_profile",
+# Round-11 must-haves (VERDICT r10 task 2 + ADVICE r10 medium): the two
+# queries registered this round (never driver-verified), the full set of
+# r10 plan-touched queries whose latest driver row is r9, the two r11
+# task targets, then the FULL 41-query cohort whose latest driver row is
+# r08 — after this round the union has nothing staler than r9.
+ROTATED_R11 = (
+    "pii_redact_scrub",
+    "url_domain_throttle",
+    "gopher_quality_filter",
+    "text_repetition_ratio",
+    "dedup_pipeline_e2e",
+    "embed_dedup_pipeline_e2e",
+    "ewma_daily",
+    "dedup_incremental_minhash",
+    "rfm_segments",
+    "above_group_avg",
+    "approx_distinct_hll_sanity",
+    "bin_quantity_case",
+    "bin_quantity_case_low",
+    "chi2_weekday_event",
+    "corpus_mix_summary",
+    "date_spine_completion",
+    "decontamination_check",
+    "dedup_cluster_assign",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    "dist_percent_rank",
+    "distinct_event_types",
+    "distinct_kmv_estimate",
+    "doc_span_dup_ratio",
+    "entropy_user_events",
+    "filter_date_set",
+    "filtered_agg_status",
+    "full_outer_nation_counts",
+    "gini_customer_revenue",
+    "grouping_sets_flags",
+    "histogram_price",
+    "locf_gap_fill",
+    "markov_event_transitions",
+    "multimodal_blob_stats",
+    "ntile_deciles",
+    "pareto_revenue_concentration",
+    "sql_revenue_by_nation",
+    "sql_window_rank",
+    "stratified_sample_hash",
+    "streak_islands",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "token_budget_packing",
+    "top_k_orders",
+    "union_slices",
+    "zscore_outliers",
 )
 
-# Declared tail at positions 50+: r9-green driver rows whose plans the
-# r10 tasks touch (ewma_daily window fusion, IVF fallback pre-prune +
-# dim hint, ADVICE centroid/hard-negative width fixes) — displaced past
-# the driver's ~50-position sample by the never-verified registrations
-# and the r7 cohort, which take priority per the VERDICT staleness bar.
-# They stay in WINDOW (declared layout) and in the local oracle gate.
-DISPLACED_R10 = (
-    "ewma_daily",
+# Declared tail at positions 50+: r9-green driver rows rewritten by the
+# r10 cogroup kernel — at driver SF they run the single-block fast path,
+# so the kernel is pinned by local pytest probes + the plan-shape test
+# rather than the driver sample; the r8-stale cohort takes priority.
+DISPLACED_R11 = (
     "embed_ivf_topk",
     "embed_ivf_multiprobe_topk",
     "embed_nearest_centroid_assign",
@@ -88,17 +86,17 @@ def test_window_occupies_leading_positions():
     assert order[: len(registry.WINDOW)] == list(registry.WINDOW)
 
 
-def test_displaced_r10_tail_the_window():
-    assert registry.WINDOW[len(ROTATED_R10):] == DISPLACED_R10
+def test_displaced_r11_tail_the_window():
+    assert registry.WINDOW[len(ROTATED_R11):] == DISPLACED_R11
 
 
-def test_rotated_r10_sit_in_driver_window():
+def test_rotated_r11_sit_in_driver_window():
     positions = {n: i for i, n in enumerate(registry.queries())}
     stragglers = {
-        n: positions.get(n) for n in ROTATED_R10 if positions.get(n, 99) >= 50
+        n: positions.get(n) for n in ROTATED_R11 if positions.get(n, 99) >= 50
     }
     assert not stragglers, f"outside driver window (first 50): {stragglers}"
-    assert list(registry.WINDOW[: len(ROTATED_R10)]) == list(ROTATED_R10)
+    assert list(registry.WINDOW[: len(ROTATED_R11)]) == list(ROTATED_R11)
 
 
 def test_window_has_no_duplicates_and_all_registered():
@@ -107,9 +105,9 @@ def test_window_has_no_duplicates_and_all_registered():
     assert set(registry.WINDOW) <= names
     # every rotated query stays oracle-twinned
     oracles = registry.oracle_sql()
-    missing = [n for n in ROTATED_R10 if n not in oracles]
+    missing = [n for n in ROTATED_R11 if n not in oracles]
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 
-def test_registry_complete_141():
-    assert len(registry.queries()) >= 141
+def test_registry_complete_143():
+    assert len(registry.queries()) >= 143

@@ -588,3 +588,208 @@ def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kept"),
         F.substring("clean", 1, 48).alias("clean_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (email / SSN / phone / IPv4 scrub, native regexp codegen)
+# ---------------------------------------------------------------------------
+# The last common LLM-preprocessing family (C4/RefinedWeb/Dolma all run a
+# PII scrub before training). The corpus text is synthetic, so — exactly
+# like html_boilerplate_strip's page wrapper — the query first builds a
+# deterministic PII-laden page per document (one guaranteed email + IPv4,
+# a phone for every 3rd doc, an SSN for every 4th, identically on both
+# engines), then genuinely scrubs it: per-category hit counts on the raw
+# page plus a category-token redaction chain applied in a fixed order.
+# Patterns use only the Java-regex ∩ RE2 dialect intersection (ASCII \d,
+# \b word boundary, bounded repetition) — no backrefs, no lookaround.
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# Redaction order is load-bearing: SSN (3-2-4) before phone (3-3-4) so a
+# phone can never consume an SSN's digits; IPv4 last so a dotted phone
+# is already a token before octet matching runs.
+PII_CHAIN = (
+    (PII_EMAIL_RE, "<EMAIL>", "email"),
+    (PII_SSN_RE, "<SSN>", "ssn"),
+    (PII_PHONE_RE, "<PHONE>", "phone"),
+    (PII_IP_RE, "<IP>", "ip"),
+)
+
+
+def _pii_page_sql(cast_t: str) -> str:
+    """The deterministic PII-laden page, as SQL valid on BOTH engines
+    (``cast_t``: STRING for Spark, VARCHAR for DuckDB — same semantics).
+    concat_ws skips the NULL branches (and NULL text) on both engines."""
+    c = lambda e: f"CAST({e} AS {cast_t})"  # noqa: E731
+    return (
+        "concat_ws(' ', "
+        f"concat('user', {c('doc_id')}, '@mail', {c('doc_id % 5')}, '.example.org'), "
+        "text, "
+        "CASE WHEN doc_id % 3 = 0 THEN concat('call 415-', "
+        f"lpad({c('doc_id % 1000')}, 3, '0'), '-', lpad({c('doc_id % 10000')}, 4, '0')) "
+        "ELSE 'call later' END, "
+        "CASE WHEN doc_id % 4 = 1 THEN concat('ssn ', "
+        f"lpad({c('doc_id % 900')}, 3, '0'), '-', lpad({c('doc_id % 90')}, 2, '0'), "
+        f"'-', lpad({c('doc_id % 9000')}, 4, '0')) END, "
+        f"concat('from 10.', {c('doc_id % 256')}, '.', {c('(doc_id * 7) % 256')}, "
+        f"'.', {c('doc_id % 100')}))"
+    )
+
+
+def _re_sql(pat: str, spark_side: bool) -> str:
+    """Embed a regex as a SQL string literal. Spark's parser treats
+    backslash as an escape inside literals (escapedStringLiterals=false
+    default), DuckDB does not."""
+    body = pat.replace("\\", "\\\\") if spark_side else pat
+    return "'" + body.replace("'", "''") + "'"
+
+
+def _pii_exprs(spark_side: bool) -> tuple[list[str], str]:
+    """(per-category count exprs, redacted-page expr) for either engine.
+    Counts run on the RAW page (order-independent); the redaction chain
+    nests regexp_replace in the fixed PII_CHAIN order."""
+    counts = []
+    red = "page"
+    for pat, token, cat in PII_CHAIN:
+        lit = _re_sql(pat, spark_side)
+        if spark_side:
+            counts.append(
+                f"CAST(size(regexp_extract_all(page, {lit}, 0)) AS BIGINT) AS n_{cat}"
+            )
+            red = f"regexp_replace({red}, {lit}, '{token}')"
+        else:
+            counts.append(
+                f"CAST(length(regexp_extract_all(page, {lit})) AS BIGINT) AS n_{cat}"
+            )
+            red = f"regexp_replace({red}, {lit}, '{token}', 'g')"
+    return counts, red
+
+
+_PII_COUNTS_SPARK, _PII_RED_SPARK = _pii_exprs(spark_side=True)
+_PII_COUNTS_DUCK, _PII_RED_DUCK = _pii_exprs(spark_side=False)
+
+
+@register(
+    "pii_redact_scrub",
+    oracle=f"""
+    WITH paged AS (
+      SELECT doc_id, {_pii_page_sql('VARCHAR')} AS page FROM documents
+    ),
+    counted AS (
+      SELECT doc_id, {', '.join(_PII_COUNTS_DUCK)}, {_PII_RED_DUCK} AS redacted
+      FROM paged
+    )
+    SELECT doc_id, n_email, n_ssn, n_phone, n_ip,
+           n_email + n_ssn + n_phone + n_ip AS n_pii,
+           CAST(length(redacted) AS BIGINT) AS redacted_len,
+           substr(redacted, 1, 80) AS redacted_prefix
+    FROM counted
+    """,
+    tags=("text", "pii", "redaction", "cleanse"),
+)
+def pii_redact_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — per-document email/SSN/phone/IPv4 hit counts plus
+    the scrubbed text (category tokens substituted in a fixed chain
+    order). Counts are computed on the raw page so they are independent
+    of redaction order; the redaction itself applies PII_CHAIN in order.
+
+    Plan shape: pure per-row JVM regexp expressions over one projected
+    scan (doc_id, text) — zero shuffle, one job, whole-stage codegen; at
+    100 TB this runs at scan speed with full column pruning. Built as
+    ONE selectExpr chain (plan-build cost ~a dozen py4j calls — the r10
+    build-survey discipline applied from first registration).
+
+    Reference surface: extends the cleanse/normalization family
+    (SURVEY §2.10 corpus extensions); no reference twin — the reference
+    pipeline has no text-scrub stage (closest is outlier nulling,
+    reference/src/pipeline.py:60-75)."""
+    d = load(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id", _pii_page_sql("STRING") + " AS page"
+    ).selectExpr(
+        "doc_id",
+        *_PII_COUNTS_SPARK,
+        f"{_PII_RED_SPARK} AS redacted",
+    ).selectExpr(
+        "doc_id",
+        "n_email",
+        "n_ssn",
+        "n_phone",
+        "n_ip",
+        "n_email + n_ssn + n_phone + n_ip AS n_pii",
+        "CAST(length(redacted) AS BIGINT) AS redacted_len",
+        "substr(redacted, 1, 80) AS redacted_prefix",
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain-level throttling (C4/RefinedWeb-style per-domain caps)
+# ---------------------------------------------------------------------------
+# Web-scale corpora cap documents per registrable domain so crawl-heavy
+# hosts can't dominate the training mix. `documents` has no url column,
+# so the query synthesizes a deterministic one per doc (5 "popular" hosts
+# absorbing half the corpus + a 211-host long tail — a skewed-key shape on
+# purpose), extracts the host with Spark's native parse_url (regexp twin
+# in DuckDB), and ranks each document within its domain.
+
+DOMAIN_CAP = 8  # keep at most this many docs per host (C4-style throttle)
+
+_URL_SQL = (
+    "concat('https://', CASE WHEN doc_id % 4 < 2 "
+    "THEN concat('popular', CAST(doc_id % 5 AS {T}), '.example.com') "
+    "ELSE concat('site', CAST(doc_id % 211 AS {T}), '.example.com') END, "
+    "'/doc/', CAST(doc_id AS {T}))"
+)
+
+
+@register(
+    "url_domain_throttle",
+    oracle=f"""
+    WITH urled AS (
+      SELECT doc_id, {_URL_SQL.format(T='VARCHAR')} AS url FROM documents
+    ),
+    hosted AS (
+      SELECT doc_id, url,
+             regexp_extract(url, '^https?://([^/]+)/', 1) AS host
+      FROM urled
+    )
+    SELECT doc_id, host,
+           CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT)
+             AS domain_rank,
+           CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS domain_docs,
+           CASE WHEN row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                     <= {DOMAIN_CAP} THEN 1 ELSE 0 END AS kept
+    FROM hosted
+    """,
+    tags=("dedup", "url", "domain", "sampling"),
+)
+def url_domain_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL/domain-level throttling — synthesize a deterministic url per
+    document, extract its host (native ``parse_url`` on the Spark side,
+    regexp twin in DuckDB), and emit each doc's rank within its domain,
+    the domain's total doc count, and the C4-style keep flag
+    (``domain_rank <= DOMAIN_CAP``).
+
+    Plan shape: ONE exchange — the window partitionBy(host); row_number
+    and count(*) share the partition spec so a single WindowExec computes
+    both (pinned by tests/test_plans.py). At 100 TB the host key is the
+    natural skew axis; the synthetic mix (5 hosts holding half the docs)
+    deliberately exercises it — per-host work is a streaming rank, not a
+    buffered agg, so a hot host costs one fat task, not a spill. The rank
+    tie-breaks on doc_id (unique), so output is deterministic."""
+    d = load(spark, sf_dir, "documents")
+    return d.selectExpr(
+        "doc_id", _URL_SQL.format(T="STRING") + " AS url"
+    ).selectExpr(
+        "doc_id", "parse_url(url, 'HOST') AS host"
+    ).selectExpr(
+        "doc_id",
+        "host",
+        "CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT)"
+        " AS domain_rank",
+        "CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS domain_docs",
+        f"CASE WHEN row_number() OVER (PARTITION BY host ORDER BY doc_id)"
+        f" <= {DOMAIN_CAP} THEN 1 ELSE 0 END AS kept",
+    )

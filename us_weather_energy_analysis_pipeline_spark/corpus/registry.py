@@ -120,77 +120,86 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-10 window (VERDICT r9 task 1): positions 0-1 are the two queries
-# registered this round (chunk-level dedup consuming doc_chunk_overlap's
-# chunk_md5 key; HTML/boilerplate strip — never driver-verified);
-# positions 2-49 are the FULL 48-query cohort whose latest driver row
-# is r07 (the staleness frontier after r9) — so after this round the
-# whole 141-query union is at most two rounds stale (the r8 cohort).
-# The queries whose plans r10 tasks touch (ewma_daily window fusion,
-# the IVF distributed-fallback pre-prune + dim hint, the ADVICE
-# centroid/hard-negative width fixes) are all r9-green; they form the
-# declared tail at positions 50-54 — first in line if the driver
-# samples past 50, and every plan change is pinned by the local
-# 141-query oracle gate in pytest.
+# Round-11 window (VERDICT r10 task 2 + ADVICE r10 medium): positions
+# 0-1 are the two queries registered this round (PII redaction,
+# URL/domain throttle — never driver-verified); positions 2-8 are the
+# FULL set of queries whose plans r10 rewrites touched but whose latest
+# driver row is r9 — the ADVICE r10 medium item: the token-stats kernel
+# (gopher_quality_filter, text_repetition_ratio), the shingle siphash
+# kernel + minhash CTE path (dedup_pipeline_e2e, embed_dedup_pipeline_e2e),
+# the ewma window fusion, plus the two r11 task targets whose plans this
+# round may touch (dedup_incremental_minhash profiling,
+# rfm_segments replication); positions 9-49 are the FULL 41-query cohort
+# whose latest driver row is r08 (the staleness frontier) — includes the
+# other r10 kernel-rewritten queries dedup_ngram_jaccard and
+# dedup_winnow_pairs — so after this round the union has nothing staler
+# than r9. The r10 cogroup-kernel queries (embed_ivf_topk,
+# embed_ivf_multiprobe_topk, embed_nearest_centroid_assign,
+# embed_hard_negative_mine) are r9-green and form the declared tail at
+# positions 50-53: at driver SF they take the single-block fast path
+# (the rewritten distributed-fallback kernel is exercised by the local
+# pytest probes + plan pin, not by the sf0.01 driver run), so the stale
+# cohort takes priority for the driver's ~50-row sample.
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
-    "chunk_dedup_ratio",
-    "html_boilerplate_strip",
-    # -- last driver row r07 (the full stale cohort, 48 queries) --
-    "asof_join_last_view",
-    "cooccurrence_pairs",
-    "corr_pearson",
-    "count_distinct_users",
-    "cube_priority_status",
-    "dates_except",
-    "dedup_keep_first",
-    "grouped_quantiles",
-    "heatmap_pivot",
-    "hourly_profile",
-    "join_dims_broadcast",
-    "join_fact_orders",
-    "lag_diff_pct",
-    "last_per_group",
-    "mean_impute_group",
-    "missing_days_anti",
-    "mode_event_type",
-    "monthly_rollup",
-    "moving_avg_7d",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "ols_by_group",
-    "ols_ci_frame",
-    "ols_closed_form",
-    "pivot_eav",
-    "problem_rows",
-    "quality_daily",
-    "quality_report",
-    "quantiles_exact",
-    "regexp_normalize",
-    "resample_hourly_daily",
-    "revenue_share",
-    "rollup_revenue",
-    "sample_hash_mod",
-    "scalar_stats",
-    "semi_join_customers",
-    "sessionize_gap",
-    "skew_salted_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "ts_daily_rollup",
-    "tumbling_window_rollup",
-    "unit_convert_project",
-    "unpivot_measures",
-    "user_journey_path",
-    "weekday_profile",
-    # -- declared tail (positions 50+): r9-green driver rows whose
-    # plans r10 tasks touch; displaced past the ~50-position sample by
-    # the never-verified registrations + the r7 cohort above, which
-    # take priority per the VERDICT staleness bar. Still in the local
-    # 141-query oracle gate.
+    "pii_redact_scrub",
+    "url_domain_throttle",
+    # -- r10 plan-touched, last driver row r9 (ADVICE r10 medium) --
+    "gopher_quality_filter",
+    "text_repetition_ratio",
+    "dedup_pipeline_e2e",
+    "embed_dedup_pipeline_e2e",
     "ewma_daily",
+    # -- r11 task targets (plans may change this round), last row r9 --
+    "dedup_incremental_minhash",
+    "rfm_segments",
+    # -- last driver row r08 (the full stale cohort, 41 queries) --
+    "above_group_avg",
+    "approx_distinct_hll_sanity",
+    "bin_quantity_case",
+    "bin_quantity_case_low",
+    "chi2_weekday_event",
+    "corpus_mix_summary",
+    "date_spine_completion",
+    "decontamination_check",
+    "dedup_cluster_assign",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    "dist_percent_rank",
+    "distinct_event_types",
+    "distinct_kmv_estimate",
+    "doc_span_dup_ratio",
+    "entropy_user_events",
+    "filter_date_set",
+    "filtered_agg_status",
+    "full_outer_nation_counts",
+    "gini_customer_revenue",
+    "grouping_sets_flags",
+    "histogram_price",
+    "locf_gap_fill",
+    "markov_event_transitions",
+    "multimodal_blob_stats",
+    "ntile_deciles",
+    "pareto_revenue_concentration",
+    "sql_revenue_by_nation",
+    "sql_window_rank",
+    "stratified_sample_hash",
+    "streak_islands",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "token_budget_packing",
+    "top_k_orders",
+    "union_slices",
+    "zscore_outliers",
+    # -- declared tail (positions 50+): r9-green driver rows rewritten
+    # by the r10 cogroup kernel; at driver SF they run the single-block
+    # fast path, so the kernel itself is pinned by local pytest probes
+    # (test_fallback_plan_uses_cogroup_kernel) rather than the driver
+    # sample. Still in the local 143-query oracle gate.
     "embed_ivf_topk",
     "embed_ivf_multiprobe_topk",
     "embed_nearest_centroid_assign",
