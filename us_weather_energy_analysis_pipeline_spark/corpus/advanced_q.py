@@ -589,53 +589,42 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows) and derive the coarser sets from that tiny result — the
     # GROUPING() flags are literals per level. Finest-level NULL group
     # keys stay distinguishable via the flags, same as GROUPING SETS.
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     li = load(spark, sf_dir, "lineitem")
-    fin = li.groupBy("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("l_extendedprice").alias("revenue")
-    )
-    lvl0 = fin.select(
-        "l_returnflag",
-        "l_linestatus",
-        F.lit(0).alias("g_flag"),
-        F.lit(0).alias("g_status"),
-        "n",
-        "revenue",
-    )
-    lvl1 = fin.groupBy("l_returnflag").agg(
-        F.sum("n").alias("n"), F.sum("revenue").alias("revenue")
-    ).select(
-        "l_returnflag",
-        F.lit(None).cast("string").alias("l_linestatus"),
-        F.lit(0).alias("g_flag"),
-        F.lit(1).alias("g_status"),
-        "n",
-        "revenue",
-    )
-    # groupBy on a constant, NOT an ungrouped agg: GROUPING SETS yields
-    # ZERO rows on empty input, and an ungrouped aggregate would emit a
-    # phantom (NULL, NULL) grand-total row there; a constant-key groupBy
-    # returns no rows on empty input, matching the literal form exactly.
-    lvl2 = fin.groupBy(F.lit(1).alias("_g")).agg(
-        F.sum("n").alias("n"), F.sum("revenue").alias("revenue")
-    ).drop("_g").select(
-        F.lit(None).cast("string").alias("l_returnflag"),
-        F.lit(None).cast("string").alias("l_linestatus"),
-        F.lit(1).alias("g_flag"),
-        F.lit(1).alias("g_status"),
-        "n",
-        "revenue",
-    )
-    return (
-        lvl0.unionByName(lvl1)
-        .unionByName(lvl2)
-        .select(
-            "l_returnflag",
-            "l_linestatus",
-            "g_flag",
-            "g_status",
-            "n",
-            r2(F.col("revenue")).alias("revenue"),
+    # lvl2 groups on a CONSTANT, not an ungrouped agg: GROUPING SETS
+    # yields ZERO rows on empty input, and an ungrouped aggregate would
+    # emit a phantom (NULL, NULL) grand-total row there; a constant-key
+    # groupBy returns no rows on empty input, matching the literal form
+    # exactly. ONE spark.sql statement (r11 build cut).
+    return spark.sql(
+        f"""
+        WITH fin AS (
+          SELECT l_returnflag, l_linestatus, count(1) AS n,
+                 sum(l_extendedprice) AS revenue
+          FROM {{li}} GROUP BY l_returnflag, l_linestatus
+        ),
+        lvls AS (
+          SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
+                 n, revenue
+          FROM fin
+          UNION ALL
+          SELECT l_returnflag, CAST(NULL AS STRING) AS l_linestatus,
+                 0 AS g_flag, 1 AS g_status, n, revenue
+          FROM (SELECT l_returnflag, sum(n) AS n, sum(revenue) AS revenue
+                FROM fin GROUP BY l_returnflag)
+          UNION ALL
+          SELECT CAST(NULL AS STRING) AS l_returnflag,
+                 CAST(NULL AS STRING) AS l_linestatus,
+                 1 AS g_flag, 1 AS g_status, n, revenue
+          FROM (SELECT _g, sum(n) AS n, sum(revenue) AS revenue
+                FROM (SELECT 0 AS _g, n, revenue FROM fin) GROUP BY _g)
         )
+        SELECT l_returnflag, l_linestatus, g_flag, g_status, n,
+               {dround_sql('revenue', 2)} AS revenue
+        FROM lvls
+        """,
+        li=li,
     )
 
 

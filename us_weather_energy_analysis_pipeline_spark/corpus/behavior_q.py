@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import iso_day, r2, r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, iso_day, r2, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import ordered_pairs
 
@@ -97,57 +97,45 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     has); under a pathologically hot user, split the anchor back into a
     separate min-aggregate + join (map-side combinable) at the cost of a
     second exchange — the two shapes are algebraically identical."""
-    from pyspark.sql import Window
-
     e = load(spark, sf_dir, "events")
     # ONE scan + ONE user_id exchange: the first-view anchor is a window
     # min over the user partition, and the per-user aggregate reuses the
     # same partitioning (no second exchange, no v⨝p join branches that
-    # each re-scanned events)
-    w_u = Window.partitionBy("user_id")
-    anno = (
-        e.filter(F.col("event_type").isin("view", "purchase"))
-        .select("user_id", "ts", "event_type")
-        .withColumn(
-            "vts",
-            F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w_u),
+    # each re-scanned events). NULL-user semantics (r7 user_id
+    # null-fuzz): the oracle's p JOIN v ON e.user_id = v.user_id never
+    # matches NULL keys, so the pooled NULL-user group counts as a
+    # viewer (v is a GROUP BY, NULLs group) but can never convert — its
+    # pts is nulled. ONE spark.sql statement (r11 build cut).
+    converted = "pts IS NOT NULL AND pts <= vts + INTERVAL 24 HOURS"
+    return spark.sql(
+        f"""
+        WITH anno AS (
+          SELECT user_id, ts, event_type,
+                 min(CASE WHEN event_type = 'view' THEN ts END)
+                   OVER (PARTITION BY user_id) AS vts
+          FROM (SELECT user_id, ts, event_type FROM {{e}}
+                WHERE event_type IN ('view', 'purchase'))
+        ),
+        per_user0 AS (
+          SELECT user_id, min(vts) AS vts,
+                 min(CASE WHEN event_type = 'purchase' AND ts >= vts
+                          THEN ts END) AS pts
+          FROM anno WHERE vts IS NOT NULL GROUP BY user_id
+        ),
+        per_user AS (
+          SELECT user_id, vts,
+                 CASE WHEN user_id IS NOT NULL THEN pts END AS pts
+          FROM per_user0
         )
-    )
-    per_user = (
-        anno.filter(F.col("vts").isNotNull())
-        .groupBy("user_id")
-        .agg(
-            F.min("vts").alias("vts"),
-            F.min(
-                F.when(
-                    (F.col("event_type") == "purchase")
-                    & (F.col("ts") >= F.col("vts")),
-                    F.col("ts"),
-                )
-            ).alias("pts"),
-        )
-    )
-    # NULL-user semantics (r7 user_id null-fuzz): the oracle's
-    # p JOIN v ON e.user_id = v.user_id never matches NULL keys, so the
-    # pooled NULL-user group counts as a viewer (v is a GROUP BY, NULLs
-    # group) but can never convert — null out its pts
-    per_user = per_user.withColumn(
-        "pts", F.when(F.col("user_id").isNotNull(), F.col("pts"))
-    )
-    converted = F.col("pts").isNotNull() & (
-        F.col("pts") <= F.col("vts") + F.expr("INTERVAL 24 HOURS")
-    )
-    return (
-        per_user
-        .groupBy(iso_day(F.to_date("vts")).alias("first_view_day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_viewers"),
-            F.count_if(converted).alias("n_converted"),
-            r4(
-                F.count_if(converted).cast("double")
-                / F.count(F.lit(1)).cast("double")
-            ).alias("cvr"),
-        )
+        SELECT CAST(CAST(to_date(vts) AS DATE) AS STRING) AS first_view_day,
+               count(1) AS n_viewers,
+               count_if({converted}) AS n_converted,
+               {dround_sql(f'CAST(count_if({converted}) AS DOUBLE)'
+                           ' / CAST(count(1) AS DOUBLE)', 4)} AS cvr
+        FROM per_user
+        GROUP BY CAST(CAST(to_date(vts) AS DATE) AS STRING)
+        """,
+        e=e,
     )
 
 
@@ -463,26 +451,31 @@ def moments_skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines (built-in skewness/kurtosis differ by estimator and summation
     algorithm across engines, so the moment form is the portable one)."""
     e = load(spark, sf_dir, "events")
-    v = F.col("value")
-    st = e.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(v).alias("s1"),
-        F.sum(v * v).alias("s2"),
-        F.sum(v * v * v).alias("s3"),
-        F.sum(v * v * v * v).alias("s4"),
-    )
-    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
-    m = s1 / n
-    var_pop = s2 / n - m * m
-    skew = (s3 / n - 3 * m * (s2 / n) + 2 * m * m * m) / F.pow(var_pop, 1.5)
+    # ONE spark.sql statement (r11 build cut); the moment expressions
+    # keep the exact operand order of the original Column form (PySpark
+    # renders ``3 * m`` as ``m * 3``) so the emitted bits are unchanged.
+    m = "(s1 / n)"
+    var_pop = f"(s2 / n - {m} * {m})"
+    skew = f"(s3 / n - {m} * 3 * (s2 / n) + {m} * 2 * {m} * {m}) / POWER({var_pop}, 1.5D)"
     kurt = (
-        s4 / n - 4 * m * (s3 / n) + 6 * m * m * (s2 / n) - 3 * m * m * m * m
-    ) / F.pow(var_pop, 2) - 3
-    return st.select(
-        "event_type",
-        "n",
-        r4(m).alias("mean"),
-        r4(var_pop).alias("var_pop"),
-        r4(skew).alias("skew"),
-        r4(kurt).alias("kurt_excess"),
+        f"(s4 / n - {m} * 4 * (s3 / n) + {m} * 6 * {m} * (s2 / n)"
+        f" - {m} * 3 * {m} * {m} * {m}) / POWER({var_pop}, 2.0D) - 3"
+    )
+    return spark.sql(
+        f"""
+        WITH st AS (
+          SELECT event_type, count(1) AS n, sum(value) AS s1,
+                 sum(value * value) AS s2,
+                 sum(value * value * value) AS s3,
+                 sum(value * value * value * value) AS s4
+          FROM {{e}} GROUP BY event_type
+        )
+        SELECT event_type, n,
+               {dround_sql(m, 4)} AS mean,
+               {dround_sql(var_pop, 4)} AS var_pop,
+               {dround_sql(skew, 4)} AS skew,
+               {dround_sql(kurt, 4)} AS kurt_excess
+        FROM st
+        """,
+        e=e,
     )

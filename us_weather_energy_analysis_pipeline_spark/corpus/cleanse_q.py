@@ -36,9 +36,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
 from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 SPAN_K = 8          # tokens per gram (span resolution)
@@ -111,55 +114,81 @@ def duplicated_spans(
     No self-join ever materializes document pairs; the widest
     intermediate is the gram-position table (~n_tokens rows). The gram
     table feeds both join branches, so it is digest-materialized via
-    operators.cache (same pattern as decontamination_check)."""
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    base = d.select("doc_id", toks.alias("t")).filter(F.size("t") >= k)
-    ntok_cols = (
-        [F.size("t").cast("long").alias("n_tokens")] if with_ntok else []
-    )
-    grams = cache.track(
-        base.select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("t") - k + 1)).alias("i"),
-            "t",
-        ).select(
-            "doc_id",
-            *ntok_cols,
-            F.col("i").cast("long").alias("pos"),
-            F.xxhash64(F.array_join(F.slice("t", F.col("i"), k), " ")).alias("gh"),
+    operators.cache (same pattern as decontamination_check).
+
+    Built as TWO ``spark.sql`` statements (r11 build cut): one for the
+    persisted gram table, one for everything above it — the staged form
+    re-analyzed the accumulated plan at ~8 op boundaries (~0.14 s pure
+    driver build; plans identical, BENCH_AB.md r11). Consumers that want
+    the final projection folded into the same single statement pass
+    ``select_sql`` (SQL over the ``spans`` CTE) instead of stacking
+    another boundary on top."""
+    grams = cache.track(_span_grams(d, k, with_ntok))
+    return _spans_over(grams, k, with_ntok)
+
+
+def _span_grams(d: DataFrame, k: int, with_ntok: bool) -> DataFrame:
+    ntok = ", CAST(size(t) AS BIGINT) AS n_tokens" if with_ntok else ""
+    return d.sparkSession.sql(
+        f"""
+        SELECT doc_id{ntok}, CAST(i AS BIGINT) AS pos,
+               xxhash64(array_join(slice(t, i, {k}), ' ')) AS gh
+        FROM (
+          SELECT doc_id, explode(sequence(1, size(t) - {k} + 1)) AS i, t
+          FROM (SELECT doc_id, split({ascii_lower_sql('trim(text)')}, ' ') AS t
+                FROM {{docs}})
+          WHERE size(t) >= {k}
         )
+        """,
+        docs=d,
     )
-    dup = (
-        grams.groupBy("gh")
-        .agg(F.min("doc_id").alias("_mn"), F.max("doc_id").alias("_mx"))
-        .filter(F.col("_mn") != F.col("_mx"))
-        .select("gh")
+
+
+def _spans_body(k: int, with_ntok: bool) -> str:
+    """The island-merge pipeline as CTE text over a ``{grams}`` template
+    slot, ending in a ``spans`` CTE — shared by both consumers so each
+    registers ONE statement."""
+    ntok = ", n_tokens" if with_ntok else ""
+    return f"""
+    dup AS (
+      SELECT gh FROM (
+        SELECT gh, min(doc_id) AS _mn, max(doc_id) AS _mx
+        FROM {{grams}} GROUP BY gh
+      ) WHERE _mn <> _mx
+    ),
+    hits AS (
+      SELECT doc_id{ntok}, pos FROM {{grams}} JOIN dup USING (gh)
+    ),
+    brk AS (
+      SELECT doc_id{ntok}, pos,
+             CASE WHEN pos > coalesce(MAX(pos + {k} - 1) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS brk
+      FROM hits
+    ),
+    isl AS (
+      SELECT doc_id{ntok}, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS isl_id
+      FROM brk
+    ),
+    spans AS (
+      SELECT doc_id{ntok}, MIN(pos) AS span_start, MAX(pos) + {k} - 1 AS span_end
+      FROM isl GROUP BY doc_id{ntok}, isl_id
     )
-    carry = ["doc_id", "n_tokens"] if with_ntok else ["doc_id"]
-    hits = grams.join(dup, "gh").select(*carry, "pos")
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    """
+
+
+def _spans_over(
+    grams: DataFrame, k: int, with_ntok: bool, select_sql: str | None = None
+) -> DataFrame:
+    ntok = ", n_tokens" if with_ntok else ""
+    final = select_sql or f"SELECT doc_id{ntok}, span_start, span_end FROM spans"
+    return grams.sparkSession.sql(
+        f"WITH {_spans_body(k, with_ntok)} {final}", grams=grams
     )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    isl = hits.withColumn(
-        "brk",
-        F.when(
-            F.col("pos")
-            > F.coalesce(F.max(F.col("pos") + k - 1).over(w_prev), F.lit(-1)) + 1,
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    ).withColumn("isl_id", F.sum("brk").over(w_run))
-    grp = ["doc_id", "n_tokens", "isl_id"] if with_ntok else ["doc_id", "isl_id"]
-    return isl.groupBy(*grp).agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + k - 1).alias("span_end"),
-    ).drop("isl_id")
 
 
 @register(
@@ -181,11 +210,18 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole documents. See :func:`duplicated_spans` for the 100 TB scale
     shape (one gram-hash shuffle, document-bounded island-merge window,
     no pair materialization)."""
-    spans = duplicated_spans(load(spark, sf_dir, "documents"))
-    span_tokens = F.col("span_end") - F.col("span_start") + 1
-    return spans.select(
-        "doc_id", "span_start", "span_end", span_tokens.alias("span_tokens")
-    ).filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+    d = load(spark, sf_dir, "documents")
+    grams = cache.track(_span_grams(d, SPAN_K, with_ntok=False))
+    return _spans_over(
+        grams,
+        SPAN_K,
+        with_ntok=False,
+        select_sql=f"""
+        SELECT doc_id, span_start, span_end,
+               span_end - span_start + 1 AS span_tokens
+        FROM spans WHERE span_end - span_start + 1 >= {SPAN_MIN_TOKENS}
+        """,
+    )
 
 
 @register(
@@ -217,22 +253,24 @@ def doc_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dup_tokens·2 ≥ n_tokens), so no float boundary can diverge between
     engines; only the display ratio is floating (4 dp, dround twin)."""
     d = load(spark, sf_dir, "documents")
-    # n_tokens rides through the span pipeline (duplicated_spans
-    # with_ntok) — no second documents scan, no ntok join-back branch
-    spans = duplicated_spans(d, with_ntok=True)
-    cov = spans.groupBy("doc_id", "n_tokens").agg(
-        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_tokens")
-    )
-    return cov.select(
-        "doc_id",
-        "n_tokens",
-        "dup_tokens",
-        r4(F.col("dup_tokens").cast("double") / F.col("n_tokens")).alias(
-            "dup_ratio"
-        ),
-        F.when(F.col("dup_tokens") * 2 >= F.col("n_tokens"), 1)
-        .otherwise(0)
-        .alias("drop_flag"),
+    # n_tokens rides through the span pipeline (with_ntok) — no second
+    # documents scan, no ntok join-back branch; the coverage rollup and
+    # final projection fold into the spans statement (r11 build cut)
+    grams = cache.track(_span_grams(d, SPAN_K, with_ntok=True))
+    return _spans_over(
+        grams,
+        SPAN_K,
+        with_ntok=True,
+        select_sql=f"""
+        SELECT doc_id, n_tokens, dup_tokens,
+               {dround_sql('CAST(dup_tokens AS DOUBLE) / n_tokens', 4)} AS dup_ratio,
+               CASE WHEN dup_tokens * 2 >= n_tokens THEN 1 ELSE 0 END AS drop_flag
+        FROM (
+          SELECT doc_id, n_tokens,
+                 SUM(span_end - span_start + 1) AS dup_tokens
+          FROM spans GROUP BY doc_id, n_tokens
+        )
+        """,
     )
 
 

@@ -741,48 +741,55 @@ def map_view_decorated(spark: SparkSession, sf_dir: str) -> DataFrame:
     tooltip text — reference `dashboards/app.py:490`) over the TPC-H
     analog. Formatting happens AFTER DuckDB-exact rounding so
     printf('%.1f') emits identical strings on both engines."""
-    from pyspark.sql import Window
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+    from us_weather_energy_analysis_pipeline_spark.functions.scalars import (
+        html_escape_sql,
+    )
 
-    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround
-    from us_weather_energy_analysis_pipeline_spark.functions.scalars import html_escape
-
-    c = load(spark, sf_dir, "customer").filter(F.col("c_custkey") < 100)
+    c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
-    j = (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .filter(F.col("o_orderdate").isNotNull())
-        .select("c_custkey", "o_orderkey", "o_totalprice", "o_orderdate")
+    # ONE spark.sql statement (r11 build cut — plan identical to the
+    # staged window form, BENCH_AB.md r11). NULL guard on price_label:
+    # java.util.Formatter renders a NULL arg as the string 'null' while
+    # DuckDB printf propagates NULL.
+    pct = dround_sql("(o_totalprice - prev_price) / prev_price * 100", 4)
+    radius = dround_sql(
+        "(o_totalprice - min(o_totalprice) OVER ())"
+        " / (max(o_totalprice) OVER () - min(o_totalprice) OVER ()) * 25 + 5",
+        2,
     )
-    w_ord = Window.partitionBy("c_custkey").orderBy("o_orderdate", "o_orderkey")
-    w_last = Window.partitionBy("c_custkey").orderBy(
-        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
-    )
-    l2 = (
-        j.withColumn("prev_price", F.lag("o_totalprice").over(w_ord))
-        .withColumn("rn", F.row_number().over(w_last))
-        .filter(F.col("rn") == 1)
-    )
-    w_all = Window.partitionBy()
-    med = F.expr("percentile(o_totalprice, 0.5)").over(w_all)
-    lo = F.min("o_totalprice").over(w_all)
-    hi = F.max("o_totalprice").over(w_all)
-    prev = F.col("prev_price")
-    return l2.select(
-        "c_custkey",
-        # null-guarded: java.util.Formatter renders a NULL arg as the
-        # string 'null' while DuckDB printf propagates NULL
-        F.when(
-            F.col("o_totalprice").isNotNull(),
-            F.format_string("%.1f", dround(F.col("o_totalprice"), 1)),
-        ).alias("price_label"),
-        F.when(prev > 0, r4((F.col("o_totalprice") - prev) / prev * 100))
-        .otherwise(F.lit(0.0))
-        .alias("pct_change"),
-        F.when(F.col("o_totalprice") > med, "red").otherwise("green").alias("color"),
-        r2(5 + (F.col("o_totalprice") - lo) / (hi - lo) * 25).alias("radius"),
-        html_escape(
-            F.concat(F.lit("<cust "), F.col("c_custkey"), F.lit(' & "latest">'))
-        ).alias("tooltip_html"),
+    tooltip = html_escape_sql("concat('<cust ', c_custkey, ' & \"latest\">')")
+    return spark.sql(
+        f"""
+        WITH l2 AS (
+          SELECT * FROM (
+            SELECT c_custkey, o_orderkey, o_totalprice, o_orderdate,
+                   lag(o_totalprice) OVER (
+                     PARTITION BY c_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev_price,
+                   row_number() OVER (
+                     PARTITION BY c_custkey
+                     ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM (
+              SELECT c_custkey, o_orderkey, o_totalprice, o_orderdate
+              FROM {{c}} JOIN {{o}} ON c_custkey = o_custkey
+              WHERE c_custkey < 100 AND o_orderdate IS NOT NULL
+            )
+          ) WHERE rn = 1
+        )
+        SELECT c_custkey,
+               CASE WHEN o_totalprice IS NOT NULL
+                    THEN format_string('%.1f', {dround_sql('o_totalprice', 1)})
+               END AS price_label,
+               CASE WHEN prev_price > 0 THEN {pct} ELSE 0.0D END AS pct_change,
+               CASE WHEN o_totalprice > percentile(o_totalprice, 0.5) OVER ()
+                    THEN 'red' ELSE 'green' END AS color,
+               {radius} AS radius,
+               {tooltip} AS tooltip_html
+        FROM l2
+        """,
+        c=c,
+        o=o,
     )
 
 

@@ -7,9 +7,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
+from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    ascii_lower,
+    ascii_lower_sql,
+)
 
 ZIPF_TOP = 200
 
@@ -71,41 +74,37 @@ def zipf_fit_from(d: DataFrame) -> DataFrame:
     (neither libm guarantees correctly-rounded transcendentals). On an
     empty corpus both engines produce an m=0 aggregate row that the
     m >= 2 guard removes — zero rows, no phantom."""
-    toks = F.explode(F.split(ascii_lower(F.trim(F.col("text"))), " ")).alias("tok")
-    freq = (
-        d.select(toks)
-        .filter(F.col("tok") != "")
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    top = (
-        freq.orderBy(F.col("n").desc(), F.col("tok").asc())
-        .limit(ZIPF_TOP)
-        .withColumn(
-            "r",
-            F.row_number().over(
-                # bounded input (<= ZIPF_TOP rows) — the single-partition
-                # window is safe by construction, same contract as the
-                # plan-guarded daily windows
-                Window.orderBy(F.col("n").desc(), F.col("tok").asc())
-            ),
+    # ONE spark.sql statement (r11 build cut — TakeOrdered + bounded
+    # single-partition window plan unchanged, BENCH_AB.md r11)
+    slope = "(m * sxy - sx * sy) / (m * sxx - sx * sx)"
+    return d.sparkSession.sql(
+        f"""
+        WITH freq AS (
+          SELECT tok, count(1) AS n
+          FROM (SELECT explode(split({ascii_lower_sql('trim(text)')}, ' ')) AS tok
+                FROM {{docs}})
+          WHERE tok <> ''
+          GROUP BY tok
+        ),
+        top AS (
+          SELECT tok, n,
+                 row_number() OVER (ORDER BY n DESC, tok ASC) AS r
+          FROM (SELECT * FROM freq ORDER BY n DESC, tok ASC LIMIT {ZIPF_TOP})
+        ),
+        fit AS (
+          SELECT count(1) AS m,
+                 sum(ln(CAST(r AS DOUBLE))) AS sx,
+                 sum(ln(CAST(n AS DOUBLE))) AS sy,
+                 sum(ln(CAST(r AS DOUBLE)) * ln(CAST(n AS DOUBLE))) AS sxy,
+                 sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+          FROM top
         )
-    )
-    lr = F.log(F.col("r").cast("double"))
-    ln = F.log(F.col("n").cast("double"))
-    fit = top.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(lr).alias("sx"),
-        F.sum(ln).alias("sy"),
-        F.sum(lr * ln).alias("sxy"),
-        F.sum(lr * lr).alias("sxx"),
-    )
-    m, sx, sy, sxy, sxx = (F.col(c) for c in ("m", "sx", "sy", "sxy", "sxx"))
-    slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
-    return fit.filter(m >= 2).select(
-        m.alias("n_top"),
-        r4(slope).alias("zipf_slope"),
-        r4((sy - slope * sx) / m).alias("zipf_intercept"),
+        SELECT m AS n_top,
+               {dround_sql(slope, 4)} AS zipf_slope,
+               {dround_sql(f'(sy - ({slope}) * sx) / m', 4)} AS zipf_intercept
+        FROM fit WHERE m >= 2
+        """,
+        docs=d,
     )
 
 
@@ -159,34 +158,34 @@ def text_heaps_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emits nothing for it). The 4-dp round absorbs cross-engine ln/exp
     last-ulp drift."""
     d = load(spark, sf_dir, "documents")
-    tk = F.filter(
-        F.split(ascii_lower(F.trim(F.col("text"))), " "), lambda w: w != ""
-    )
-    per_doc = (
-        d.filter(F.col("text").isNotNull())
-        .select("doc_id", tk.alias("_tk"))
-        .select(
-            "doc_id",
-            F.size("_tk").alias("n_tok"),
-            F.size(F.array_distinct("_tk")).alias("n_typ"),
+    # ONE spark.sql statement (r11 build cut — same zero-pre-agg-exchange
+    # array-expression plan, BENCH_AB.md r11)
+    beta = "(m * sxy - sx * sy) / (m * sxx - sx * sx)"
+    return spark.sql(
+        f"""
+        WITH per_doc AS (
+          SELECT doc_id, size(_tk) AS n_tok, size(array_distinct(_tk)) AS n_typ
+          FROM (
+            SELECT doc_id,
+                   filter(split({ascii_lower_sql('trim(text)')}, ' '),
+                          w -> w <> '') AS _tk
+            FROM {{docs}} WHERE text IS NOT NULL
+          )
+        ),
+        fit AS (
+          SELECT count(1) AS m,
+                 sum(ln(CAST(n_tok AS DOUBLE))) AS sx,
+                 sum(ln(CAST(n_typ AS DOUBLE))) AS sy,
+                 sum(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_typ AS DOUBLE))) AS sxy,
+                 sum(ln(CAST(n_tok AS DOUBLE)) * ln(CAST(n_tok AS DOUBLE))) AS sxx
+          FROM per_doc WHERE n_tok >= 2
         )
-        .filter(F.col("n_tok") >= 2)
-    )
-    lx = F.log(F.col("n_tok").cast("double"))
-    ly = F.log(F.col("n_typ").cast("double"))
-    fit = per_doc.agg(
-        F.count(F.lit(1)).alias("m"),
-        F.sum(lx).alias("sx"),
-        F.sum(ly).alias("sy"),
-        F.sum(lx * ly).alias("sxy"),
-        F.sum(lx * lx).alias("sxx"),
-    )
-    m, sx, sy, sxy, sxx = (F.col(c) for c in ("m", "sx", "sy", "sxy", "sxx"))
-    beta = (m * sxy - sx * sy) / (m * sxx - sx * sx)
-    return fit.filter((m >= 2) & (m * sxx - sx * sx > 1e-9)).select(
-        m.alias("n_docs"),
-        r4(beta).alias("heaps_beta"),
-        r4(F.exp((sy - beta * sx) / m)).alias("heaps_k"),
+        SELECT m AS n_docs,
+               {dround_sql(beta, 4)} AS heaps_beta,
+               {dround_sql(f'EXP((sy - ({beta}) * sx) / m)', 4)} AS heaps_k
+        FROM fit WHERE m >= 2 AND m * sxx - sx * sx > 1e-9
+        """,
+        docs=d,
     )
 
 

@@ -396,8 +396,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = load(spark, sf_dir, "documents")
-    out = minhash_near_dups(d, threshold=0.0)
-    return out.select("doc_a", "doc_b", "n_shared_bands", r4(F.col("est_jaccard")).alias("est_jaccard"))
+    # est_round=4 folds the corpus rounding contract into the operator's
+    # single spark.sql statement (one analysis pass — r11 build cut)
+    return minhash_near_dups(d, threshold=0.0, est_round=4)
 
 
 def _simhash_sql_core() -> str:
@@ -645,48 +646,39 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from us_weather_energy_analysis_pipeline_spark.operators.dedup import (
         LSH_BANDS,
         MINHASH_K,
-        banded_digests,
-        minhash_signatures,
-        word_shingles,
+        est_jaccard_sql,
+        banded_cte,
+        minhash_sig_ctes,
     )
 
     d = load(spark, sf_dir, "documents")
-    sig = minhash_signatures(word_shingles(d, "text", dedupe=False))
-    banded = banded_digests(sig, LSH_BANDS, MINHASH_K, carry_sig=True)
-    new = banded.filter(F.col("doc_id") % INC_NEW_MOD < INC_NEW_LT).alias("a")
-    idx = banded.filter(F.col("doc_id") % INC_NEW_MOD >= INC_NEW_LT).alias("b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / MINHASH_K
-    )
-    return (
-        # index LEFT, batch RIGHT: when AQE picks a broadcast build it
-        # builds the RIGHT side — the 20% newcomer batch, not 80% of the
-        # corpus's banded signatures (review r9: the unswapped form
-        # shipped 4× the data to every task); above the broadcast
-        # threshold AQE falls back to a shuffle join on (band, digest),
-        # the correct both-sides-huge plan.
-        idx.join(
-            new,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.digest") == F.col("b.digest")),
+    # ONE spark.sql statement over the shared minhash CTE text (r11 build
+    # cut — plan identical to the staged form, BENCH_AB.md r11).
+    # index LEFT, batch RIGHT: when AQE picks a broadcast build it
+    # builds the RIGHT side — the 20% newcomer batch, not 80% of the
+    # corpus's banded signatures (review r9: the unswapped form
+    # shipped 4× the data to every task); above the broadcast
+    # threshold AQE falls back to a shuffle join on (band, digest),
+    # the correct both-sides-huge plan.
+    return spark.sql(
+        f"""
+        WITH {minhash_sig_ctes()},
+        {banded_cte(LSH_BANDS, MINHASH_K)},
+        pairs AS (
+          SELECT a.doc_id AS doc_id, b.doc_id AS idx_doc,
+                 {est_jaccard_sql(MINHASH_K)} AS est
+          FROM (SELECT * FROM banded
+                WHERE doc_id % {INC_NEW_MOD} >= {INC_NEW_LT}) b
+          JOIN (SELECT * FROM banded
+                WHERE doc_id % {INC_NEW_MOD} < {INC_NEW_LT}) a
+            ON a.band = b.band AND a.digest = b.digest
         )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("b.doc_id").alias("idx_doc"),
-            est.alias("est"),
-        )
-        .groupBy("doc_id")
-        .agg(
-            F.countDistinct("idx_doc").cast("long").alias("n_index_candidates"),
-            r4(F.max("est")).alias("best_est_jaccard"),
-            F.when(F.max("est") >= INC_THRESHOLD, 1)
-            .otherwise(0)
-            .alias("drop_flag"),
-        )
+        SELECT doc_id,
+               CAST(count(DISTINCT idx_doc) AS BIGINT) AS n_index_candidates,
+               {dround_sql('max(est)', 4)} AS best_est_jaccard,
+               CASE WHEN max(est) >= {INC_THRESHOLD}D THEN 1 ELSE 0 END
+                 AS drop_flag
+        FROM pairs GROUP BY doc_id
+        """,
+        docs=d,
     )

@@ -102,34 +102,34 @@ def heatmap_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     observed=False). Explicit pivot values keep all 7 weekday columns even
     if a weekday is absent in the slice."""
     li = load(spark, sf_dir, "lineitem")
-    q = F.col("l_quantity")
-    qty_bin = (
-        F.when(q >= 40, "40+")
-        .when(q >= 30, "30-40")
-        .when(q >= 20, "20-30")
-        .when(q >= 10, "10-20")
-        .otherwise("<10")
-    )
     # pivot on the 1-7 dayofweek int (no per-row EEEE formatting); the
     # int pivot columns are renamed to day names on the 5 post-agg rows
-    # via the shared DOW_INTS ↔ DAY_ORDER alignment.
+    # via the shared DOW_INTS ↔ DAY_ORDER alignment. ONE spark.sql
+    # statement — SQL PIVOT plans exactly like DataFrame .pivot with
+    # explicit values (r11 build cut, BENCH_AB.md r11).
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     dow_ints = list(DOW_INTS)
-    piv = (
-        li.select(
-            qty_bin.alias("qty_bin"),
-            F.dayofweek("l_shipdate").alias("dow"),
-            F.col("l_extendedprice").alias("price"),
-        )
-        .groupBy("qty_bin")
-        .pivot("dow", dow_ints)
-        .agg(F.avg("price"))
+    out_cols = ", ".join(
+        f"{dround_sql(f'coalesce(`{i}`, 0.0D)', 4)} AS {d}"
+        for i, d in zip(dow_ints, DAY_ORDER)
     )
-    return piv.select(
-        "qty_bin",
-        *[
-            r4(F.coalesce(F.col(str(i)), F.lit(0.0))).alias(d)
-            for i, d in zip(dow_ints, DAY_ORDER)
-        ],
+    return spark.sql(
+        f"""
+        SELECT qty_bin, {out_cols}
+        FROM (
+          SELECT CASE WHEN l_quantity >= 40 THEN '40+'
+                      WHEN l_quantity >= 30 THEN '30-40'
+                      WHEN l_quantity >= 20 THEN '20-30'
+                      WHEN l_quantity >= 10 THEN '10-20'
+                      ELSE '<10' END AS qty_bin,
+                 dayofweek(l_shipdate) AS dow,
+                 l_extendedprice AS price
+          FROM {{li}}
+        )
+        PIVOT (avg(price) FOR dow IN ({', '.join(f'{i} AS `{i}`' for i in dow_ints)}))
+        """,
+        li=li,
     )
 
 

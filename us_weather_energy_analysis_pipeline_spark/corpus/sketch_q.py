@@ -69,23 +69,31 @@ def distinct_kmv_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_k_smallest,
     )
 
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     li = load(spark, sf_dir, "lineitem")
-    kth = kmv_k_smallest(li, "l_orderkey", k=KMV_K).select(
-        (F.conv(F.substring("u_k", 1, 12), 16, 10).cast("double") / 16**12).alias(
-            "u_k"
+    # the estimate/join scaffolding above the sketch operator is ONE
+    # spark.sql statement templated on the operator's output (r11 build
+    # cut — the sketch prune plan itself is unchanged)
+    return spark.sql(
+        f"""
+        WITH kth AS (
+          SELECT CAST(conv(substring(u_k, 1, 12), 16, 10) AS DOUBLE)
+                   / {float(16 ** 12)!r}D AS u_k,
+                 n_kept
+          FROM {{kth}}
         ),
-        "n_kept",
-    )
-    exact = li.agg(F.countDistinct("l_orderkey").alias("n_exact"))
-    return kth.crossJoin(exact).select(
-        F.lit(KMV_K).alias("k"),
-        "n_kept",
-        r2(
-            F.when(F.col("n_kept") < KMV_K, F.col("n_kept").cast("double")).otherwise(
-                (KMV_K - 1) / F.col("u_k")
-            )
-        ).alias("est_distinct"),
-        "n_exact",
+        exact AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM {{li}})
+        SELECT {KMV_K} AS k, n_kept,
+               {dround_sql(
+                   f'CASE WHEN n_kept < {KMV_K} THEN CAST(n_kept AS DOUBLE)'
+                   f' ELSE {float(KMV_K - 1)!r}D / u_k END', 2)}
+                 AS est_distinct,
+               n_exact
+        FROM kth CROSS JOIN exact
+        """,
+        kth=kmv_k_smallest(li, "l_orderkey", k=KMV_K),
+        li=li,
     )
 
 

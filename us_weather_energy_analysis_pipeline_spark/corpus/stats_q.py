@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 
 # Two-sided 97.5% normal quantile. The reference's statsmodels CI uses the
@@ -117,46 +117,44 @@ def ols_ci_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mean-prediction confidence band (reference A13 `analysis.py:24-37`
     statsmodels get_prediction summary_frame): ŷ ± t·√(MSE·(1/n + (x₀−x̄)²/Sxx)),
     computed from ONE aggregation pass joined to a literal evaluation grid."""
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
     # complete-case contract, explicit on BOTH engines: avg/count over
     # rows where either variable is NULL would diverge from the
-    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
-    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
-    nm1 = F.count(F.lit(1)) - 1
-    fit = li.agg(
-        F.covar_samp(x, y).alias("sxy_n"),
-        F.var_samp(x).alias("sxx_n"),
-        F.var_samp(y).alias("syy_n"),
-        F.avg(x).alias("xbar"),
-        F.avg(y).alias("ybar"),
-        F.count(F.lit(1)).alias("n"),
-    ).select(
-        (F.col("sxy_n") / F.col("sxx_n")).alias("slope"),
-        F.col("xbar"),
-        F.col("ybar"),
-        F.col("n"),
-        (F.col("sxx_n") * (F.col("n") - 1)).alias("sxx"),
-        # SSE = Syy - Sxy^2/Sxx, all sample-scaled by (n-1) consistently
-        (
-            (F.col("syy_n") - F.col("sxy_n") * F.col("sxy_n") / F.col("sxx_n"))
-            * (F.col("n") - 1)
-            / (F.col("n") - 2)
-        ).alias("mse"),
-    )
-    pts = spark.range(1).select(
-        F.explode(F.array(*[F.lit(v) for v in [10.0, 20.0, 30.0, 40.0, 50.0]])).alias("x0")
-    )
-    j = pts.crossJoin(F.broadcast(fit))
-    y_hat = (F.col("ybar") - F.col("slope") * F.col("xbar")) + F.col("slope") * F.col("x0")
-    se = F.sqrt(
-        F.col("mse")
-        * (1.0 / F.col("n") + F.pow(F.col("x0") - F.col("xbar"), 2) / F.col("sxx"))
-    )
-    return j.select(
-        F.col("x0"),
-        r4(y_hat).alias("y_hat"),
-        r4(y_hat - T_CRIT * se).alias("ci_lower"),
-        r4(y_hat + T_CRIT * se).alias("ci_upper"),
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family).
+    # ONE spark.sql statement (r11 build cut — plans identical, same
+    # broadcast grid join; BENCH_AB.md r11). SSE = Syy − Sxy²/Sxx, all
+    # sample-scaled by (n−1) consistently.
+    li = load(spark, sf_dir, "lineitem")
+    y_hat = "(ybar - slope * xbar) + slope * x0"
+    se = "SQRT(mse * (1.0D / n + POWER(x0 - xbar, 2) / sxx))"
+    return spark.sql(
+        f"""
+        WITH agg AS (
+          SELECT covar_samp(l_quantity, l_extendedprice) AS sxy_n,
+                 var_samp(l_quantity) AS sxx_n,
+                 var_samp(l_extendedprice) AS syy_n,
+                 avg(l_quantity) AS xbar,
+                 avg(l_extendedprice) AS ybar,
+                 count(1) AS n
+          FROM {{li}}
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        ),
+        fit AS (
+          SELECT sxy_n / sxx_n AS slope, xbar, ybar, n,
+                 sxx_n * (n - 1) AS sxx,
+                 (syy_n - sxy_n * sxy_n / sxx_n) * (n - 1) / (n - 2) AS mse
+          FROM agg
+        ),
+        pts AS (
+          SELECT explode(array(10.0D, 20.0D, 30.0D, 40.0D, 50.0D)) AS x0
+          FROM range(1)
+        )
+        SELECT /*+ BROADCAST(fit) */ x0,
+               {dround_sql(y_hat, 4)} AS y_hat,
+               {dround_sql(f'{y_hat} - {se} * {T_CRIT}', 4)} AS ci_lower,
+               {dround_sql(f'{y_hat} + {se} * {T_CRIT}', 4)} AS ci_upper
+        FROM pts CROSS JOIN fit
+        """,
+        li=li,
     )
 
 

@@ -110,39 +110,43 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic document-quality scoring (length / stopword / punctuation
     ratios) with a keep/drop flag — the standard pre-training corpus filter,
     as a pure columnar expression."""
-    d = load(spark, sf_dir, "documents")
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    # raw counts once per row; the ratios and keep_flag derive from the
-    # COLUMNS in a second projection — inlining them would re-evaluate
-    # the split and the interpreted stopword filter once per reference
-    feat = d.select(
-        "doc_id",
-        "lang",
-        F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).alias("_n_stop"),
-        F.regexp_count("text", F.lit("[^a-z0-9 ]")).alias("_n_punct"),
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ascii_lower_sql,
     )
-    stop_ratio = F.col("_n_stop").cast("double") / F.col("n_tokens")
-    punct_ratio = F.col("_n_punct").cast("double") / F.col("n_chars")
-    return feat.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        "n_tokens",
-        r4(stop_ratio).alias("stopword_ratio"),
-        r4(punct_ratio).alias("punct_ratio"),
-        r4(F.col("n_chars").cast("double") / F.col("n_tokens")).alias(
-            "avg_token_len"
-        ),
-        F.when(
-            (F.col("n_tokens") >= 20)
-            & stop_ratio.between(0.01, 0.6)
-            & (punct_ratio < 0.1),
-            1,
+
+    d = load(spark, sf_dir, "documents")
+    # raw counts once per row in the ``feat`` projection; the ratios and
+    # keep_flag derive from the COLUMNS above it — inlining them would
+    # re-evaluate the split and the interpreted stopword filter once per
+    # reference. ONE spark.sql statement (r11 build cut).
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stop_ratio = "CAST(_n_stop AS DOUBLE) / n_tokens"
+    punct_ratio = "CAST(_n_punct AS DOUBLE) / n_chars"
+    return spark.sql(
+        f"""
+        WITH feat AS (
+          SELECT doc_id, lang,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(size(toks) AS BIGINT) AS n_tokens,
+                 size(filter(toks, t -> t IN ({stops}))) AS _n_stop,
+                 regexp_count(text, '[^a-z0-9 ]') AS _n_punct
+          FROM (SELECT doc_id, lang, text,
+                       split({ascii_lower_sql('trim(text)')}, ' ') AS toks
+                FROM {{docs}})
         )
-        .otherwise(0)
-        .alias("keep_flag"),
+        SELECT doc_id, lang, n_chars, n_tokens,
+               {dround_sql(stop_ratio, 4)} AS stopword_ratio,
+               {dround_sql(punct_ratio, 4)} AS punct_ratio,
+               {dround_sql('CAST(n_chars AS DOUBLE) / n_tokens', 4)}
+                 AS avg_token_len,
+               CASE WHEN n_tokens >= 20
+                     AND {stop_ratio} BETWEEN 0.01D AND 0.6D
+                     AND {punct_ratio} < 0.1D
+                    THEN 1 ELSE 0 END AS keep_flag
+        FROM feat
+        """,
+        docs=d,
     )
 
 

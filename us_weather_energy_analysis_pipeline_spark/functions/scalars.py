@@ -107,3 +107,18 @@ def html_escape(col: Column | str) -> Column:
     ]:
         c = F.replace(c, F.lit(raw), F.lit(ent))
     return c
+
+
+def html_escape_sql(expr: str) -> str:
+    """SQL-string twin of :func:`html_escape` — identical replace chain,
+    for single-statement builders (r11 build cut)."""
+    out = expr
+    for raw, ent in [
+        ("&", "&amp;"),
+        ("<", "&lt;"),
+        (">", "&gt;"),
+        ('\\"', "&quot;"),
+        ("\\'", "&#x27;"),
+    ]:
+        out = f"replace({out}, '{raw}', '{ent}')"
+    return out

@@ -171,6 +171,70 @@ def lsh_candidate_pairs(
     )
 
 
+
+def minhash_sig_ctes(
+    text_col: str = "text",
+    k: int = MINHASH_K,
+    hash_fn: str = "md5",
+    shingle_k: int = 3,
+) -> str:
+    """CTE text (``base``, ``sh``, ``perm``, ``sig``) computing per-doc
+    MinHash signatures over a ``{docs}`` template slot — the shared
+    front half of every single-statement minhash query (r11 build cut):
+    composing CTE TEXT instead of DataFrames keeps each consumer at one
+    parse + one analysis."""
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        ascii_lower_sql,
+    )
+
+    perms = ", ".join(
+        f"(hv * {a}L + {b}L) % {MINHASH_P}L AS h{s}"
+        for s, (a, b) in enumerate(minhash_params(k))
+    )
+    return f"""
+    base AS (
+      SELECT doc_id, split({ascii_lower_sql(f'trim(`{text_col}`)')}, ' ') AS t
+      FROM {{docs}}
+    ),
+    sh AS (
+      SELECT doc_id,
+             explode(transform(sequence(0, size(t) - {shingle_k}),
+                     i -> array_join(slice(t, i + 1, {shingle_k}), ' '))) AS shingle
+      FROM base WHERE size(t) >= {shingle_k}
+    ),
+    perm AS (
+      SELECT doc_id, {perms}
+      FROM (SELECT doc_id, {_shingle_hash_expr(hash_fn)} AS hv FROM sh)
+    ),
+    sig AS (
+      SELECT doc_id, array({', '.join(f'm{s}' for s in range(k))}) AS sig
+      FROM (SELECT doc_id, {', '.join(f'min(h{s}) AS m{s}' for s in range(k))}
+            FROM perm GROUP BY doc_id)
+    )"""
+
+
+def banded_cte(bands: int = LSH_BANDS, k: int = MINHASH_K) -> str:
+    """CTE text banding the ``sig`` CTE into (band, digest) rows with the
+    signature riding along — pairs with :func:`minhash_sig_ctes`."""
+    rows = k // bands
+    digests = ", ".join(
+        "xxhash64(" + ", ".join(f"sig[{b * rows + r}]" for r in range(rows)) + ")"
+        for b in range(bands)
+    )
+    return (
+        "banded AS (\n      SELECT doc_id, sig, "
+        f"posexplode(array({digests})) AS (band, digest) FROM sig\n    )"
+    )
+
+
+def est_jaccard_sql(k: int = MINHASH_K) -> str:
+    """Signature-agreement Jaccard estimate between ``a.sig``/``b.sig``."""
+    return (
+        "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> CAST(x = y AS INT)),"
+        f" v -> v = 1)) AS DOUBLE) / {k}"
+    )
+
+
 def minhash_near_dups(
     df: DataFrame,
     text_col: str = "text",
@@ -178,6 +242,7 @@ def minhash_near_dups(
     bands: int = LSH_BANDS,
     threshold: float = 0.5,
     hash_fn: str = "md5",
+    est_round: int | None = None,
 ) -> DataFrame:
     """Full MinHash/LSH near-dup pipeline: candidates via banding, then
     estimated Jaccard = fraction of agreeing signature positions; keep
@@ -198,39 +263,39 @@ def minhash_near_dups(
     family (see ``_shingle_hash_expr``): same pipeline shape, same
     Jaccard-estimate statistics (any uniform 32-bit hash family gives an
     unbiased estimator), but no DuckDB value twin — deploy that variant
-    at scale, keep md5 where cross-engine auditability matters."""
-    sig = minhash_signatures(word_shingles(df, text_col, dedupe=False), k, hash_fn)
-    banded = banded_digests(sig, bands, k, carry_sig=True)
-    a, b = banded.alias("a"), banded.alias("b")
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("a.sig", "b.sig", lambda x, y: (x == y).cast("int")),
-                lambda v: v == 1,
-            )
-        ).cast("double")
-        / k
+    at scale, keep md5 where cross-engine auditability matters.
+
+    Built as ONE ``spark.sql`` call (r11): the staged DataFrame form
+    re-analyzed the accumulated plan at every op boundary (~10
+    boundaries over a growing join tree) and cost ~0.2 s of pure driver
+    build per call on this runtime; the single templated statement is
+    one parse + one analysis (~0.07 s), physical plan identical up to
+    lambda-variable display names (paired A/B in BENCH_AB.md r11)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
+    # est_round: fold the corpus float-rounding contract INTO the single
+    # statement — a trailing .select(dround(...)) re-analyzes the whole
+    # join tree (~0.12 s measured), defeating the one-analysis build
+    est_out = (
+        "est_jaccard" if est_round is None else dround_sql("est_jaccard", est_round)
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.digest") == F.col("b.digest"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            est.alias("est_jaccard"),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(
-            F.count(F.lit(1)).alias("n_shared_bands"),
-            F.first("est_jaccard").alias("est_jaccard"),
-        )
-        .filter(F.col("est_jaccard") >= threshold)
-        .select("doc_a", "doc_b", "n_shared_bands", "est_jaccard")
+    sql = f"""
+    WITH {minhash_sig_ctes(text_col, k, hash_fn)},
+    {banded_cte(bands, k)},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             {est_jaccard_sql(k)} AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+    ),
+    agg AS (
+      SELECT doc_a, doc_b, count(1) AS n_shared_bands, first(est_jaccard) AS est_jaccard
+      FROM pairs GROUP BY doc_a, doc_b
     )
+    SELECT doc_a, doc_b, n_shared_bands, {est_out} AS est_jaccard
+    FROM agg WHERE est_jaccard >= {float(threshold)!r}D
+    """
+    return df.sparkSession.sql(sql, docs=df)
 
 
 def simhash_fingerprint(
@@ -272,15 +337,21 @@ def simhash_fingerprint(
     # 60-bit ceiling: the per-token hash is conv(md5-hex-prefix) and 15
     # hex digits (2⁶⁰−1) is the widest prefix whose decimal string still
     # casts into a signed bigint under ANSI
+    return df.sparkSession.sql(
+        f"WITH {simhash_ctes(text_col, bits)} SELECT doc_id, simhash FROM sh",
+        docs=df,
+    )
+
+
+def simhash_ctes(text_col: str = "text", bits: int = SIMHASH_BITS) -> str:
+    """CTE text (``per_tok``, ``sums``, ``sh``) computing the packed-lane
+    SimHash fingerprint over a ``{docs}`` template slot — shared by the
+    fingerprint query and the banded pair join so each consumer is ONE
+    spark.sql statement (r11 build cut; the per-bit expression strings
+    were already SQL — this removes the op-boundary re-analysis)."""
     if not 1 <= bits <= 60:
         raise ValueError(f"simhash bits must be in [1, 60], got {bits}")
     hexd = (bits + 3) // 4
-    per_tok = df.selectExpr(
-        "doc_id", f"explode(split(translate(trim({text_col}), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'), ' ')) AS tok"
-    ).selectExpr(
-        "doc_id",
-        f"cast(conv(substring(md5(tok), 1, {hexd}), 16, 10) AS bigint) AS hv",
-    )
     lanes, lane_bits = 3, 21
     n_longs = (bits + lanes - 1) // lanes
     packed = []
@@ -290,10 +361,6 @@ def simhash_fingerprint(
             for p in range(g * lanes, min((g + 1) * lanes, bits))
         ]
         packed.append(f"cast({' + '.join(terms)} AS bigint) AS g{g}")
-    sums = per_tok.selectExpr("doc_id", *packed).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[F.expr(f"sum(g{g}) AS S{g}") for g in range(n_longs)],
-    )
     lane_mask = (1 << lane_bits) - 1
 
     def s(p: int) -> str:
@@ -309,7 +376,24 @@ def simhash_fingerprint(
         f"' tokens (cap {cap - 1}); split the document or widen lanes')) "
         f"ELSE cast({fingerprint} AS bigint) END"
     )
-    return sums.selectExpr("doc_id", f"{guard} AS simhash")
+    return f"""
+    per_tok AS (
+      SELECT doc_id,
+             cast(conv(substring(md5(tok), 1, {hexd}), 16, 10) AS bigint) AS hv
+      FROM (
+        SELECT doc_id,
+               explode(split(translate(trim(`{text_col}`),
+                 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', 'abcdefghijklmnopqrstuvwxyz'),
+                 ' ')) AS tok
+        FROM {{docs}}
+      )
+    ),
+    sums AS (
+      SELECT doc_id, count(1) AS n, {', '.join(f'sum(g{g}) AS S{g}' for g in range(n_longs))}
+      FROM (SELECT doc_id, {', '.join(packed)} FROM per_tok)
+      GROUP BY doc_id
+    ),
+    sh AS (SELECT doc_id, {guard} AS simhash FROM sums)"""
 
 
 def simhash32(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -346,43 +430,44 @@ def simhash_near_dups(
     pair within ``max_hamming`` is found iff some band matches exactly.
     """
     n_bands = bits // band_bits
-    sh = simhash_fingerprint(df, text_col, bits=bits)
     mask = (1 << band_bits) - 1
     chunks = ", ".join(
         f"shiftright(simhash, {band_bits * b}) & {mask}" for b in range(n_bands)
     )
-    # explicit exchange on the join key: the fingerprint pass is a pure
-    # map stage, so without it the self-join's two branches would each
+    # explicit exchange on the join key (REPARTITION hint — same plan as
+    # .repartition("band", "chunk")): the fingerprint pass is a pure map
+    # stage, so without it the self-join's two branches would each
     # recompute it — the repartition gives ReuseExchange one shared
     # materialization (tiny shuffle: n_bands rows per doc), and the join
-    # is then already co-partitioned on (band, chunk)
-    banded = sh.selectExpr(
-        "doc_id", "simhash", f"posexplode(array({chunks})) AS (band, chunk)"
-    ).repartition("band", "chunk")
-    if bucket_cap is not None:
-        w = Window.partitionBy("band", "chunk")
-        banded = banded.withColumn("_occ", F.count(F.lit(1)).over(w)).filter(
-            F.col("_occ") <= bucket_cap
-        ).drop("_occ")
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(
-        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    ).cast("long")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    # is then already co-partitioned on (band, chunk). ONE spark.sql
+    # statement over the shared fingerprint CTE text (r11 build cut).
+    capped = (
+        ""
+        if bucket_cap is None
+        else f"""
+    capped AS (
+      SELECT doc_id, simhash, band, chunk FROM (
+        SELECT *, count(1) OVER (PARTITION BY band, chunk) AS _occ FROM banded
+      ) WHERE _occ <= {bucket_cap}
+    ),"""
+    )
+    side = "capped" if bucket_cap is not None else "banded"
+    return df.sparkSession.sql(
+        f"""
+        WITH {simhash_ctes(text_col, bits)},
+        banded AS (
+          SELECT /*+ REPARTITION(band, chunk) */ doc_id, simhash, band, chunk
+          FROM (SELECT doc_id, simhash,
+                       posexplode(array({chunks})) AS (band, chunk) FROM sh)
+        ),{capped}
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
+          FROM {side} a JOIN {side} b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
-        # Hamming is computed map-side (bit_count(xor), codegen) and
-        # filtered BEFORE the pair-dedup shuffle — the distinct only
-        # carries survivors, not every bucket-local candidate row.
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
+        SELECT DISTINCT doc_a, doc_b, hamming
+        FROM pairs WHERE hamming <= {max_hamming}
+        """,
+        docs=df,
     )
