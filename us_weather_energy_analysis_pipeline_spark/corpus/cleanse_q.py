@@ -107,24 +107,27 @@ def duplicated_spans(
     documents scan + join-back branch (r8, −2 jobs in
     doc_span_dup_ratio).
 
-    Scale shape (100 TB): gram explode → ONE shuffle keyed on the gram
-    hash serving both the dup-detection aggregate and the position join
-    (co-partitioned, the aggregate side reuses its exchange) → per-doc
-    island merge in a document-bounded window (two frames over one sort).
-    No self-join ever materializes document pairs; the widest
-    intermediate is the gram-position table (~n_tokens rows). The gram
-    table feeds both join branches, so it is digest-materialized via
-    operators.cache (same pattern as decontamination_check).
+    Scale shape (100 TB): gram explode → gh-keyed dup aggregate
+    (map-side combined, skew-safe) → SHUFFLE-HASH join back to the gram
+    positions, co-partitioned on gh (the hint builds the small dup set,
+    never broadcasts the gram table) → per-doc island merge in a
+    document-bounded window (two frames over one sort). No self-join
+    ever materializes document pairs; the widest intermediate is the
+    gram-position table (~n_tokens rows). The gram subtree is computed
+    once per branch (two codegen scans) instead of persisted: the r11
+    paired A/B measured the persist+broadcast form 1.08 s vs 0.70 s for
+    this shape at sf0.1 (cache fill + broadcast build jobs cost more
+    than the second scan; identical rows; BENCH_AB.md r11 — a window
+    min/max-over-gh variant matched the speed but buffers hot boilerplate
+    grams in one task, a skew hazard this form doesn't have). At 100 TB
+    the gram table would be a stored intermediate (compact_parquet
+    pattern), making the trade moot.
 
-    Built as TWO ``spark.sql`` statements (r11 build cut): one for the
-    persisted gram table, one for everything above it — the staged form
-    re-analyzed the accumulated plan at ~8 op boundaries (~0.14 s pure
-    driver build; plans identical, BENCH_AB.md r11). Consumers that want
-    the final projection folded into the same single statement pass
-    ``select_sql`` (SQL over the ``spans`` CTE) instead of stacking
-    another boundary on top."""
-    grams = cache.track(_span_grams(d, k, with_ntok))
-    return _spans_over(grams, k, with_ntok)
+    Built as ONE ``spark.sql`` statement (r11 build cut) — the staged
+    form re-analyzed the accumulated plan at ~8 op boundaries. Consumers
+    that want the final projection folded into the same statement pass
+    ``select_sql`` (SQL over the ``spans`` CTE)."""
+    return _spans_over(_span_grams(d, k, with_ntok), k, with_ntok)
 
 
 def _span_grams(d: DataFrame, k: int, with_ntok: bool) -> DataFrame:
@@ -157,7 +160,8 @@ def _spans_body(k: int, with_ntok: bool) -> str:
       ) WHERE _mn <> _mx
     ),
     hits AS (
-      SELECT doc_id{ntok}, pos FROM {{grams}} JOIN dup USING (gh)
+      SELECT /*+ SHUFFLE_HASH(dup) */ doc_id{ntok}, pos
+      FROM {{grams}} JOIN dup USING (gh)
     ),
     brk AS (
       SELECT doc_id{ntok}, pos,
@@ -211,9 +215,8 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (one gram-hash shuffle, document-bounded island-merge window,
     no pair materialization)."""
     d = load(spark, sf_dir, "documents")
-    grams = cache.track(_span_grams(d, SPAN_K, with_ntok=False))
     return _spans_over(
-        grams,
+        _span_grams(d, SPAN_K, with_ntok=False),
         SPAN_K,
         with_ntok=False,
         select_sql=f"""
@@ -256,9 +259,8 @@ def doc_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     # n_tokens rides through the span pipeline (with_ntok) — no second
     # documents scan, no ntok join-back branch; the coverage rollup and
     # final projection fold into the spans statement (r11 build cut)
-    grams = cache.track(_span_grams(d, SPAN_K, with_ntok=True))
     return _spans_over(
-        grams,
+        _span_grams(d, SPAN_K, with_ntok=True),
         SPAN_K,
         with_ntok=True,
         select_sql=f"""
