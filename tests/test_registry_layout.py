@@ -24,8 +24,8 @@ ROTATED_R11 = (
     "dedup_pipeline_e2e",
     "embed_dedup_pipeline_e2e",
     "ewma_daily",
+    "text_quality_score",
     "dedup_incremental_minhash",
-    "rfm_segments",
     "above_group_avg",
     "approx_distinct_hll_sanity",
     "bin_quantity_case",
@@ -74,6 +74,8 @@ ROTATED_R11 = (
 # so the kernel is pinned by local pytest probes + the plan-shape test
 # rather than the driver sample; the r8-stale cohort takes priority.
 DISPLACED_R11 = (
+    "dedup_minhash_lsh",
+    "rfm_segments",
     "embed_ivf_topk",
     "embed_ivf_multiprobe_topk",
     "embed_nearest_centroid_assign",

@@ -122,24 +122,26 @@ _LOADED = False
 #
 # Round-11 window (VERDICT r10 task 2 + ADVICE r10 medium): positions
 # 0-1 are the two queries registered this round (PII redaction,
-# URL/domain throttle — never driver-verified); positions 2-8 are the
-# FULL set of queries whose plans r10 rewrites touched but whose latest
-# driver row is r9 — the ADVICE r10 medium item: the token-stats kernel
+# URL/domain throttle — never driver-verified); positions 2-6 are the
+# FULL set of r10 plan-touched queries whose latest driver row is r9 —
+# the ADVICE r10 medium item: the token-stats kernel
 # (gopher_quality_filter, text_repetition_ratio), the shingle siphash
-# kernel + minhash CTE path (dedup_pipeline_e2e, embed_dedup_pipeline_e2e),
-# the ewma window fusion, plus the two r11 task targets whose plans this
-# round may touch (dedup_incremental_minhash profiling,
-# rfm_segments replication); positions 9-49 are the FULL 41-query cohort
+# kernel + minhash CTE path (dedup_pipeline_e2e,
+# embed_dedup_pipeline_e2e), the ewma window fusion; positions 7-8 are
+# the r11 plan-touched r9-row queries (text_quality_score's CSE'd
+# one-statement plan, dedup_incremental_minhash's row-level shingle CTE
+# + single-statement form); positions 9-49 are the FULL 41-query cohort
 # whose latest driver row is r08 (the staleness frontier) — includes the
-# other r10 kernel-rewritten queries dedup_ngram_jaccard and
-# dedup_winnow_pairs — so after this round the union has nothing staler
-# than r9. The r10 cogroup-kernel queries (embed_ivf_topk,
-# embed_ivf_multiprobe_topk, embed_nearest_centroid_assign,
-# embed_hard_negative_mine) are r9-green and form the declared tail at
-# positions 50-53: at driver SF they take the single-block fast path
-# (the rewritten distributed-fallback kernel is exercised by the local
-# pytest probes + plan pin, not by the sf0.01 driver run), so the stale
-# cohort takes priority for the driver's ~50-row sample.
+# r10/r11-rewritten dedup_ngram_jaccard, dedup_winnow_pairs,
+# dedup_substring_spans and doc_span_dup_ratio — so after this round the
+# union has nothing staler than r9. Declared tail (positions 50+, first
+# in line past the sample): dedup_minhash_lsh (its r11 plan deltas are
+# the identical rewritten subtree dedup_incremental_minhash and
+# dedup_pipeline_e2e execute inside the window), rfm_segments (r9-green,
+# plan UNCHANGED — r11 only profiled/adjudicated it), then the four r10
+# cogroup-kernel queries, which take the single-block fast path at
+# driver SF (the kernel is pinned by local pytest probes + the
+# plan-shape test, not by the sf0.01 driver run).
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
     "pii_redact_scrub",
@@ -150,9 +152,13 @@ WINDOW: tuple[str, ...] = (
     "dedup_pipeline_e2e",
     "embed_dedup_pipeline_e2e",
     "ewma_daily",
-    # -- r11 task targets (plans may change this round), last row r9 --
+    # -- r11 plan-touched, last driver row r9: the one-statement SQL
+    # conversion left text_quality_score with a strictly-better physical
+    # plan (split evaluated once, CSE on the ratio — BENCH_AB r11), and
+    # dedup_incremental_minhash got the row-level shingle CTE + its own
+    # single-statement form --
+    "text_quality_score",
     "dedup_incremental_minhash",
-    "rfm_segments",
     # -- last driver row r08 (the full stale cohort, 41 queries) --
     "above_group_avg",
     "approx_distinct_hll_sanity",
@@ -195,11 +201,19 @@ WINDOW: tuple[str, ...] = (
     "top_k_orders",
     "union_slices",
     "zscore_outliers",
-    # -- declared tail (positions 50+): r9-green driver rows rewritten
-    # by the r10 cogroup kernel; at driver SF they run the single-block
-    # fast path, so the kernel itself is pinned by local pytest probes
+    # -- declared tail (positions 50+), first in line past the sample --
+    # dedup_minhash_lsh's r11 plan deltas (row-level shingle CTE, one
+    # spark.sql statement) are the SAME rewritten subtree that
+    # dedup_incremental_minhash and dedup_pipeline_e2e (both inside the
+    # window) execute, so its unique surface is already driver-sampled
+    # through family; rfm_segments is r9-green with an UNCHANGED plan
+    # (r11 only profiled + adjudicated it). The four cogroup-kernel
+    # queries run the single-block fast path at driver SF — the kernel
+    # is pinned by local pytest probes
     # (test_fallback_plan_uses_cogroup_kernel) rather than the driver
-    # sample. Still in the local 143-query oracle gate.
+    # sample. All still in the local 143-query oracle gate.
+    "dedup_minhash_lsh",
+    "rfm_segments",
     "embed_ivf_topk",
     "embed_ivf_multiprobe_topk",
     "embed_nearest_centroid_assign",
