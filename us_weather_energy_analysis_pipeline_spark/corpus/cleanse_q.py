@@ -574,59 +574,49 @@ def html_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract. NULL text: concat_ws skips it on both engines, so the
     body line degrades to its static wrapper instead of nulling out."""
     d = load(spark, sf_dir, "documents")
-    sec = (F.col("doc_id") % 7).cast("string")
-    lines = F.array(
-        F.concat_ws(
-            "",
-            F.lit('<div class="nav"><a href="/">Home</a> <a href="/s'),
-            sec,
-            F.lit('">Sec &amp; '),
-            sec,
-            F.lit("</a></div>"),
-        ),
-        F.concat_ws(
-            "", F.lit("<p>"), F.col("text"), F.lit(" &amp; more &lt;tail&gt;</p>")
-        ),
-        F.concat_ws(
-            "",
-            F.lit('<p>See <a href="/m">'),
-            F.expr("substring(text, 1, CAST(8 + doc_id % 40 AS INT))"),
-            F.lit("</a> for details</p>"),
-        ),
-        F.lit(
-            '<footer><a href="/about">About</a> <a href="/terms">&quot;Terms&quot;</a></footer>'
-        ),
-    )
-    lined = d.select("doc_id", F.posexplode(lines).alias("line_no", "line"))
+    # ONE spark.sql statement (r11 build cut — plan identical to the
+    # staged Column form). Tag-strip before entity-decode, & decoded
+    # last — the same chain as the DuckDB twin.
 
-    def clean_chain(col: F.Column) -> F.Column:
-        out = F.regexp_replace(col, "<[^>]*>", " ")
+    def clean_chain(e: str) -> str:
+        out = f"regexp_replace({e}, '<[^>]*>', ' ')"
         for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
                         ("&nbsp;", " "), ("&amp;", "&")):
-            out = F.replace(out, F.lit(ent), F.lit(ch))
-        return F.trim(F.regexp_replace(out, " +", " "))
+            out = f"replace({out}, '{ent}', '{ch}')"
+        return f"trim(regexp_replace({out}, ' +', ' '))"
 
-    anchors = F.expr("regexp_extract_all(line, '<a[^>]*>(.*?)</a>', 1)")
-    scored = lined.select(
-        "doc_id",
-        "line_no",
-        clean_chain(F.col("line")).alias("clean"),
-        clean_chain(F.array_join(anchors, " ")).alias("clean_a"),
-    )
-    density = F.length("clean_a") / F.length("clean").cast("double")
-    return scored.select(
-        "doc_id",
-        "line_no",
-        F.length("clean").cast("long").alias("n_clean_chars"),
-        r6(
-            F.when(F.length("clean") == 0, F.lit(1.0)).otherwise(density)
-        ).alias("link_density"),
-        F.when(
-            (F.length("clean") > 0) & (density <= LINK_DENSITY_MAX), F.lit(1)
+    sec = "CAST(doc_id % 7 AS STRING)"
+    lines = f"""array(
+      concat_ws('', '<div class="nav"><a href="/">Home</a> <a href="/s', {sec},
+                '">Sec &amp; ', {sec}, '</a></div>'),
+      concat_ws('', '<p>', text, ' &amp; more &lt;tail&gt;</p>'),
+      concat_ws('', '<p>See <a href="/m">',
+                substring(text, 1, CAST(8 + doc_id % 40 AS INT)),
+                '</a> for details</p>'),
+      '<footer><a href="/about">About</a> <a href="/terms">&quot;Terms&quot;</a></footer>')"""
+    anchors = "array_join(regexp_extract_all(line, '<a[^>]*>(.*?)</a>', 1), ' ')"
+    density = "length(clean_a) / CAST(length(clean) AS DOUBLE)"
+    return spark.sql(
+        f"""
+        WITH lined AS (
+          SELECT doc_id, posexplode({lines}) AS (line_no, line) FROM {{docs}}
+        ),
+        scored AS (
+          SELECT doc_id, line_no,
+                 {clean_chain('line')} AS clean,
+                 {clean_chain(anchors)} AS clean_a
+          FROM lined
         )
-        .otherwise(F.lit(0))
-        .alias("kept"),
-        F.substring("clean", 1, 48).alias("clean_prefix"),
+        SELECT doc_id, line_no,
+               CAST(length(clean) AS BIGINT) AS n_clean_chars,
+               {dround_sql(f'CASE WHEN length(clean) = 0 THEN 1.0D ELSE {density} END', 6)}
+                 AS link_density,
+               CASE WHEN length(clean) > 0 AND {density} <= {LINK_DENSITY_MAX}D
+                    THEN 1 ELSE 0 END AS kept,
+               substring(clean, 1, 48) AS clean_prefix
+        FROM scored
+        """,
+        docs=d,
     )
 
 

@@ -42,21 +42,27 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Single scan → partial (map-side) aggregation → 6-group final agg. The
     filter and the 7-column projection push into the parquet scan.
     """
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     li = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            r2(F.sum("l_quantity")).alias("sum_qty"),
-            r2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            r2(F.sum(disc_price)).alias("sum_disc_price"),
-            r2(F.sum(disc_price * (1 + F.col("l_tax")))).alias("sum_charge"),
-            r4(F.avg("l_quantity")).alias("avg_qty"),
-            r4(F.avg("l_extendedprice")).alias("avg_price"),
-            r4(F.avg("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    # ONE spark.sql statement (r11 build cut — same pushed scan + 2-phase agg)
+    dp = "l_extendedprice * (1 - l_discount)"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               {dround_sql('sum(l_quantity)', 2)} AS sum_qty,
+               {dround_sql('sum(l_extendedprice)', 2)} AS sum_base_price,
+               {dround_sql(f'sum({dp})', 2)} AS sum_disc_price,
+               {dround_sql(f'sum({dp} * (l_tax + 1))', 2)} AS sum_charge,
+               {dround_sql('avg(l_quantity)', 4)} AS avg_qty,
+               {dround_sql('avg(l_extendedprice)', 4)} AS avg_price,
+               {dround_sql('avg(l_discount)', 4)} AS avg_disc,
+               count(1) AS count_order
+        FROM {{li}}
+        WHERE l_shipdate <= CAST('1998-09-02 00:00:00' AS TIMESTAMP_NTZ)
+        GROUP BY l_returnflag, l_linestatus
+        """,
+        li=li,
     )
 
 

@@ -154,30 +154,26 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would otherwise be silently flagged fail_length — the pushed-down
     # not-null filter aligns the row sets.
     d = load(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
-    feat = token_stats_features(d)
-    fail_length = (F.col("n_words") < MIN_WORDS) | (F.col("n_words") > MAX_WORDS)
-    fail_rep = (
-        F.col("top_n").cast("double") / F.col("n_words") > MAX_TOP_WORD_RATIO
-    )
-    fail_alpha = (
-        F.col("alpha_len").cast("double") / F.greatest(F.col("len_all"), F.lit(1))
-        < MIN_ALPHA_RATIO
-    )
     # keep derives from the FAIL COLUMNS, not from re-stating the fail
     # expressions (re-stating would re-evaluate every feature per row).
-    flags = feat.select(
-        "doc_id",
-        fail_length.cast("int").alias("fail_length"),
-        fail_rep.cast("int").alias("fail_repetition"),
-        fail_alpha.cast("int").alias("fail_alpha"),
-    )
-    return flags.withColumn(
-        "keep",
-        (
-            (F.col("fail_length") == 0)
-            & (F.col("fail_repetition") == 0)
-            & (F.col("fail_alpha") == 0)
-        ).cast("int"),
+    # ONE spark.sql statement over the kernel's output (r11 build cut).
+    return spark.sql(
+        f"""
+        SELECT doc_id, fail_length, fail_repetition, fail_alpha,
+               CAST(fail_length = 0 AND fail_repetition = 0
+                    AND fail_alpha = 0 AS INT) AS keep
+        FROM (
+          SELECT doc_id,
+                 CAST(n_words < {MIN_WORDS} OR n_words > {MAX_WORDS} AS INT)
+                   AS fail_length,
+                 CAST(CAST(top_n AS DOUBLE) / n_words > {MAX_TOP_WORD_RATIO}D
+                   AS INT) AS fail_repetition,
+                 CAST(CAST(alpha_len AS DOUBLE) / greatest(len_all, 1)
+                      < {MIN_ALPHA_RATIO}D AS INT) AS fail_alpha
+          FROM {{feat}}
+        )
+        """,
+        feat=token_stats_features(d),
     )
 
 

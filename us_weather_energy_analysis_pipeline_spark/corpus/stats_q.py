@@ -61,26 +61,31 @@ def ols_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference A13 `analysis.py:17-19` scipy.linregress → cov/var identity).
     One aggregation pass; the DuckDB oracle uses its native regr_* family —
     numerically the same estimator."""
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
     # complete-case contract, explicit on BOTH engines: avg/count over
     # rows where either variable is NULL would diverge from the
-    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
-    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
-    agg = li.agg(
-        F.covar_samp(x, y).alias("sxy"),
-        F.var_samp(x).alias("sxx"),
-        F.avg(x).alias("xbar"),
-        F.avg(y).alias("ybar"),
-        F.corr(x, y).alias("r"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    slope = F.col("sxy") / F.col("sxx")
-    return agg.select(
-        r6(slope).alias("slope"),
-        r6(F.col("ybar") - slope * F.col("xbar")).alias("intercept"),
-        r6(F.col("r") * F.col("r")).alias("r_squared"),
-        r6(F.col("r")).alias("r_value"),
-        F.col("n"),
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family).
+    # ONE spark.sql statement (r11 build cut).
+    li = load(spark, sf_dir, "lineitem")
+    slope = "sxy / sxx"
+    return spark.sql(
+        f"""
+        SELECT {dround_sql(slope, 6)} AS slope,
+               {dround_sql(f'ybar - {slope} * xbar', 6)} AS intercept,
+               {dround_sql('r * r', 6)} AS r_squared,
+               {dround_sql('r', 6)} AS r_value,
+               n
+        FROM (
+          SELECT covar_samp(l_quantity, l_extendedprice) AS sxy,
+                 var_samp(l_quantity) AS sxx,
+                 avg(l_quantity) AS xbar,
+                 avg(l_extendedprice) AS ybar,
+                 corr(l_quantity, l_extendedprice) AS r,
+                 count(1) AS n
+          FROM {{li}}
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        )
+        """,
+        li=li,
     )
 
 
@@ -177,26 +182,33 @@ def ols_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference fits per-city via a Python loop, `app.py:780`; here
     every group's covariance aggregates ride the same shuffle). This is
     the pattern that fits millions of per-entity models at 100 TB."""
-    x, y = F.col("l_quantity"), F.col("l_extendedprice")
     # complete-case contract, explicit on BOTH engines: avg/count over
     # rows where either variable is NULL would diverge from the
-    # pairwise-deleting covariance aggregates (DuckDB regr_* family)
-    li = load(spark, sf_dir, "lineitem").filter(x.isNotNull() & y.isNotNull())
-    agg = li.groupBy("l_returnflag").agg(
-        F.covar_samp(x, y).alias("sxy"),
-        F.var_samp(x).alias("sxx"),
-        F.avg(x).alias("xbar"),
-        F.avg(y).alias("ybar"),
-        F.try_divide(
-            F.covar_samp(x, y), F.sqrt(F.var_samp(x) * F.var_samp(y))
-        ).alias("r"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    slope = F.col("sxy") / F.col("sxx")
-    return agg.select(
-        "l_returnflag",
-        r6(slope).alias("slope"),
-        r6(F.col("ybar") - slope * F.col("xbar")).alias("intercept"),
-        r6(F.col("r") * F.col("r")).alias("r_squared"),
-        F.col("n"),
+    # pairwise-deleting covariance aggregates (DuckDB regr_* family).
+    # ONE spark.sql statement (r11 build cut).
+    li = load(spark, sf_dir, "lineitem")
+    slope = "sxy / sxx"
+    return spark.sql(
+        f"""
+        SELECT l_returnflag,
+               {dround_sql(slope, 6)} AS slope,
+               {dround_sql(f'ybar - {slope} * xbar', 6)} AS intercept,
+               {dround_sql('r * r', 6)} AS r_squared,
+               n
+        FROM (
+          SELECT l_returnflag,
+                 covar_samp(l_quantity, l_extendedprice) AS sxy,
+                 var_samp(l_quantity) AS sxx,
+                 avg(l_quantity) AS xbar,
+                 avg(l_extendedprice) AS ybar,
+                 try_divide(covar_samp(l_quantity, l_extendedprice),
+                            SQRT(var_samp(l_quantity) * var_samp(l_extendedprice)))
+                   AS r,
+                 count(1) AS n
+          FROM {{li}}
+          WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+          GROUP BY l_returnflag
+        )
+        """,
+        li=li,
     )

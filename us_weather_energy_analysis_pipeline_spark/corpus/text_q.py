@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
     ascii_lower,
@@ -330,15 +330,18 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         token_stats_features,
     )
 
-    feat = token_stats_features(d)
-    total = F.col("n_words")
-    return feat.select(
-        "doc_id",
-        r4(1.0 - F.col("n_distinct").cast("double") / total).alias(
-            "dup_word_ratio"
-        ),
-        r4(F.col("top_n").cast("double") / total).alias("top_word_ratio"),
-        total.cast("long").alias("n_tokens"),
+    # ONE spark.sql statement over the kernel's output (r11 build cut)
+    return spark.sql(
+        f"""
+        SELECT doc_id,
+               {dround_sql('1.0D - CAST(n_distinct AS DOUBLE) / n_words', 4)}
+                 AS dup_word_ratio,
+               {dround_sql('CAST(top_n AS DOUBLE) / n_words', 4)}
+                 AS top_word_ratio,
+               CAST(n_words AS BIGINT) AS n_tokens
+        FROM {{feat}}
+        """,
+        feat=token_stats_features(d),
     )
 
 
