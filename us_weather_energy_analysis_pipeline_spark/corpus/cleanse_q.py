@@ -289,6 +289,14 @@ _BUCKET_DUCK = (
 )
 
 
+def _bucket_sql_spark() -> str:
+    """SQL twin of :func:`_bucket_spark` (r11 single-statement builders)."""
+    return (
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 6), 16, 10)"
+        " AS BIGINT) % 10000"
+    )
+
+
 def _bucket_spark() -> F.Column:
     return (
         F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6), 16, 10)
@@ -384,23 +392,23 @@ def corpus_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "lang string, n_docs long, rate double",
     )
-    docs = d.select("lang", _bucket_spark().alias("bucket"))
-    thresh = F.floor(F.col("rate") * 10000 + F.lit(0.5)).cast("long")
-    kept = F.count(F.when(F.col("bucket") < thresh, 1))
-    return (
-        docs.join(F.broadcast(rates), "lang")
-        .groupBy("lang", "n_docs", "rate")
-        .agg(
-            kept.alias("n_kept"),
-            r4(kept.cast("double") / F.col("n_docs")).alias("achieved_rate"),
-        )
-        .select(
-            "lang",
-            "n_docs",
-            r4(F.col("rate")).alias("sample_rate"),
-            "n_kept",
-            "achieved_rate",
-        )
+    # the scan→broadcast-join→audit-agg above the rate table is ONE
+    # spark.sql statement (r11 build cut)
+    bucket = _bucket_sql_spark()
+    kept = "count(CASE WHEN bucket < CAST(floor(rate * 10000 + 0.5) AS BIGINT) THEN 1 END)"
+    return spark.sql(
+        f"""
+        SELECT /*+ BROADCAST(r) */ lang, n_docs,
+               {dround_sql('rate', 4)} AS sample_rate,
+               {kept} AS n_kept,
+               {dround_sql(f'CAST({kept} AS DOUBLE) / n_docs', 4)}
+                 AS achieved_rate
+        FROM (SELECT lang, {bucket} AS bucket FROM {{docs}})
+        JOIN {{r}} r USING (lang)
+        GROUP BY lang, n_docs, rate
+        """,
+        docs=d,
+        r=rates,
     )
 
 
@@ -454,36 +462,41 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
     """The ``decontaminate_ngram_overlap`` plan over an arbitrary
     (doc_id, source, text) frame — exposed so the ×16 training-side
     scale probe can drive the exact production plan."""
-    toks = F.split(ascii_lower(F.trim(F.col("text"))), " ")
-    base = d.select("doc_id", "source", toks.alias("t")).filter(
-        F.size("t") >= DECON_K
-    )
+    # TWO spark.sql statements (r11 build cut): the tracked gram table +
+    # everything above it. broadcast-join FIRST, dedup after: count
+    # (DISTINCT gh) over the matched stream ≡ count(*) over
+    # distinct-then-joined, but the distinct's exchange now carries only
+    # shared grams.
     grams = cache.track(
-        base.select(
-            "doc_id",
-            "source",
-            F.explode(F.sequence(F.lit(1), F.size("t") - DECON_K + 1)).alias("i"),
-            "t",
-        ).select(
-            "doc_id",
-            "source",
-            F.xxhash64(
-                F.array_join(F.slice("t", F.col("i"), DECON_K), " ")
-            ).alias("gh"),
+        d.sparkSession.sql(
+            f"""
+            SELECT doc_id, source,
+                   xxhash64(array_join(slice(t, i, {DECON_K}), ' ')) AS gh
+            FROM (
+              SELECT doc_id, source,
+                     explode(sequence(1, size(t) - {DECON_K} + 1)) AS i, t
+              FROM (SELECT doc_id, source,
+                           split({ascii_lower_sql('trim(text)')}, ' ') AS t
+                    FROM {{docs}})
+              WHERE size(t) >= {DECON_K}
+            )
+            """,
+            docs=d,
         )
     )
-    eg = (
-        grams.filter(F.col("source") == EVAL_SOURCE).select("gh").distinct()
-    )
-    # broadcast-join FIRST, dedup after: count(DISTINCT gh) over the
-    # matched stream ≡ count(*) over distinct-then-joined, but the
-    # distinct's exchange now carries only shared grams
-    return (
-        grams.filter(F.col("source") != EVAL_SOURCE)
-        .select("doc_id", "source", "gh")
-        .join(F.broadcast(eg), "gh")
-        .groupBy("doc_id", "source")
-        .agg(F.count_distinct("gh").alias("n_shared"))
+    return d.sparkSession.sql(
+        f"""
+        WITH eg AS (
+          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
+        )
+        SELECT /*+ BROADCAST(eg) */ doc_id, source,
+               count(DISTINCT gh) AS n_shared
+        FROM (SELECT doc_id, source, gh FROM {{grams}}
+              WHERE NOT (source = '{EVAL_SOURCE}'))
+        JOIN eg USING (gh)
+        GROUP BY doc_id, source
+        """,
+        grams=grams,
     )
 
 

@@ -213,31 +213,28 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     (brand∈{...}, quantity∈[1,30]) and pushes them below the join as
     pre-filters — verifiable in .explain(); the residual OR evaluates
     post-join inside whole-stage codegen."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     li = load(spark, sf_dir, "lineitem")
-    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    j = li.join(p, p.p_partkey == li.l_partkey)
-    cond = (
-        (
-            (F.col("p_brand") == "Brand#1")
-            & F.col("p_size").between(1, 15)
-            & F.col("l_quantity").between(1, 11)
-        )
-        | (
-            (F.col("p_brand") == "Brand#13")
-            & F.col("p_size").between(1, 25)
-            & F.col("l_quantity").between(10, 20)
-        )
-        | (
-            (F.col("p_brand") == "Brand#20")
-            & F.col("p_size").between(1, 35)
-            & F.col("l_quantity").between(20, 30)
-        )
-    )
-    return j.filter(cond).agg(
-        r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
-            "revenue"
-        ),
-        F.count(F.lit(1)).alias("n_rows"),
+    pt = load(spark, sf_dir, "part")
+    # ONE spark.sql statement (r11 build cut — same extracted common
+    # predicates pushed below the join, same residual OR post-join)
+    return spark.sql(
+        f"""
+        SELECT {dround_sql('sum(l_extendedprice * (1 - l_discount))', 2)}
+                 AS revenue,
+               count(1) AS n_rows
+        FROM {{li}} JOIN (SELECT p_partkey, p_brand, p_size FROM {{pt}}) p
+          ON p.p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 35
+               AND l_quantity BETWEEN 20 AND 30)
+        """,
+        li=li,
+        pt=pt,
     )
 
 
