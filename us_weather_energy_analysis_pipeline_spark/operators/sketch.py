@@ -42,32 +42,60 @@ def kmv_k_smallest(
     """One-row sketch state over ``md5(key)``: ``(ks array<string>,
     n_kept int, u_k string)`` — the ≤ k smallest distinct hashes in
     ascending order, how many there are, and the largest of them."""
-    c = F.col(key) if isinstance(key, str) else key
     m = k * over_factor
-    s = df.select(F.md5(c.cast("string")).alias("h")).orderBy("h").limit(m)
-    g = s.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-    agg = g.agg(
-        F.sum("cnt").alias("nr"),
-        F.count(F.lit(1)).alias("nd"),
-        F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"),
-    )
-    # empty input → nr is NULL sum / nd = 0: trivially complete
-    valid = (F.col("nd") >= k) | (F.coalesce(F.col("nr"), F.lit(0)) < m)
-    guard = F.when(
-        valid, F.col("ks")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                f"kmv_k_smallest: {m} smallest rows held fewer than {k} "
-                "distinct hashes with input not exhausted — duplicate "
-                f"factor exceeds over_factor={over_factor}; retry larger"
-            )
+    key_sql = f"`{key}`" if isinstance(key, str) else None
+    if key_sql is None:
+        # Column-typed key: keep the staged form (no SQL identifier)
+        c = key
+        s = df.select(F.md5(c.cast("string")).alias("h")).orderBy("h").limit(m)
+        g = s.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+        agg = g.agg(
+            F.sum("cnt").alias("nr"),
+            F.count(F.lit(1)).alias("nd"),
+            F.slice(F.array_sort(F.collect_list("h")), 1, k).alias("ks"),
         )
+        valid = (F.col("nd") >= k) | (F.coalesce(F.col("nr"), F.lit(0)) < m)
+        guard = F.when(valid, F.col("ks")).otherwise(
+            F.raise_error(F.lit(_KMV_ERR.format(m=m, k=k, of=over_factor)))
+        )
+        n_kept = F.least(F.col("nd"), F.lit(k)).cast("int")
+        return agg.select(
+            guard.alias("ks"),
+            n_kept.alias("n_kept"),
+            F.get(guard, n_kept - 1).alias("u_k"),
+        )
+    # string key: ONE spark.sql statement (r11 build cut — identical
+    # plan, the CASE guard is evaluated per output column exactly as the
+    # Column form's shared guard expression was).
+    # empty input → nr is NULL sum / nd = 0: trivially complete;
+    # 0-based get → NULL (not an index error) on empty input.
+    err = _KMV_ERR.format(m=m, k=k, of=over_factor)
+    return df.sparkSession.sql(
+        f"""
+        WITH s AS (
+          SELECT md5(CAST({key_sql} AS STRING)) AS h FROM {{df}}
+          ORDER BY h LIMIT {m}
+        ),
+        g AS (SELECT h, count(1) AS cnt FROM s GROUP BY h),
+        agg AS (
+          SELECT sum(cnt) AS nr, count(1) AS nd,
+                 slice(array_sort(collect_list(h)), 1, {k}) AS ks
+          FROM g
+        )
+        SELECT guard AS ks, n_kept, get(guard, n_kept - 1) AS u_k
+        FROM (
+          SELECT CASE WHEN nd >= {k} OR coalesce(nr, 0) < {m} THEN ks
+                      ELSE raise_error('{err}') END AS guard,
+                 CAST(least(nd, {k}) AS INT) AS n_kept
+          FROM agg
+        )
+        """,
+        df=df,
     )
-    n_kept = F.least(F.col("nd"), F.lit(k)).cast("int")
-    return agg.select(
-        guard.alias("ks"),
-        n_kept.alias("n_kept"),
-        # 0-based get → NULL (not an index error) on empty input
-        F.get(guard, n_kept - 1).alias("u_k"),
-    )
+
+
+_KMV_ERR = (
+    "kmv_k_smallest: {m} smallest rows held fewer than {k} "
+    "distinct hashes with input not exhausted — duplicate "
+    "factor exceeds over_factor={of}; retry larger"
+)
