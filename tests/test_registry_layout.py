@@ -74,6 +74,7 @@ ROTATED_R11 = (
 # so the kernel is pinned by local pytest probes + the plan-shape test
 # rather than the driver sample; the r8-stale cohort takes priority.
 DISPLACED_R11 = (
+    "lag_diff_pct",
     "dedup_minhash_lsh",
     "rfm_segments",
     "embed_ivf_topk",

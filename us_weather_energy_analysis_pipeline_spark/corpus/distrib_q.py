@@ -402,25 +402,32 @@ def chi2_weekday_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     The contingency table is a single groupBy (35 cells); marginals come
     from windows over the tiny aggregated table, so the heavy input is
     touched exactly once. Expected counts are exact integer ratios."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     e = load(spark, sf_dir, "events")
-    obs = e.groupBy(
-        "event_type", (F.dayofweek("ts") - 1).cast("int").alias("dow")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    m = obs.select(
-        "event_type",
-        "dow",
-        "n",
-        F.sum("n").over(Window.partitionBy("event_type")).alias("row_tot"),
-        F.sum("n").over(Window.partitionBy("dow")).alias("col_tot"),
-        F.sum("n").over(Window.partitionBy()).alias("grand_tot"),
-    )
-    exp = F.col("row_tot") * F.col("col_tot") / F.col("grand_tot")
-    return m.agg(
-        r4(F.sum(F.pow(F.col("n") - exp, 2) / exp)).alias("chi2"),
-        (
-            (F.count_distinct("event_type") - 1)
-            * (F.count_distinct("dow") - 1)
-        ).alias("dof"),
+    # ONE spark.sql statement (r11 build cut — same 35-cell contingency
+    # aggregate + three windows over it)
+    exp = "row_tot * col_tot / grand_tot"
+    return spark.sql(
+        f"""
+        WITH obs AS (
+          SELECT event_type, CAST(dayofweek(ts) - 1 AS INT) AS dow,
+                 count(1) AS n
+          FROM {{e}} GROUP BY event_type, CAST(dayofweek(ts) - 1 AS INT)
+        ),
+        m AS (
+          SELECT event_type, dow, n,
+                 sum(n) OVER (PARTITION BY event_type) AS row_tot,
+                 sum(n) OVER (PARTITION BY dow) AS col_tot,
+                 sum(n) OVER () AS grand_tot
+          FROM obs
+        )
+        SELECT {dround_sql(f'sum(POWER(n - {exp}, 2) / ({exp}))', 4)} AS chi2,
+               (count(DISTINCT event_type) - 1) * (count(DISTINCT dow) - 1)
+                 AS dof
+        FROM m
+        """,
+        e=e,
     )
 
 

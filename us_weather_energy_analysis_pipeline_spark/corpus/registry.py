@@ -135,7 +135,10 @@ _LOADED = False
 # r10/r11-rewritten dedup_ngram_jaccard, dedup_winnow_pairs,
 # dedup_substring_spans and doc_span_dup_ratio — so after this round the
 # union has nothing staler than r9. Declared tail (positions 50+, first
-# in line past the sample): dedup_minhash_lsh (its r11 plan deltas are
+# in line past the sample): lag_diff_pct (r10-green two rounds fresh;
+# its r11 single-statement form plans strictly BETTER — one lag window
+# expression instead of seven duplicated ones — and is oracle-pinned),
+# dedup_minhash_lsh (its r11 plan deltas are
 # the identical rewritten subtree dedup_incremental_minhash and
 # dedup_pipeline_e2e execute inside the window), rfm_segments (r9-green,
 # plan UNCHANGED — r11 only profiled/adjudicated it), then the four r10
@@ -212,6 +215,7 @@ WINDOW: tuple[str, ...] = (
     # is pinned by local pytest probes
     # (test_fallback_plan_uses_cogroup_kernel) rather than the driver
     # sample. All still in the local 143-query oracle gate.
+    "lag_diff_pct",
     "dedup_minhash_lsh",
     "rfm_segments",
     "embed_ivf_topk",

@@ -124,20 +124,32 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prev-period lookup via lag — subsumes the reference's prev-day join
     (J3 `app.py:605`), first-order differencing (P15 `app.py:714-716`) and
     guarded percent-change (P14 `app.py:610-613`) in one window pass."""
-    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    daily = e.groupBy("event_type", iso_day("ts").alias("day")).agg(
-        F.sum("value").alias("total")
-    )
-    w = Window.partitionBy("event_type").orderBy("day")
-    prev = F.lag("total").over(w)
-    return daily.select(
-        "event_type",
-        "day",
-        r2(F.col("total")).alias("total"),
-        r2(F.col("total") - prev).alias("diff"),
-        F.when(prev > 0, r4((F.col("total") - prev) / prev * 100))
-        .otherwise(F.lit(0.0))
-        .alias("pct_change"),
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
+    e = load(spark, sf_dir, "events")
+    # ONE spark.sql statement (r11 build cut — same daily agg + one
+    # ordered window pass)
+    prev = "lag(total) OVER (PARTITION BY event_type ORDER BY day)"
+    return spark.sql(
+        f"""
+        WITH daily AS (
+          SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+                 sum(value) AS total
+          FROM {{e}} WHERE ts IS NOT NULL
+          GROUP BY event_type, CAST(CAST(ts AS DATE) AS STRING)
+        ),
+        lagged AS (
+          SELECT event_type, day, total, {prev} AS prev FROM daily
+        )
+        SELECT event_type, day,
+               {dround_sql('total', 2)} AS total,
+               {dround_sql('total - prev', 2)} AS diff,
+               CASE WHEN prev > 0
+                    THEN {dround_sql('(total - prev) / prev * 100', 4)}
+                    ELSE 0.0D END AS pct_change
+        FROM lagged
+        """,
+        e=e,
     )
 
 
