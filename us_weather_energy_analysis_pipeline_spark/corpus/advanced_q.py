@@ -178,20 +178,32 @@ def locf_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     fill (N1 `data_processor.py:59-60`). One window pass, no iteration;
     partition by series key when filling many series at once."""
     e = load(spark, sf_dir, "events")
-    spine = day_spine(e, "ts")
-    daily = (
-        e.filter((F.col("event_type") == "purchase") & (F.col("value") > LOCF_CUTOFF))
-        .groupBy(F.to_date("ts").alias("day"))
-        .agg(F.max("value").alias("vmax"))
-    )
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return (
-        spine.join(daily, "day", "left")
-        .select(
-            iso_day("day").alias("day"),
-            r2(F.col("vmax")).alias("vmax"),
-            r2(F.last("vmax", ignorenulls=True).over(w)).alias("vfill"),
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
+    # ONE spark.sql statement (r11 build cut — same single-row bounds
+    # spine + left join + bounded forward-fill window)
+    fill = ("last(vmax, true) OVER (ORDER BY day"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return spark.sql(
+        f"""
+        WITH bounds AS (
+          SELECT min(to_date(ts)) AS lo, max(to_date(ts)) AS hi FROM {{e}}
+        ),
+        spine AS (
+          SELECT explode(sequence(lo, hi, interval 1 day)) AS day FROM bounds
+        ),
+        daily AS (
+          SELECT to_date(ts) AS day, max(value) AS vmax
+          FROM {{e}}
+          WHERE event_type = 'purchase' AND value > {LOCF_CUTOFF}D
+          GROUP BY to_date(ts)
         )
+        SELECT CAST(CAST(day AS DATE) AS STRING) AS day,
+               {dround_sql('vmax', 2)} AS vmax,
+               {dround_sql(fill, 2)} AS vfill
+        FROM spine LEFT JOIN daily USING (day)
+        """,
+        e=e,
     )
 
 

@@ -52,35 +52,36 @@ def date_spine_completion(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect_set of the event types), then the grid is two explodes off
     that row — the old separate spine-bounds and types-distinct branches
     (each its own scan + exchange) collapse into it. 6 → ~4 jobs."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     e = load(spark, sf_dir, "events")
-    sub = e.filter(F.col("event_type").isin("purchase", "signup"))
-    bounds = e.agg(
-        F.min(F.to_date("ts")).alias("lo"),
-        F.max(F.to_date("ts")).alias("hi"),
-        F.array_sort(
-            F.collect_set(
-                F.when(
-                    F.col("event_type").isin("purchase", "signup"),
-                    F.col("event_type"),
-                )
-            )
-        ).alias("tps"),
-    )
-    grid = bounds.select(
-        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
-        "tps",
-    ).select("day", F.explode("tps").alias("event_type"))
-    daily = sub.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.sum("value").alias("total"), F.count(F.lit(1)).alias("n")
-    )
-    return (
-        grid.join(daily, ["day", "event_type"], "left")
-        .select(
-            iso_day("day").alias("day"),
-            "event_type",
-            r2(F.col("total")).alias("total"),
-            F.col("n"),
+    # ONE spark.sql statement (r11 build cut — same single-row
+    # bounds+types aggregate feeding two explodes, same left join)
+    return spark.sql(
+        f"""
+        WITH bounds AS (
+          SELECT min(to_date(ts)) AS lo, max(to_date(ts)) AS hi,
+                 array_sort(collect_set(
+                   CASE WHEN event_type IN ('purchase', 'signup')
+                        THEN event_type END)) AS tps
+          FROM {{e}}
+        ),
+        grid AS (
+          SELECT day, explode(tps) AS event_type
+          FROM (SELECT explode(sequence(lo, hi, interval 1 day)) AS day, tps
+                FROM bounds)
+        ),
+        daily AS (
+          SELECT event_type, to_date(ts) AS day,
+                 sum(value) AS total, count(1) AS n
+          FROM {{e}} WHERE event_type IN ('purchase', 'signup')
+          GROUP BY event_type, to_date(ts)
         )
+        SELECT CAST(CAST(day AS DATE) AS STRING) AS day, event_type,
+               {dround_sql('total', 2)} AS total, n
+        FROM grid LEFT JOIN daily USING (day, event_type)
+        """,
+        e=e,
     )
 
 
