@@ -273,20 +273,24 @@ def above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated scalar subquery (`WHERE price > (SELECT AVG ... WHERE same
     key)`) decorrelated into a single partition-window pass: one shuffle on
     o_custkey instead of a per-row subquery."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey")
-    cavg = F.sum(F.col("o_totalprice").cast("decimal(28,10)")).over(w).cast(
-        "double"
-    ) / F.count("o_totalprice").over(w)
-    return (
-        o.withColumn("cavg", cavg)
-        .filter(F.col("o_totalprice") > F.col("cavg"))
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            r2(F.col("o_totalprice")).alias("totalprice"),
-            r4(F.col("cavg")).alias("cust_avg"),
-        )
+    # ONE spark.sql statement (r11 build cut — same decimal-exact window
+    # average over one o_custkey exchange)
+    cavg = ("CAST(sum(CAST(o_totalprice AS DECIMAL(28,10)))"
+            " OVER (PARTITION BY o_custkey) AS DOUBLE)"
+            " / count(o_totalprice) OVER (PARTITION BY o_custkey)")
+    return spark.sql(
+        f"""
+        SELECT o_custkey, o_orderkey,
+               {dround_sql('o_totalprice', 2)} AS totalprice,
+               {dround_sql('cavg', 4)} AS cust_avg
+        FROM (SELECT o_custkey, o_orderkey, o_totalprice, {cavg} AS cavg
+              FROM {{o}})
+        WHERE o_totalprice > cavg
+        """,
+        o=o,
     )
 
 
@@ -458,26 +462,29 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-joined back to the fact table — no window over 100 TB of
     rows, and the explicit moment formula yields bit-identical doubles in
     any engine (quantities are integral, so the sums are exact)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     li = load(spark, sf_dir, "lineitem")
-    st = li.groupBy(F.col("l_returnflag").alias("rf")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("l_quantity").alias("s"),
-        F.sum(F.col("l_quantity") * F.col("l_quantity")).alias("ss"),
-    )
-    mean = F.col("s") / F.col("n")
-    std = F.sqrt((F.col("ss") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
-    z = (F.col("l_quantity") - mean) / std
-    return (
-        li.join(F.broadcast(st), li.l_returnflag == st.rf)
-        .withColumn("zval", z)
-        .filter(F.abs(F.col("zval")) > Z_CUTOFF)
-        .select(
-            "l_orderkey",
-            "l_linenumber",
-            "rf",
-            F.col("l_quantity").alias("qty"),
-            r4(F.col("zval")).alias("z"),
+    # ONE spark.sql statement (r11 build cut — same broadcast moment join)
+    z = ("(l_quantity - s / n)"
+         " / SQRT((ss - s * s / n) / (n - 1))")
+    return spark.sql(
+        f"""
+        WITH st AS (
+          SELECT l_returnflag AS rf, count(1) AS n, sum(l_quantity) AS s,
+                 sum(l_quantity * l_quantity) AS ss
+          FROM {{li}} GROUP BY l_returnflag
         )
+        SELECT l_orderkey, l_linenumber, rf, l_quantity AS qty,
+               {dround_sql('zval', 4)} AS z
+        FROM (
+          SELECT /*+ BROADCAST(st) */ l_orderkey, l_linenumber, rf,
+                 l_quantity, {z} AS zval
+          FROM {{li}} JOIN st ON l_returnflag = rf
+        )
+        WHERE abs(zval) > {Z_CUTOFF}D
+        """,
+        li=li,
     )
 
 
