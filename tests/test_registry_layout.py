@@ -75,6 +75,7 @@ ROTATED_R11 = (
 # rather than the driver sample; the r8-stale cohort takes priority.
 DISPLACED_R11 = (
     "lag_diff_pct",
+    "yoy_monthly",
     "dedup_minhash_lsh",
     "rfm_segments",
     "embed_ivf_topk",

@@ -298,17 +298,29 @@ def yoy_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     year earlier — no self-join, and the window runs on the tiny monthly
     aggregate, never the fact table."""
     li = load(spark, sf_dir, "lineitem")
-    m = li.groupBy(
-        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon")
-    ).agg(F.sum("l_extendedprice").alias("revenue"))
-    w = Window.partitionBy("mon").orderBy("yr")
-    prev = F.lag("revenue").over(w)
-    return m.select(
-        "yr",
-        "mon",
-        r2(F.col("revenue")).alias("revenue"),
-        r2(prev).alias("prev_year"),
-        F.when(prev > 0, r4((F.col("revenue") - prev) / prev * 100)).alias("yoy_pct"),
+    # ONE spark.sql statement (r11 build cut — one lag window expression
+    # instead of four duplicated ones, same monthly-aggregate exchange)
+    return spark.sql(
+        f"""
+        WITH m AS (
+          SELECT year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+                 sum(l_extendedprice) AS revenue
+          FROM {{li}} GROUP BY year(l_shipdate), month(l_shipdate)
+        ),
+        lagged AS (
+          SELECT yr, mon, revenue,
+                 lag(revenue) OVER (PARTITION BY mon ORDER BY yr) AS prev
+          FROM m
+        )
+        SELECT yr, mon,
+               {dround_sql('revenue', 2)} AS revenue,
+               {dround_sql('prev', 2)} AS prev_year,
+               CASE WHEN prev > 0
+                    THEN {dround_sql('(revenue - prev) / prev * 100', 4)}
+               END AS yoy_pct
+        FROM lagged
+        """,
+        li=li,
     )
 
 
@@ -339,15 +351,23 @@ def trailing_range_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     the date becomes an epoch-day integer (datediff from 1970-01-01) —
     bit-exact, reversible, and the frame bounds stay in day units."""
     li = load(spark, sf_dir, "lineitem")
-    d = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
-        F.sum("l_extendedprice").alias("total")
-    )
-    d = d.withColumn("dayn", F.datediff("day", F.lit("1970-01-01").cast("date")))
-    w = Window.orderBy("dayn").rangeBetween(-6, 0)
-    return d.select(
-        iso_day("day").alias("day"),
-        r2(F.col("total")).alias("total"),
-        r2(F.sum("total").over(w)).alias("r7"),
+    # ONE spark.sql statement (r11 build cut)
+    r7 = ("sum(total) OVER (ORDER BY dayn"
+          " RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)")
+    return spark.sql(
+        f"""
+        SELECT CAST(CAST(day AS DATE) AS STRING) AS day,
+               {dround_sql('total', 2)} AS total,
+               {dround_sql(r7, 2)} AS r7
+        FROM (
+          SELECT day, total,
+                 datediff(day, CAST('1970-01-01' AS DATE)) AS dayn
+          FROM (SELECT to_date(l_shipdate) AS day,
+                       sum(l_extendedprice) AS total
+                FROM {{li}} GROUP BY to_date(l_shipdate))
+        )
+        """,
+        li=li,
     )
 
 

@@ -135,9 +135,10 @@ _LOADED = False
 # r10/r11-rewritten dedup_ngram_jaccard, dedup_winnow_pairs,
 # dedup_substring_spans and doc_span_dup_ratio — so after this round the
 # union has nothing staler than r9. Declared tail (positions 50+, first
-# in line past the sample): lag_diff_pct (r10-green two rounds fresh;
-# its r11 single-statement form plans strictly BETTER — one lag window
-# expression instead of seven duplicated ones — and is oracle-pinned),
+# in line past the sample): lag_diff_pct (r10-green) and yoy_monthly
+# (r9-green) — their r11 single-statement forms plan strictly BETTER
+# (one lag window expression instead of seven/four duplicated ones) and
+# are oracle-pinned,
 # dedup_minhash_lsh (its r11 plan deltas are
 # the identical rewritten subtree dedup_incremental_minhash and
 # dedup_pipeline_e2e execute inside the window), rfm_segments (r9-green,
@@ -216,6 +217,7 @@ WINDOW: tuple[str, ...] = (
     # (test_fallback_plan_uses_cogroup_kernel) rather than the driver
     # sample. All still in the local 143-query oracle gate.
     "lag_diff_pct",
+    "yoy_monthly",
     "dedup_minhash_lsh",
     "rfm_segments",
     "embed_ivf_topk",
