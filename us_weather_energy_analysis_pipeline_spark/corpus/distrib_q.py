@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r2, r4, r6
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r2, r4, r6
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.operators.rank import (
     global_order_stats,
@@ -146,18 +146,21 @@ def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     first's hash partitioning — one shuffle total); p·ln p terms are exact
     integer ratios so both engines see identical doubles."""
     e = load(spark, sf_dir, "events")
-    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    t = c.groupBy("user_id").agg(F.sum("n").alias("tot"))
-    p = F.col("n") / F.col("tot")
-    return (
-        c.join(t, "user_id")
-        .groupBy("user_id", "tot")
-        .agg(r4(-F.sum(p * F.log(p))).alias("entropy"))
-        .select(
-            "user_id",
-            F.col("tot").cast("long").alias("n_events"),
-            "entropy",
-        )
+    # ONE spark.sql statement (r11 build cut — same co-partitioned
+    # aggregation pair, one user_id shuffle)
+    return spark.sql(
+        f"""
+        WITH c AS (
+          SELECT user_id, event_type, count(1) AS n
+          FROM {{e}} GROUP BY user_id, event_type
+        ),
+        t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+        SELECT user_id, CAST(tot AS BIGINT) AS n_events,
+               {dround_sql('-sum(n / tot * ln(n / tot))', 4)} AS entropy
+        FROM c JOIN t USING (user_id)
+        GROUP BY user_id, tot
+        """,
+        e=e,
     )
 
 
