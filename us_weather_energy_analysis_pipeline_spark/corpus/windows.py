@@ -447,20 +447,30 @@ def revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ratio-to-report with ranking: each nation's share of global revenue
     via an unpartitioned window sum over the (small) aggregate — the
     window runs on 25 rows, never on the fact table."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    rev = (
-        o.join(c, o.o_custkey == c.c_custkey)
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum("o_totalprice").alias("revenue"))
-    )
-    w_all = Window.partitionBy()
-    w_rank = Window.orderBy(F.col("revenue").desc(), F.col("nation"))
-    return rev.select(
-        "nation",
-        r2(F.col("revenue")).alias("revenue"),
-        r4(F.col("revenue") / F.sum("revenue").over(w_all) * 100).alias("pct_of_total"),
-        F.rank().over(w_rank).alias("rnk"),
+    n = load(spark, sf_dir, "nation")
+    # ONE spark.sql statement (r11 build cut — same broadcast-dim join
+    # chain + 25-row windows)
+    return spark.sql(
+        f"""
+        WITH rev AS (
+          SELECT /*+ BROADCAST(nt) */ n_name AS nation,
+                 sum(o_totalprice) AS revenue
+          FROM {{o}} JOIN {{c}} ON o_custkey = c_custkey
+          JOIN {{nt}} nt ON c_nationkey = n_nationkey
+          GROUP BY n_name
+        )
+        SELECT nation,
+               {dround_sql('revenue', 2)} AS revenue,
+               {dround_sql('revenue / sum(revenue) OVER () * 100', 4)}
+                 AS pct_of_total,
+               rank() OVER (ORDER BY revenue DESC, nation) AS rnk
+        FROM rev
+        """,
+        o=o,
+        c=c,
+        nt=n,
     )
