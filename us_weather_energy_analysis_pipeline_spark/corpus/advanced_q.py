@@ -232,14 +232,21 @@ def dist_percent_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank arithmetic — exact, engine-independent doubles. One shuffle on the
     segment key serves both functions. NULL balances are excluded on both
     sides (non-null sort-key contract; engines disagree on NULL order)."""
-    c = load(spark, sf_dir, "customer").filter(F.col("c_acctbal").isNotNull())
-    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal")
-    return c.select(
-        "c_custkey",
-        F.col("c_mktsegment").alias("segment"),
-        r2(F.col("c_acctbal")).alias("acctbal"),
-        r6(F.percent_rank().over(w)).alias("pr"),
-        r6(F.cume_dist().over(w)).alias("cd"),
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
+    c = load(spark, sf_dir, "customer")
+    # ONE spark.sql statement (r11 build cut — one segment exchange
+    # serving both rank functions)
+    ow = "OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal)"
+    return spark.sql(
+        f"""
+        SELECT c_custkey, c_mktsegment AS segment,
+               {dround_sql('c_acctbal', 2)} AS acctbal,
+               {dround_sql(f'percent_rank() {ow}', 6)} AS pr,
+               {dround_sql(f'cume_dist() {ow}', 6)} AS cd
+        FROM {{c}} WHERE c_acctbal IS NOT NULL
+        """,
+        c=c,
     )
 
 
@@ -511,16 +518,19 @@ def histogram_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     labeled CASE binning (P10 `analysis.py:47-54`): floor-division buckets
     need no per-bucket branch, group count is map-side combinable, and the
     bucket id is bit-exact in every engine."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     o = load(spark, sf_dir, "orders")
-    return (
-        o.groupBy(
-            F.floor(F.col("o_totalprice") / HIST_WIDTH).cast("int").alias("bucket")
-        )
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            r2(F.min("o_totalprice")).alias("lo"),
-            r2(F.max("o_totalprice")).alias("hi"),
-        )
+    # ONE spark.sql statement (r11 build cut)
+    b = f"CAST(floor(o_totalprice / {HIST_WIDTH}D) AS INT)"
+    return spark.sql(
+        f"""
+        SELECT {b} AS bucket, count(1) AS n,
+               {dround_sql('min(o_totalprice)', 2)} AS lo,
+               {dround_sql('max(o_totalprice)', 2)} AS hi
+        FROM {{o}} GROUP BY {b}
+        """,
+        o=o,
     )
 
 
@@ -669,14 +679,21 @@ def filtered_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≡ Spark `count_if` / `sum(when)`): all conditional columns computed in
     a single map-side-combinable aggregation instead of one scan per
     condition or a pivot shuffle."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     o = load(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
-        F.count_if(F.col("o_orderstatus") == "F").alias("n_finished"),
-        F.count_if(F.col("o_orderstatus") == "O").alias("n_open"),
-        F.count_if(F.col("o_orderstatus") == "P").alias("n_pending"),
-        r2(F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")))).alias(
-            "rev_finished"
-        ),
+    # ONE spark.sql statement (r11 build cut)
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority AS priority,
+               count_if(o_orderstatus = 'F') AS n_finished,
+               count_if(o_orderstatus = 'O') AS n_open,
+               count_if(o_orderstatus = 'P') AS n_pending,
+               {dround_sql("sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END)", 2)}
+                 AS rev_finished
+        FROM {{o}} GROUP BY o_orderpriority
+        """,
+        o=o,
     )
 
 

@@ -448,23 +448,30 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     multidimensional-aggregate extension beyond the reference's pivots:
     one pass produces all grouping levels (partial aggregation still
     applies; no per-level rescans)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     c = load(spark, sf_dir, "customer")
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(load(spark, sf_dir, "region"))
-    return (
-        c.join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
-        .rollup("r_name", "n_name")
-        .agg(
-            F.count(F.lit(1)).alias("n_customers"),
-            r2(F.sum("c_acctbal")).alias("total_acctbal"),
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    # ONE spark.sql statement (r11 build cut — same broadcast joins +
+    # single-pass ROLLUP)
+    return spark.sql(
+        f"""
+        SELECT coalesce(r_name, 'ALL') AS region,
+               coalesce(n_name, 'ALL') AS nation,
+               n_customers, total_acctbal
+        FROM (
+          SELECT /*+ BROADCAST(n), BROADCAST(r) */ r_name, n_name,
+                 count(1) AS n_customers,
+                 {dround_sql('sum(c_acctbal)', 2)} AS total_acctbal
+          FROM {{c}} JOIN {{n}} n ON c_nationkey = n_nationkey
+          JOIN {{r}} r ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP(r_name, n_name)
         )
-        .select(
-            F.coalesce("r_name", F.lit("ALL")).alias("region"),
-            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
-            "n_customers",
-            "total_acctbal",
-        )
+        """,
+        c=c,
+        n=n,
+        r=r,
     )
 
 
@@ -865,16 +872,22 @@ def ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over two dimensions — all four grouping levels in one pass
     (completes the grouping-sets family next to rollup_revenue)."""
+    from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
+
     o = load(spark, sf_dir, "orders")
-    return (
-        o.cube("o_orderpriority", "o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("n"), r2(F.sum("o_totalprice")).alias("total"))
-        .select(
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-            "n",
-            "total",
+    # ONE spark.sql statement (r11 build cut)
+    return spark.sql(
+        f"""
+        SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+               coalesce(o_orderstatus, 'ALL') AS status,
+               n, total
+        FROM (
+          SELECT o_orderpriority, o_orderstatus, count(1) AS n,
+                 {dround_sql('sum(o_totalprice)', 2)} AS total
+          FROM {{o}} GROUP BY CUBE(o_orderpriority, o_orderstatus)
         )
+        """,
+        o=o,
     )
 
 
