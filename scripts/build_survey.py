@@ -16,8 +16,9 @@ from __future__ import annotations
 import json
 import sys
 import time
+from pathlib import Path
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (  # noqa: E402
     REGISTRY,

@@ -49,6 +49,8 @@ SPAN_MIN_TOKENS = 16  # report spans at least this many tokens long
 RESAMPLE_FRAC = 0.5   # temperature resample keeps ~half the corpus
 DECON_K = 8           # decontamination gram length
 EVAL_SOURCE = "src0"  # held-out eval slice for decontamination
+# interpolated into SQL string literals below — keep it quote-free (ADVICE r11)
+assert "'" not in EVAL_SOURCE, "EVAL_SOURCE must be quote-free"
 
 _TRANS_DUCK = (
     "translate(trim(text), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',"
@@ -698,9 +700,11 @@ def _pii_exprs(spark_side: bool) -> tuple[list[str], str]:
     for pat, token, cat in PII_CHAIN:
         lit = _re_sql(pat, spark_side)
         if spark_side:
-            counts.append(
-                f"CAST(size(regexp_extract_all(page, {lit}, 0)) AS BIGINT) AS n_{cat}"
-            )
+            # native regexp_count (pyspark 4.1): same non-overlapping match
+            # count as size(regexp_extract_all(...)) without materializing
+            # every match string into an array per row (VERDICT r11 task 2;
+            # paired A/B in BENCH_AB.md r12)
+            counts.append(f"CAST(regexp_count(page, {lit}) AS BIGINT) AS n_{cat}")
             red = f"regexp_replace({red}, {lit}, '{token}')"
         else:
             counts.append(

@@ -20,6 +20,9 @@ from us_weather_energy_analysis_pipeline_spark.functions.text import (
 
 # Tiny function-word inventory for the ratio heuristics; fixed and public.
 STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "it")
+# the list is interpolated into SQL string literals below — a word with
+# an apostrophe (e.g. "don't") would break the statement (ADVICE r11)
+assert all("'" not in w for w in STOPWORDS), "STOPWORDS must be quote-free"
 
 
 @register(

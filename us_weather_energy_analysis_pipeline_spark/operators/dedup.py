@@ -254,6 +254,10 @@ def minhash_near_dups(
     """Full MinHash/LSH near-dup pipeline: candidates via banding, then
     estimated Jaccard = fraction of agreeing signature positions; keep
     pairs ≥ threshold. Returns (doc_a, doc_b, n_shared_bands, est_jaccard).
+    ``threshold`` binds to the RAW estimate (SQL ``WHERE`` runs before
+    the ``SELECT`` aliases): with ``est_round`` set, an emitted value can
+    display just below threshold after rounding. The contract is
+    deliberate — the estimate, not its display form, is the statistic.
 
     The signature array RIDES THROUGH the band explode instead of being
     re-joined after the bucket join (the r3 shape): at web scale the sig

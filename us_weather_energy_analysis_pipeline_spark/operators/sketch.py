@@ -43,7 +43,9 @@ def kmv_k_smallest(
     n_kept int, u_k string)`` — the ≤ k smallest distinct hashes in
     ascending order, how many there are, and the largest of them."""
     m = k * over_factor
-    key_sql = f"`{key}`" if isinstance(key, str) else None
+    # backticks in the name are doubled so an odd identifier can't break
+    # out of the quoting (ADVICE r11)
+    key_sql = f"`{key.replace('`', '``')}`" if isinstance(key, str) else None
     if key_sql is None:
         # Column-typed key: keep the staged form (no SQL identifier)
         c = key
@@ -69,7 +71,8 @@ def kmv_k_smallest(
     # Column form's shared guard expression was).
     # empty input → nr is NULL sum / nd = 0: trivially complete;
     # 0-based get → NULL (not an index error) on empty input.
-    err = _KMV_ERR.format(m=m, k=k, of=over_factor)
+    # single quotes doubled: the literal lands inside raise_error('...')
+    err = _KMV_ERR.format(m=m, k=k, of=over_factor).replace("'", "''")
     return df.sparkSession.sql(
         f"""
         WITH s AS (
