@@ -825,18 +825,31 @@ def url_domain_throttle(spark: SparkSession, sf_dir: str) -> DataFrame:
     natural skew axis; the synthetic mix (5 hosts holding half the docs)
     deliberately exercises it — per-host work is a streaming rank, not a
     buffered agg, so a hot host costs one fat task, not a spill. The rank
-    tie-breaks on doc_id (unique), so output is deterministic."""
+    tie-breaks on doc_id (unique), so output is deterministic.
+
+    ``kept`` references ``domain_rank`` through the CTE instead of
+    repeating the ``row_number() OVER (...)`` expression (convention #4,
+    COVERAGE.md; VERDICT r11 task 6) — the WindowExec now evaluates the
+    rank once, and the whole query is ONE ``spark.sql`` statement."""
     d = load(spark, sf_dir, "documents")
-    return d.selectExpr(
-        "doc_id", _URL_SQL.format(T="STRING") + " AS url"
-    ).selectExpr(
-        "doc_id", "parse_url(url, 'HOST') AS host"
-    ).selectExpr(
-        "doc_id",
-        "host",
-        "CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id) AS BIGINT)"
-        " AS domain_rank",
-        "CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS domain_docs",
-        f"CASE WHEN row_number() OVER (PARTITION BY host ORDER BY doc_id)"
-        f" <= {DOMAIN_CAP} THEN 1 ELSE 0 END AS kept",
+    return spark.sql(
+        f"""
+        WITH hosted AS (
+          SELECT doc_id, parse_url(url, 'HOST') AS host
+          FROM (SELECT doc_id, {_URL_SQL.format(T='STRING')} AS url
+                FROM {{docs}})
+        ),
+        ranked AS (
+          SELECT doc_id, host,
+                 CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+                      AS BIGINT) AS domain_rank,
+                 CAST(count(*) OVER (PARTITION BY host) AS BIGINT)
+                      AS domain_docs
+          FROM hosted
+        )
+        SELECT doc_id, host, domain_rank, domain_docs,
+               CASE WHEN domain_rank <= {DOMAIN_CAP} THEN 1 ELSE 0 END AS kept
+        FROM ranked
+        """,
+        docs=d,
     )
