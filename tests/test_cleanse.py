@@ -117,6 +117,29 @@ def test_decontamination_catches_embedded_eval_gram(spark, tmp_path):
     assert got == {1: ("srcA", 1), 2: ("srcB", 5)}
 
 
+def test_bloom_prefilter_variant_identical_and_shuffle_joined(spark, tmp_path):
+    """The Bloom pre-filter twin returns exactly the broadcast variant's
+    rows (false positives removed by the exact join), and its exact join
+    is the deliberate SHUFFLE_HASH shape — not a broadcast — since the
+    variant models an eval side beyond broadcast budget."""
+    eval_text = _words("ev", DECON_K + 4)
+    ev_toks = eval_text.split(" ")
+    embedded = " ".join(ev_toks[:DECON_K])
+    rows = [
+        (0, eval_text, "en", "src0"),
+        (1, f"{_words('t1', 6)} {embedded} {_words('t1b', 6)}", "en", "srcA"),
+        (2, eval_text, "en", "srcB"),
+        (3, _words("clean", 30), "en", "srcA"),
+    ]
+    sf = _write_documents(spark, tmp_path, rows)
+    base = REGISTRY["decontaminate_ngram_overlap"].spark_fn(spark, sf)
+    bloom = REGISTRY["decontaminate_bloom_prefilter"].spark_fn(spark, sf)
+    assert base.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(base).count() == 0
+    plan = bloom._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+
 def test_span_dup_ratio_flags_mostly_duplicated_doc(spark, tmp_path):
     """Coverage accounting: a doc whose text is ~all shared flags
     drop_flag=1; a doc with a minority shared span does not; the integer

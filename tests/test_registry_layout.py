@@ -11,78 +11,69 @@ from __future__ import annotations
 
 from us_weather_energy_analysis_pipeline_spark.corpus import registry
 
-# Round-11 must-haves (VERDICT r10 task 2 + ADVICE r10 medium): the two
-# queries registered this round (never driver-verified), the full set of
-# r10 plan-touched queries whose latest driver row is r9, the two r11
-# task targets, then the FULL 41-query cohort whose latest driver row is
-# r08 — after this round the union has nothing staler than r9.
-ROTATED_R11 = (
+# Round-12 must-haves (VERDICT r11 tasks 1/2/3/6/7): the Bloom twin
+# registered this round, the two r12 plan-changed queries, the two r11
+# post-freeze plan changes (lag_diff_pct, yoy_monthly), the FULL
+# 42-query r9-stale cohort, then the head of the r10 frontier
+# (tpch_q3's task-3 replicate row + two alphabetical-head fillers) —
+# after this round the union has nothing staler than r10.
+ROTATED_R12 = (
+    "decontaminate_bloom_prefilter",
     "pii_redact_scrub",
     "url_domain_throttle",
-    "gopher_quality_filter",
-    "text_repetition_ratio",
-    "dedup_pipeline_e2e",
-    "embed_dedup_pipeline_e2e",
-    "ewma_daily",
-    "text_quality_score",
-    "dedup_incremental_minhash",
-    "above_group_avg",
-    "approx_distinct_hll_sanity",
-    "bin_quantity_case",
-    "bin_quantity_case_low",
-    "chi2_weekday_event",
-    "corpus_mix_summary",
-    "date_spine_completion",
-    "decontamination_check",
-    "dedup_cluster_assign",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "dedup_winnow_pairs",
-    "dist_percent_rank",
-    "distinct_event_types",
-    "distinct_kmv_estimate",
-    "doc_span_dup_ratio",
-    "entropy_user_events",
-    "filter_date_set",
-    "filtered_agg_status",
-    "full_outer_nation_counts",
-    "gini_customer_revenue",
-    "grouping_sets_flags",
-    "histogram_price",
-    "locf_gap_fill",
-    "markov_event_transitions",
-    "multimodal_blob_stats",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "sql_revenue_by_nation",
-    "sql_window_rank",
-    "stratified_sample_hash",
-    "streak_islands",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "token_budget_packing",
-    "top_k_orders",
-    "union_slices",
-    "zscore_outliers",
-)
-
-# Declared tail at positions 50+: r9-green driver rows rewritten by the
-# r10 cogroup kernel — at driver SF they run the single-block fast path,
-# so the kernel is pinned by local pytest probes + the plan-shape test
-# rather than the driver sample; the r8-stale cohort takes priority.
-DISPLACED_R11 = (
     "lag_diff_pct",
     "yoy_monthly",
+    "argmax_supplier",
+    "bigram_topk",
+    "cohort_retention",
+    "corpus_temperature_resample",
+    "dates_intersect",
+    "decontaminate_ngram_overlap",
+    "dedup_embed_cosine",
     "dedup_minhash_lsh",
-    "rfm_segments",
-    "embed_ivf_topk",
-    "embed_ivf_multiprobe_topk",
-    "embed_nearest_centroid_assign",
+    "dedup_simhash_pairs",
+    "doc_chunk_overlap",
+    "embed_centroid_by_label",
+    "embed_corr_pairs_topk",
+    "embed_cosine_topk",
+    "embed_dim_stats",
     "embed_hard_negative_mine",
+    "embed_int8_quantize",
+    "embed_ivf_multiprobe_topk",
+    "embed_ivf_topk",
+    "embed_lsh_bucket_topk",
+    "embed_lsh_multiprobe_topk",
+    "embed_nearest_centroid_assign",
+    "funnel_conversion",
+    "json_props_rollup",
+    "map_view_decorated",
+    "moments_skew_kurt",
+    "range_join_price_band",
+    "rfm_segments",
+    "text_fingerprint",
+    "text_heaps_fit",
+    "text_lang_id",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "topk_per_group",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "trailing_range_7d",
+    "vocab_prune_df_bounds",
+    "tpch_q3_shipping_priority",
+    "asof_join_last_view",
+    "chunk_dedup_ratio",
 )
+
+# No declared tail this round: the window is exactly the 50 driver
+# slots, and everything past it is r10/r11-driver-green with an
+# unchanged plan (plan-equality gated for any r12 conversions).
+DISPLACED_R12 = ()
 
 
 def test_window_occupies_leading_positions():
@@ -90,17 +81,17 @@ def test_window_occupies_leading_positions():
     assert order[: len(registry.WINDOW)] == list(registry.WINDOW)
 
 
-def test_displaced_r11_tail_the_window():
-    assert registry.WINDOW[len(ROTATED_R11):] == DISPLACED_R11
+def test_displaced_r12_tail_the_window():
+    assert registry.WINDOW[len(ROTATED_R12):] == DISPLACED_R12
 
 
-def test_rotated_r11_sit_in_driver_window():
+def test_rotated_r12_sit_in_driver_window():
     positions = {n: i for i, n in enumerate(registry.queries())}
     stragglers = {
-        n: positions.get(n) for n in ROTATED_R11 if positions.get(n, 99) >= 50
+        n: positions.get(n) for n in ROTATED_R12 if positions.get(n, 99) >= 50
     }
     assert not stragglers, f"outside driver window (first 50): {stragglers}"
-    assert list(registry.WINDOW[: len(ROTATED_R11)]) == list(ROTATED_R11)
+    assert list(registry.WINDOW[: len(ROTATED_R12)]) == list(ROTATED_R12)
 
 
 def test_window_has_no_duplicates_and_all_registered():
@@ -109,9 +100,9 @@ def test_window_has_no_duplicates_and_all_registered():
     assert set(registry.WINDOW) <= names
     # every rotated query stays oracle-twinned
     oracles = registry.oracle_sql()
-    missing = [n for n in ROTATED_R11 if n not in oracles]
+    missing = [n for n in ROTATED_R12 if n not in oracles]
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 
-def test_registry_complete_143():
-    assert len(registry.queries()) >= 143
+def test_registry_complete_144():
+    assert len(registry.queries()) >= 144

@@ -460,16 +460,11 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_from(load(spark, sf_dir, "documents"))
 
 
-def decontaminate_from(d: DataFrame) -> DataFrame:
-    """The ``decontaminate_ngram_overlap`` plan over an arbitrary
-    (doc_id, source, text) frame — exposed so the ×16 training-side
-    scale probe can drive the exact production plan."""
-    # TWO spark.sql statements (r11 build cut): the tracked gram table +
-    # everything above it. broadcast-join FIRST, dedup after: count
-    # (DISTINCT gh) over the matched stream ≡ count(*) over
-    # distinct-then-joined, but the distinct's exchange now carries only
-    # shared grams.
-    grams = cache.track(
+def _decon_grams(d: DataFrame) -> DataFrame:
+    """Tracked (doc_id, source, gh) 64-bit k-gram hash table both
+    decontamination variants consume (digest-materialized: it feeds the
+    eval and training branches)."""
+    return cache.track(
         d.sparkSession.sql(
             f"""
             SELECT doc_id, source,
@@ -486,6 +481,18 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
             docs=d,
         )
     )
+
+
+def decontaminate_from(d: DataFrame) -> DataFrame:
+    """The ``decontaminate_ngram_overlap`` plan over an arbitrary
+    (doc_id, source, text) frame — exposed so the ×16 training-side
+    scale probe can drive the exact production plan."""
+    # TWO spark.sql statements (r11 build cut): the tracked gram table +
+    # everything above it. broadcast-join FIRST, dedup after: count
+    # (DISTINCT gh) over the matched stream ≡ count(*) over
+    # distinct-then-joined, but the distinct's exchange now carries only
+    # shared grams.
+    grams = _decon_grams(d)
     return d.sparkSession.sql(
         f"""
         WITH eg AS (
@@ -496,6 +503,128 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
         FROM (SELECT doc_id, source, gh FROM {{grams}}
               WHERE NOT (source = '{EVAL_SOURCE}'))
         JOIN eg USING (gh)
+        GROUP BY doc_id, source
+        """,
+        grams=grams,
+    )
+
+
+# Bloom pre-filter sizing for the scale-shape decontamination twin.
+# BLOOM_BITS is a compile-time literal (the dense vector is
+# BLOOM_BITS/64 bigints = 32 KiB at 2^18 — a broadcast scalar); ~23
+# bits per distinct eval gram at the largest test SF (11.5k @ sf0.1)
+# → fpp ≈ 0.2% at k=3. The r12 sizing sweep (BENCH_AB.md): 2^20/k=5
+# 1.48 s, 2^18/k=5 1.07 s, 2^18/k=3 0.80 s, 2^16/k=3 0.82 s — probe
+# passes and vector build both scale with the literals, so size for
+# the eval corpus, not "bigger is safer".
+BLOOM_BITS = 1 << 18
+BLOOM_K = 3
+
+
+def _bloom_pos(j: int) -> str:
+    """j-th double-hash probe position for the gram hash ``gh`` —
+    xxhash64(gh, j) gives an independent 64-bit family per literal j."""
+    return f"pmod(xxhash64(gh, {j}), {BLOOM_BITS})"
+
+
+def _bloom_probe(p: str) -> str:
+    """Membership test of one precomputed position column ``p`` against
+    the broadcast DENSE bitmask vector ``bv`` (array<bigint>, 1-based
+    index). An array, not a map: Spark's ``element_at`` on MapData is a
+    LINEAR key scan (measured 4.5 s vs 0.3 s on the sf0.1 probe —
+    BENCH_AB.md r12); ArrayData indexing is O(1)."""
+    return (
+        f"(element_at(bv, CAST({p} DIV 64 AS INT) + 1) & "
+        f"shiftleft(CAST(1 AS BIGINT), CAST({p} % 64 AS INT))) <> 0"
+    )
+
+
+@register(
+    "decontaminate_bloom_prefilter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_TRANS_DUCK}, ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source, array_to_string(t[i:i+{DECON_K}-1], ' ') AS g
+      FROM toks, UNNEST(generate_series(1, len(t) - {DECON_K} + 1)) AS s(i)
+    ),
+    eg AS (SELECT DISTINCT g FROM grams WHERE source = '{EVAL_SOURCE}'),
+    tg AS (
+      SELECT DISTINCT doc_id, source, g
+      FROM grams WHERE source <> '{EVAL_SOURCE}'
+    )
+    SELECT doc_id, source, COUNT(*) AS n_shared
+    FROM tg JOIN eg USING (g)
+    GROUP BY doc_id, source
+    """,
+    tags=("text", "decontamination", "ngram", "bloom", "semi-join"),
+)
+def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination for the regime where the EVAL gram set is itself
+    too large to broadcast-join (VERDICT r11 missing-item 1): a Bloom
+    filter built from SQL primitives prunes the training gram stream
+    BEFORE the exact shuffle join that removes its false positives.
+    Output is identical to ``decontaminate_ngram_overlap`` (same oracle)
+    — the Bloom side is a pure pre-filter.
+
+    Construction (no native ``bloom_filter_agg`` — Spark 4.1 registers
+    that expression only inside runtime-filter injection, not in the
+    SQL function registry): each distinct eval gram hash sets BLOOM_K
+    double-hashed bit positions; positions fold into ≤ BLOOM_BITS/64
+    bigint words via partial-aggregated ``bit_or`` (the eval exchange
+    carries words, not grams — mergeable sketch semantics), and the
+    words densify into ONE broadcast scalar ``array<bigint>`` (sparse
+    word rows left-joined onto the full index spine, sorted, projected —
+    an array, not a map: MapData ``element_at`` is a linear key scan,
+    ArrayData indexing is O(1); 4.5 → 0.3 s measured, BENCH_AB.md r12).
+    Training grams test membership row-locally (k array probes + bit
+    tests, no explode); survivors — shared grams plus the
+    ~1% Bloom false positives — enter a SHUFFLE_HASH exact join keyed on
+    gh, deliberately NOT broadcast: this variant models the eval side
+    exceeding broadcast budget, and the pre-filter is what keeps that
+    co-partitioned exchange tiny (prune probe in SCALE_PROBE.md r12)."""
+    return decontaminate_bloom_from(load(spark, sf_dir, "documents"))
+
+
+def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
+    """The ``decontaminate_bloom_prefilter`` plan over an arbitrary
+    (doc_id, source, text) frame — exposed for the training-side scale
+    probe, mirroring ``decontaminate_from``."""
+    spark = d.sparkSession
+    grams = _decon_grams(d)
+    pos_cols = ", ".join(f"{_bloom_pos(j)} AS p{j}" for j in range(BLOOM_K))
+    probes = " AND ".join(_bloom_probe(f"p{j}") for j in range(BLOOM_K))
+    return spark.sql(
+        f"""
+        WITH eg AS (
+          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
+        ),
+        pos AS (
+          SELECT explode(array({", ".join(_bloom_pos(j) for j in range(BLOOM_K))})) AS p
+          FROM eg
+        ),
+        words AS (
+          SELECT CAST(p DIV 64 AS INT) AS w,
+                 bit_or(shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) AS mask
+          FROM pos GROUP BY w
+        ),
+        bloom AS (
+          SELECT transform(array_sort(collect_list(struct(s.w, dense.mask))),
+                           e -> e.mask) AS bv
+          FROM (SELECT explode(sequence(0, {BLOOM_BITS // 64 - 1})) AS w) s
+          LEFT JOIN (SELECT w, mask FROM words) dense USING (w)
+        ),
+        survivors AS (
+          SELECT doc_id, source, gh
+          FROM (SELECT doc_id, source, gh, {pos_cols}
+                FROM {{grams}} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
+          WHERE {probes}
+        )
+        SELECT /*+ SHUFFLE_HASH(eg) */ doc_id, source,
+               count(DISTINCT gh) AS n_shared
+        FROM survivors JOIN eg USING (gh)
         GROUP BY doc_id, source
         """,
         grams=grams,

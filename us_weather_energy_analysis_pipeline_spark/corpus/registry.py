@@ -120,110 +120,76 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-11 window (VERDICT r10 task 2 + ADVICE r10 medium): positions
-# 0-1 are the two queries registered this round (PII redaction,
-# URL/domain throttle — never driver-verified); positions 2-6 are the
-# FULL set of r10 plan-touched queries whose latest driver row is r9 —
-# the ADVICE r10 medium item: the token-stats kernel
-# (gopher_quality_filter, text_repetition_ratio), the shingle siphash
-# kernel + minhash CTE path (dedup_pipeline_e2e,
-# embed_dedup_pipeline_e2e), the ewma window fusion; positions 7-8 are
-# the r11 plan-touched r9-row queries (text_quality_score's CSE'd
-# one-statement plan, dedup_incremental_minhash's row-level shingle CTE
-# + single-statement form); positions 9-49 are the FULL 41-query cohort
-# whose latest driver row is r08 (the staleness frontier) — includes the
-# r10/r11-rewritten dedup_ngram_jaccard, dedup_winnow_pairs,
-# dedup_substring_spans and doc_span_dup_ratio — so after this round the
-# union has nothing staler than r9. Declared tail (positions 50+, first
-# in line past the sample): lag_diff_pct (r10-green) and yoy_monthly
-# (r9-green) — their r11 single-statement forms plan strictly BETTER
-# (one lag window expression instead of seven/four duplicated ones) and
-# are oracle-pinned,
-# dedup_minhash_lsh (its r11 plan deltas are
-# the identical rewritten subtree dedup_incremental_minhash and
-# dedup_pipeline_e2e execute inside the window), rfm_segments (r9-green,
-# plan UNCHANGED — r11 only profiled/adjudicated it), then the four r10
-# cogroup-kernel queries, which take the single-block fast path at
-# driver SF (the kernel is pinned by local pytest probes + the
-# plan-shape test, not by the sf0.01 driver run).
+# Round-12 window (VERDICT r11 tasks 1/2/3/6/7): position 0 is the one
+# query registered this round (the Bloom-prefilter decontamination twin,
+# never driver-verified); positions 1-2 are the two r12 plan-changed
+# queries (pii_redact_scrub's regexp_count counts, url_domain_throttle's
+# CTE-deduped rank + single-statement form); positions 3-4 are the two
+# r11 post-freeze plan changes the r11 VERDICT flagged (lag_diff_pct,
+# yoy_monthly — shared-lag-window plans, oracle-green locally, never
+# driver-verified at the new shape); positions 5-46 are the FULL
+# 42-query cohort whose latest driver row is r9 (the staleness
+# frontier; yoy_monthly already holds position 4) — after this round the
+# union has nothing staler than r10; positions 47-49 start the r10
+# frontier: tpch_q3_shipping_priority (task 3 — a fresh driver row for
+# the boundary-weak replicate) plus the alphabetical head of the
+# 50-query r10 cohort.
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
+    "decontaminate_bloom_prefilter",
+    # -- r12 plan-changed --
     "pii_redact_scrub",
     "url_domain_throttle",
-    # -- r10 plan-touched, last driver row r9 (ADVICE r10 medium) --
-    "gopher_quality_filter",
-    "text_repetition_ratio",
-    "dedup_pipeline_e2e",
-    "embed_dedup_pipeline_e2e",
-    "ewma_daily",
-    # -- r11 plan-touched, last driver row r9: the one-statement SQL
-    # conversion left text_quality_score with a strictly-better physical
-    # plan (split evaluated once, CSE on the ratio — BENCH_AB r11), and
-    # dedup_incremental_minhash got the row-level shingle CTE + its own
-    # single-statement form --
-    "text_quality_score",
-    "dedup_incremental_minhash",
-    # -- last driver row r08 (the full stale cohort, 41 queries) --
-    "above_group_avg",
-    "approx_distinct_hll_sanity",
-    "bin_quantity_case",
-    "bin_quantity_case_low",
-    "chi2_weekday_event",
-    "corpus_mix_summary",
-    "date_spine_completion",
-    "decontamination_check",
-    "dedup_cluster_assign",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_substring_spans",
-    "dedup_winnow_pairs",
-    "dist_percent_rank",
-    "distinct_event_types",
-    "distinct_kmv_estimate",
-    "doc_span_dup_ratio",
-    "entropy_user_events",
-    "filter_date_set",
-    "filtered_agg_status",
-    "full_outer_nation_counts",
-    "gini_customer_revenue",
-    "grouping_sets_flags",
-    "histogram_price",
-    "locf_gap_fill",
-    "markov_event_transitions",
-    "multimodal_blob_stats",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "sql_revenue_by_nation",
-    "sql_window_rank",
-    "stratified_sample_hash",
-    "streak_islands",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "token_budget_packing",
-    "top_k_orders",
-    "union_slices",
-    "zscore_outliers",
-    # -- declared tail (positions 50+), first in line past the sample --
-    # dedup_minhash_lsh's r11 plan deltas (row-level shingle CTE, one
-    # spark.sql statement) are the SAME rewritten subtree that
-    # dedup_incremental_minhash and dedup_pipeline_e2e (both inside the
-    # window) execute, so its unique surface is already driver-sampled
-    # through family; rfm_segments is r9-green with an UNCHANGED plan
-    # (r11 only profiled + adjudicated it). The four cogroup-kernel
-    # queries run the single-block fast path at driver SF — the kernel
-    # is pinned by local pytest probes
-    # (test_fallback_plan_uses_cogroup_kernel) rather than the driver
-    # sample. All still in the local 143-query oracle gate.
+    # -- r11 post-freeze plan changes, never driver-verified at shape --
     "lag_diff_pct",
     "yoy_monthly",
+    # -- last driver row r9 (the full stale cohort, 42 queries) --
+    "argmax_supplier",
+    "bigram_topk",
+    "cohort_retention",
+    "corpus_temperature_resample",
+    "dates_intersect",
+    "decontaminate_ngram_overlap",
+    "dedup_embed_cosine",
     "dedup_minhash_lsh",
-    "rfm_segments",
-    "embed_ivf_topk",
-    "embed_ivf_multiprobe_topk",
-    "embed_nearest_centroid_assign",
+    "dedup_simhash_pairs",
+    "doc_chunk_overlap",
+    "embed_centroid_by_label",
+    "embed_corr_pairs_topk",
+    "embed_cosine_topk",
+    "embed_dim_stats",
     "embed_hard_negative_mine",
+    "embed_int8_quantize",
+    "embed_ivf_multiprobe_topk",
+    "embed_ivf_topk",
+    "embed_lsh_bucket_topk",
+    "embed_lsh_multiprobe_topk",
+    "embed_nearest_centroid_assign",
+    "funnel_conversion",
+    "json_props_rollup",
+    "map_view_decorated",
+    "moments_skew_kurt",
+    "range_join_price_band",
+    "rfm_segments",
+    "text_fingerprint",
+    "text_heaps_fit",
+    "text_lang_id",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "topk_per_group",
+    "tpch_q13_custdist",
+    "tpch_q14_promo_revenue",
+    "tpch_q17_small_qty_revenue",
+    "tpch_q19_disjunctive",
+    "tpch_q22_dormant_customers",
+    "tpch_q4_order_priority",
+    "trailing_range_7d",
+    "vocab_prune_df_bounds",
+    # -- r10 frontier head (positions 47-49) --
+    "tpch_q3_shipping_priority",
+    "asof_join_last_view",
+    "chunk_dedup_ratio",
 )
 
 
