@@ -19,6 +19,7 @@ from us_weather_energy_analysis_pipeline_spark.corpus import registry
 # after this round the union has nothing staler than r10.
 ROTATED_R12 = (
     "decontaminate_bloom_prefilter",
+    "quantile_sketch_sample",
     "pii_redact_scrub",
     "url_domain_throttle",
     "lag_diff_pct",
@@ -67,7 +68,6 @@ ROTATED_R12 = (
     "vocab_prune_df_bounds",
     "tpch_q3_shipping_priority",
     "asof_join_last_view",
-    "chunk_dedup_ratio",
 )
 
 # No declared tail this round: the window is exactly the 50 driver
@@ -104,5 +104,5 @@ def test_window_has_no_duplicates_and_all_registered():
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 
-def test_registry_complete_144():
-    assert len(registry.queries()) >= 144
+def test_registry_complete_145():
+    assert len(registry.queries()) >= 145

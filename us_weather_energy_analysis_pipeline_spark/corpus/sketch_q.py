@@ -123,3 +123,76 @@ def approx_distinct_hll_sanity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("within_10pct"),
     )
+
+
+# Bottom-k-by-hash quantile sketch: keep the QSK_K rows with the
+# smallest md5(orderkey-linenumber) — a deterministic uniform sample
+# (the hash is the random tape), and a genuinely MERGEABLE sketch:
+# bottom-k of a union is the merge of per-part bottom-k's, which is
+# exactly how Spark executes ORDER BY h LIMIT k (per-partition top-k,
+# then merge). Quantile estimates are nearest-rank over the sample
+# (rank = ceil(p*n), ties broken by the hash), so both engines produce
+# bit-identical values with no interpolation-convention divergence.
+QSK_K = 1024
+QSK_PS = (0.5, 0.9, 0.99)
+
+
+@register(
+    "quantile_sketch_sample",
+    oracle=f"""
+    WITH sampled AS (
+      SELECT l_extendedprice AS v,
+             md5(CAST(l_orderkey AS VARCHAR) || '-' ||
+                 CAST(l_linenumber AS VARCHAR)) AS h
+      FROM lineitem ORDER BY h LIMIT {QSK_K}
+    ),
+    ranked AS (
+      SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM sampled
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM sampled),
+    targets AS (
+      SELECT CAST(p AS DOUBLE) AS p, CAST(ceil(p * n) AS INT) AS rn,
+             n AS sample_n
+      FROM (VALUES (0.5), (0.9), (0.99)) q(p), nn
+    )
+    SELECT p, v AS est_price, sample_n
+    FROM ranked JOIN targets USING (rn)
+    """,
+    tags=("sketch", "quantile", "approx", "mergeable"),
+)
+def quantile_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (VERDICT r11 missing-item 2): p50/p90/
+    p99 of ``l_extendedprice`` from a bottom-{QSK_K}-by-hash sample.
+    Sample error for quantile p at k=1024 is ~sqrt(p(1-p)/k) ≈ 1.6
+    rank-percentage points at the median — the KLL-class tradeoff with
+    a deterministic, cross-engine-exact construction (engine-private
+    t-digest/GK layouts can't be oracle-twinned, like the HLL case).
+
+    Scale shape: ORDER BY h LIMIT k plans as TakeOrderedAndProject —
+    each task keeps its local bottom-k and the merge is associative, so
+    the exchange carries at most k rows per partition regardless of
+    input volume; no global sort. The quantile extraction runs on the
+    ONE aggregated row (array_sort over ≤ k elements), not the data.
+    Empty input → zero rows on both engines (the n > 0 guard)."""
+    li = load(spark, sf_dir, "lineitem")
+    ps = ", ".join(f"{p!r}D" for p in QSK_PS)
+    return spark.sql(
+        f"""
+        WITH sampled AS (
+          SELECT l_extendedprice AS v,
+                 md5(concat(CAST(l_orderkey AS STRING), '-',
+                            CAST(l_linenumber AS STRING))) AS h
+          FROM {{li}} ORDER BY h LIMIT {QSK_K}
+        ),
+        agg AS (
+          SELECT array_sort(collect_list(struct(v, h))) AS a,
+                 count(*) AS n
+          FROM sampled
+        )
+        SELECT p, element_at(a, CAST(ceil(p * n) AS INT)).v AS est_price,
+               n AS sample_n
+        FROM agg LATERAL VIEW explode(array({ps})) q AS p
+        WHERE n > 0
+        """,
+        li=li,
+    )
