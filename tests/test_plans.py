@@ -443,3 +443,15 @@ def test_compact_parquet_range_clustering_disjoint_files(spark, tmp_path):
     n2 = compact_parquet(spark, path, cluster_by=("k",), target_bytes=1 << 16)
     assert n2 == 10_000
     assert len(glob.glob(f"{path}/*.parquet")) >= 2
+
+
+def test_bottom_k_sketches_plan_take_ordered(spark, sf_dir):
+    """quantile_sketch_sample and weighted_sample_aexpj both rest on
+    ORDER BY <key> LIMIT k planning as TakeOrderedAndProject —
+    per-partition bottom-k with an associative merge — never a global
+    Sort of the input (the scale-hazard shape)."""
+    for name in ("quantile_sketch_sample", "weighted_sample_aexpj"):
+        plan = _formatted(spark, name, sf_dir)
+        assert "TakeOrderedAndProject" in plan, name
+        body = plan.split("\n\n", 1)[1] if "\n\n" in plan else plan
+        assert "Sort [" not in body, name

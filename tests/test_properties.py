@@ -280,3 +280,32 @@ def test_ewma_epoch_boundary_continuity(spark):
     for i in (126, 127, 128, 129, 254, 255, 256, 257, 259):
         day = (base + dt.timedelta(days=i)).isoformat()
         assert got[day] == pytest.approx(want[i], abs=5.1e-5), i
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(1, 7), finite_doubles),
+        min_size=1,
+        max_size=120,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_bottom_k_hash_sketch_is_mergeable(spark, rows):
+    """quantile_sketch_sample's mergeability claim, as an algebraic
+    property on the sketch itself: bottom-k-by-hash of a UNION equals
+    bottom-k of the merged per-part bottom-k sketches — the identity
+    that makes ORDER BY h LIMIT k (per-partition top-k + merge) the
+    distributed execution of the sketch, and what lets sketches built
+    on separate corpus shards combine without a re-scan."""
+    import hashlib
+
+    k = 16
+    keyed = [
+        (hashlib.md5(f"{a}-{b}".encode()).hexdigest(), v) for a, b, v in rows
+    ]
+    # split into two "shards" any way at all — parity of the first id
+    part_a = [t for t, (x, *_), in zip(keyed, rows) if x % 2 == 0]
+    part_b = [t for t, (x, *_), in zip(keyed, rows) if x % 2 == 1]
+    bottom = lambda items: sorted(items)[:k]  # noqa: E731
+    assert bottom(part_a + part_b) == bottom(bottom(part_a) + bottom(part_b))

@@ -15,11 +15,12 @@ from us_weather_energy_analysis_pipeline_spark.corpus import registry
 # registered this round, the two r12 plan-changed queries, the two r11
 # post-freeze plan changes (lag_diff_pct, yoy_monthly), the FULL
 # 42-query r9-stale cohort, then the head of the r10 frontier
-# (tpch_q3's task-3 replicate row + two alphabetical-head fillers) —
+# (tpch_q3's task-3 replicate row) —
 # after this round the union has nothing staler than r10.
 ROTATED_R12 = (
     "decontaminate_bloom_prefilter",
     "quantile_sketch_sample",
+    "weighted_sample_aexpj",
     "pii_redact_scrub",
     "url_domain_throttle",
     "lag_diff_pct",
@@ -67,7 +68,6 @@ ROTATED_R12 = (
     "trailing_range_7d",
     "vocab_prune_df_bounds",
     "tpch_q3_shipping_priority",
-    "asof_join_last_view",
 )
 
 # No declared tail this round: the window is exactly the 50 driver
@@ -104,5 +104,5 @@ def test_window_has_no_duplicates_and_all_registered():
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 
-def test_registry_complete_145():
-    assert len(registry.queries()) >= 145
+def test_registry_complete_146():
+    assert len(registry.queries()) >= 146

@@ -120,25 +120,26 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-12 window (VERDICT r11 tasks 1/2/3/6/7): positions 0-1 are the
-# two queries registered this round (the Bloom-prefilter decontamination
-# twin and the bottom-k-by-hash mergeable quantile sketch, never
-# driver-verified); positions 2-3 are the two r12 plan-changed
+# Round-12 window (VERDICT r11 tasks 1/2/3/6/7): positions 0-2 are the
+# three queries registered this round (the Bloom-prefilter
+# decontamination twin, the bottom-k-by-hash mergeable quantile sketch,
+# the Efraimidis-Spirakis weighted sample — never driver-verified);
+# positions 3-4 are the two r12 plan-changed
 # queries (pii_redact_scrub's regexp_count counts, url_domain_throttle's
-# CTE-deduped rank + single-statement form); positions 4-5 are the two
+# CTE-deduped rank + single-statement form); positions 5-6 are the two
 # r11 post-freeze plan changes the r11 VERDICT flagged (lag_diff_pct,
 # yoy_monthly — shared-lag-window plans, oracle-green locally, never
-# driver-verified at the new shape); positions 6-47 are the FULL
+# driver-verified at the new shape); positions 7-48 are the FULL
 # 42-query cohort whose latest driver row is r9 (the staleness
 # frontier; yoy_monthly already holds position 4) — after this round the
-# union has nothing staler than r10; positions 48-49 start the r10
-# frontier: tpch_q3_shipping_priority (task 3 — a fresh driver row for
-# the boundary-weak replicate) plus the alphabetical head of the
-# 50-query r10 cohort.
+# union has nothing staler than r10; position 49 is the r10-frontier
+# head: tpch_q3_shipping_priority (task 3 — a fresh driver row for the
+# boundary-weak replicate).
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
     "decontaminate_bloom_prefilter",
     "quantile_sketch_sample",
+    "weighted_sample_aexpj",
     # -- r12 plan-changed --
     "pii_redact_scrub",
     "url_domain_throttle",
@@ -188,9 +189,8 @@ WINDOW: tuple[str, ...] = (
     "tpch_q4_order_priority",
     "trailing_range_7d",
     "vocab_prune_df_bounds",
-    # -- r10 frontier head (positions 48-49) --
+    # -- r10 frontier head (position 49) --
     "tpch_q3_shipping_priority",
-    "asof_join_last_view",
 )
 
 

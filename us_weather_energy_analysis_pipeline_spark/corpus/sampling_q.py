@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from us_weather_energy_analysis_pipeline_spark.corpus._util import r4
+from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
 from us_weather_energy_analysis_pipeline_spark.functions.text import (
     ascii_lower,
@@ -225,4 +225,86 @@ def token_budget_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.groupBy("source", "pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+# Efraimidis–Spirakis weighted sampling: k docs drawn with probability
+# proportional to weight, via the exponential-jumps key -ln(u)/w (the
+# smallest k keys ARE the weighted sample). u derives from md5(doc_id):
+# 12 hex digits parsed to an integer-valued double (< 2^53, exact),
+# +0.5, divided by 16^12 = 2^48 — a POWER OF TWO, so u is bit-identical
+# across engines with no rounding step. The weight is a deterministic
+# synthetic (1 + length % 97): the corpus has no weight column, and an
+# exact integer weight keeps the only libm call in the chain the single
+# ln(u). Sample size:
+WSAMPLE_K = 64
+_U_SCALE = 16**12  # = 2^48
+
+
+def _hex12_int_duck(e: str) -> str:
+    """First 12 hex digits of md5(e) as an exact integer-valued double
+    (DuckDB side; Spark uses conv(...,16,10))."""
+    return " + ".join(
+        f"(strpos('{_HEX}', substr(md5({e}), {i + 1}, 1)) - 1) * {16 ** (11 - i)}.0"
+        for i in range(12)
+    )
+
+
+@register(
+    "weighted_sample_aexpj",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             CAST(1 + (length(text) % 97) AS DOUBLE) AS w,
+             -ln(({_hex12_int_duck('CAST(doc_id AS VARCHAR)')} + 0.5)
+                 / {_U_SCALE}.0) AS neg_ln_u
+      FROM documents
+    )
+    SELECT doc_id, lang, w,
+           ROUND(neg_ln_u / w, 6) AS es_key
+    FROM keyed
+    ORDER BY neg_ln_u / w, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "reservoir", "deterministic"),
+)
+def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    exponential-jumps form): each doc gets key = -ln(u)/w and the
+    {WSAMPLE_K} SMALLEST keys are a sample where inclusion probability
+    is proportional to w — the training-mix primitive for "sample docs
+    proportional to quality/size weight", deterministic and
+    reproducible because u is hash-derived, not RNG state.
+
+    Cross-engine exactness: u is EXACT and bit-identical (integer-valued
+    double + 0.5, divided by 2^48); the single ln() is the only libm
+    call, so key order can differ only on ~1-ulp coincidences between
+    two docs' keys — probability ~n²·2⁻⁵², with a doc_id tie-break
+    making equal keys deterministic anyway. es_key is emitted through
+    the dround twin (the corpus display-rounding contract; DuckDB's
+    native ROUND is already the binary form); the ORDER BY runs on the
+    raw key.
+
+    Scale shape: ORDER BY key LIMIT k plans as TakeOrderedAndProject —
+    per-partition bottom-k with an associative merge (the distributed
+    form of the A-ES reservoir), no global sort, no shuffle of the
+    corpus."""
+    d = load(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        WITH keyed AS (
+          SELECT doc_id, lang,
+                 CAST(1 + (length(text) % 97) AS DOUBLE) AS w,
+                 -ln((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12),
+                                16, 10) AS DOUBLE) + 0.5)
+                     / {_U_SCALE}.0D) AS neg_ln_u
+          FROM {{docs}}
+        )
+        SELECT doc_id, lang, w,
+               {dround_sql('neg_ln_u / w', 6)} AS es_key
+        FROM keyed
+        ORDER BY neg_ln_u / w, doc_id
+        LIMIT {WSAMPLE_K}
+        """,
+        docs=d,
     )
