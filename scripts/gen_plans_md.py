@@ -108,6 +108,21 @@ SHOWCASE = {
         "O(k) state per partition — cardinality estimation with no global "
         "sort at any input size."
     ),
+    "decontaminate_bloom_prefilter": (
+        "SQL-primitive Bloom filter for the eval-set-beyond-broadcast "
+        "regime: eval grams fold into m/64 bit_or'd bigint words "
+        "(partial-aggregated, mergeable), densified to ONE broadcast "
+        "scalar array<bigint>; training grams probe it with O(1) array "
+        "indexing inside the scan stage, and only survivors (99.3% "
+        "pruned at sf0.1) reach the SHUFFLE_HASH exact join that removes "
+        "false positives."
+    ),
+    "quantile_sketch_sample": (
+        "Mergeable bottom-k-by-hash quantile sketch: ORDER BY hash LIMIT "
+        "k plans as TakeOrderedAndProject (per-partition bottom-k, "
+        "associative merge), then nearest-rank extraction runs on ONE "
+        "aggregated row — no global sort, no data-sized shuffle."
+    ),
     "tpch_q17_small_qty_revenue": (
         "Correlated scalar subquery decorrelated WITH pruning: the "
         "filtered part joins lineitem FIRST (Catalyst cannot push that "

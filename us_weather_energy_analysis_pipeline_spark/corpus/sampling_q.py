@@ -259,6 +259,7 @@ def _hex12_int_duck(e: str) -> str:
              -ln(({_hex12_int_duck('CAST(doc_id AS VARCHAR)')} + 0.5)
                  / {_U_SCALE}.0) AS neg_ln_u
       FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
     )
     SELECT doc_id, lang, w,
            ROUND(neg_ln_u / w, 6) AS es_key
@@ -283,7 +284,10 @@ def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
     making equal keys deterministic anyway. es_key is emitted through
     the dround twin (the corpus display-rounding contract; DuckDB's
     native ROUND is already the binary form); the ORDER BY runs on the
-    raw key.
+    raw key. Rows with a NULL doc_id (no hash) or NULL text (no
+    weight) are out of scope on BOTH engines — the engines disagree on
+    NULL sort placement (Spark FIRST, DuckDB LAST), so such rows must
+    never reach the bottom-k sort; the null-injection fuzz pins this.
 
     Scale shape: ORDER BY key LIMIT k plans as TakeOrderedAndProject —
     per-partition bottom-k with an associative merge (the distributed
@@ -299,6 +303,7 @@ def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 16, 10) AS DOUBLE) + 0.5)
                      / {_U_SCALE}.0D) AS neg_ln_u
           FROM {{docs}}
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
         )
         SELECT doc_id, lang, w,
                {dround_sql('neg_ln_u / w', 6)} AS es_key

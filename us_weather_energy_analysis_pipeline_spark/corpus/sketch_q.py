@@ -144,7 +144,10 @@ QSK_PS = (0.5, 0.9, 0.99)
       SELECT l_extendedprice AS v,
              md5(CAST(l_orderkey AS VARCHAR) || '-' ||
                  CAST(l_linenumber AS VARCHAR)) AS h
-      FROM lineitem ORDER BY h LIMIT {QSK_K}
+      FROM lineitem
+      WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+        AND l_extendedprice IS NOT NULL
+      ORDER BY h LIMIT {QSK_K}
     ),
     ranked AS (
       SELECT v, row_number() OVER (ORDER BY v, h) AS rn FROM sampled
@@ -173,7 +176,11 @@ def quantile_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange carries at most k rows per partition regardless of
     input volume; no global sort. The quantile extraction runs on the
     ONE aggregated row (array_sort over ≤ k elements), not the data.
-    Empty input → zero rows on both engines (the n > 0 guard)."""
+    Empty input → zero rows on both engines (the n > 0 guard). NULL
+    keys/values are excluded on BOTH engines (standard agg-statistic
+    semantics — and the engines disagree on NULL sort placement, Spark
+    FIRST vs DuckDB LAST, so a NULL-keyed row must never reach the
+    bottom-k sort; the null-injection fuzz pins this)."""
     li = load(spark, sf_dir, "lineitem")
     ps = ", ".join(f"{p!r}D" for p in QSK_PS)
     return spark.sql(
@@ -182,7 +189,10 @@ def quantile_sketch_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT l_extendedprice AS v,
                  md5(concat(CAST(l_orderkey AS STRING), '-',
                             CAST(l_linenumber AS STRING))) AS h
-          FROM {{li}} ORDER BY h LIMIT {QSK_K}
+          FROM {{li}}
+          WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            AND l_extendedprice IS NOT NULL
+          ORDER BY h LIMIT {QSK_K}
         ),
         agg AS (
           SELECT array_sort(collect_list(struct(v, h))) AS a,
