@@ -329,6 +329,27 @@ class TestKMVSketch:
         with pytest.raises(Exception, match="kmv_k_smallest"):
             kmv_k_smallest(skew, "k", k=4, over_factor=2).collect()
 
+    def test_backtick_in_column_name_is_escaped(self, spark):
+        """ADVICE r11: a string key containing a backtick must resolve
+        through the doubled-backtick quoting, matching the Column path's
+        result instead of producing a malformed statement."""
+        from pyspark.sql import functions as F
+
+        from us_weather_energy_analysis_pipeline_spark.operators.sketch import (
+            kmv_k_smallest,
+        )
+
+        odd = spark.range(20).select(F.col("id").alias("a`b"))
+        via_str = kmv_k_smallest(odd, "a`b", k=4, over_factor=2).collect()[0]
+        # same data under a plain name — the escaped statement must
+        # compute exactly this (pyspark's own column resolvers reject a
+        # raw backtick everywhere, so the renamed frame is the witness)
+        plain = kmv_k_smallest(
+            odd.withColumnRenamed("a`b", "k"), "k", k=4, over_factor=2
+        ).collect()[0]
+        assert list(via_str["ks"]) == list(plain["ks"])
+        assert via_str["n_kept"] == plain["n_kept"] == 4
+
 
 def test_connected_components_small_path_single_job(spark):
     """r6 gate shape: the small-graph path must materialize the edge
