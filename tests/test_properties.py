@@ -291,7 +291,7 @@ def test_ewma_epoch_boundary_continuity(spark):
         unique_by=lambda t: (t[0], t[1]),
     )
 )
-def test_bottom_k_hash_sketch_is_mergeable(spark, rows):
+def test_bottom_k_hash_sketch_is_mergeable(rows):
     """quantile_sketch_sample's mergeability claim, as an algebraic
     property on the sketch itself: bottom-k-by-hash of a UNION equals
     bottom-k of the merged per-part bottom-k sketches — the identity

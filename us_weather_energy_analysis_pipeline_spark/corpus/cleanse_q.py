@@ -611,8 +611,14 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
           FROM pos GROUP BY w
         ),
         bloom AS (
+          -- coalesce: words with NO set bits come back NULL from the left
+          -- join; leaving them NULL would make the probe predicate
+          -- three-valued (NULL & x <> 0 -> NULL), which happens to filter
+          -- correctly under AND-in-WHERE but would silently change
+          -- semantics if a probe were ever negated or projected. Zero
+          -- keeps membership tests two-valued.
           SELECT transform(array_sort(collect_list(struct(s.w, dense.mask))),
-                           e -> e.mask) AS bv
+                           e -> coalesce(e.mask, CAST(0 AS BIGINT))) AS bv
           FROM (SELECT explode(sequence(0, {BLOOM_BITS // 64 - 1})) AS w) s
           LEFT JOIN (SELECT w, mask FROM words) dense USING (w)
         ),

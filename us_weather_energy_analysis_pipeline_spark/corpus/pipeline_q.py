@@ -104,7 +104,10 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
     )
     clusters = dedup_clusters(verified)  # (doc_id, cluster_id, is_canonical)
-    return d.select("doc_id").join(clusters, "doc_id", "left").select(
+    # hint at the join site (the labeling op itself no longer hints — a
+    # non-join consumer would dangle it): labels are bounded by the
+    # candidate-pair count, tiny next to the corpus side.
+    return d.select("doc_id").join(F.broadcast(clusters), "doc_id", "left").select(
         "doc_id",
         F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
         F.coalesce("is_canonical", F.lit(1)).cast("int").alias("is_kept"),
@@ -220,8 +223,9 @@ def embed_dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id_a").alias("ia"), F.col("id_b").alias("ib"))
     )
     comp = connected_components(pairs, "ia", "ib")
+    # broadcast at the join site (see dedup_pipeline_e2e note above)
     return emb.select("vec_id").join(
-        comp, emb.vec_id == comp.node, "left"
+        F.broadcast(comp), emb.vec_id == comp.node, "left"
     ).select(
         "vec_id",
         F.coalesce("comp", F.col("vec_id")).alias("cluster_id"),

@@ -156,13 +156,15 @@ def _union_find_rows(spark, pairs) -> DataFrame:
         nodes.add(r[0])
         nodes.add(r[1])
     rows = [(n, find(n)) for n in sorted(nodes)]
-    # broadcast-hinted: the labeling is ≤ driver_threshold rows and its
-    # typical consumer left-joins it against the full corpus. local_df
-    # (Arrow LocalRelation) keeps size statistics visible and makes any
-    # downstream collect job-free; the hint is then belt-and-braces.
+    # NOT broadcast-hinted here: whether the labeling feeds a join is the
+    # CONSUMER's call (dedup_cluster_assign returns it directly — a hint
+    # attached here would dangle and fold off with a HintErrorLogger
+    # warning); join consumers hint at their own join site. local_df
+    # (Arrow LocalRelation) keeps size statistics visible, so even an
+    # unhinted join auto-broadcasts under the threshold.
     from us_weather_energy_analysis_pipeline_spark.session import local_df
 
-    return F.broadcast(local_df(spark, rows, "node long, comp long"))
+    return local_df(spark, rows, "node long, comp long")
 
 
 def dedup_clusters(
