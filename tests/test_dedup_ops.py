@@ -228,6 +228,97 @@ def test_frame_sample_bytes_explosion(spark):
     }
 
 
+def _ahash_ref(payload: bytes) -> tuple:
+    """Pure-Python reference of the aHash contract: 64 samples at
+    (n*k)//64, strict v*64 > sum threshold, 4x16-bit band packing."""
+    n = len(payload)
+    px = [payload[(n * k) // 64] for k in range(64)]
+    s = sum(px)
+    bits = [1 if v * 64 > s else 0 for v in px]
+    return tuple(
+        sum(bits[16 * b + j] << j for j in range(16)) for b in range(4)
+    )
+
+
+def test_ahash_bands_matches_reference(spark):
+    """ahash_bands: the vectorized Arrow kernel must equal the scalar
+    reference bit-for-bit; NULL and empty payloads yield no row; a
+    uniform payload (every sample equal) hashes to all-zero bands
+    (strict > is false at the mean)."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        ahash_bands,
+    )
+
+    payloads = [
+        (1, b"abcdef" * 20),
+        (2, bytes(range(200))),
+        (3, b"\x00" * 50),  # uniform -> all bands 0
+        (4, None),  # dropped
+        (5, b""),  # dropped
+        (6, b"Z"),  # single byte: every sample is that byte -> bands 0
+        (7, "emoji 🎉 mixed with ascii".encode()),
+    ]
+    blobs = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {
+        r["doc_id"]: (r["b0"], r["b1"], r["b2"], r["b3"])
+        for r in ahash_bands(blobs).collect()
+    }
+    assert set(got) == {1, 2, 3, 6, 7}
+    for doc_id, p in payloads:
+        if p:
+            assert got[doc_id] == _ahash_ref(p), doc_id
+    assert got[3] == (0, 0, 0, 0)
+    assert got[6] == (0, 0, 0, 0)
+
+
+def test_phash_near_pairs_banded(spark):
+    """phash_near_pairs: a planted pair differing by 1 bit in each of 3
+    bands (hamming 3, only band 3 shared) is found through its shared
+    band; a pair sharing a band but at hamming 9 is verified away; docs
+    sharing no band never become candidates; and dropping the shared
+    band's bucket via bucket_cap suppresses the planted pair."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    rows = [
+        (100, 8, 16, 32, 77),
+        (101, 9, 17, 33, 77),  # hamming 3 vs 100, shares ONLY b3
+        (200, 8, 500, 600, 700),  # shares b0 with 100; hamming way over
+        (300, 1111, 2222, 3333, 4444),  # shares nothing
+    ]
+    # filler docs crowd the b3=77 bucket (far from everything pairwise)
+    rows += [(400 + i, 5000 + 64 * i, 6000 + 64 * i, 7000 + 64 * i, 77) for i in range(5)]
+    bands = spark.createDataFrame(
+        rows, "doc_id long, b0 int, b1 int, b2 int, b3 int"
+    )
+    got = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in phash_near_pairs(bands).collect()}
+    assert got == {(100, 101): 3}
+    # b3=77 bucket holds 7 docs; cap at 4 drops it, and the planted pair
+    # shares no other band -> no candidates survive
+    assert phash_near_pairs(bands, bucket_cap=4).count() == 0
+
+
+def test_phash_image_bands_gate(spark):
+    """phash_image_bands mirrors the PIL gate of decode_image: real
+    decode when Pillow is importable, NotImplementedError otherwise."""
+    import pytest as _pytest
+
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        phash_image_bands,
+    )
+
+    blobs = spark.createDataFrame([(1, b"\x89PNG")], "doc_id long, payload binary")
+    try:
+        import PIL  # noqa: F401
+    except ImportError:
+        with _pytest.raises(NotImplementedError):
+            phash_image_bands(blobs)
+        return
+    # PIL present: undecodable payload yields zero rows, not a failure
+    assert phash_image_bands(blobs).count() == 0
+
+
 def test_pil_decode_paths(spark):
     """decode_image/resize_images are real when Pillow exists, honest
     NotImplementedError otherwise (this container has no PIL)."""

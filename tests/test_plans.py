@@ -445,6 +445,33 @@ def test_compact_parquet_range_clustering_disjoint_files(spark, tmp_path):
     assert len(glob.glob(f"{path}/*.parquet")) >= 2
 
 
+def test_grouped_sample_plan_prunes_before_lang_window(spark, sf_dir):
+    """weighted_sample_by_group: the full corpus must NEVER shuffle —
+    the only exchange is the lang window over the batch-pruned
+    survivors, downstream of the MapInPandas prune (the skew-safe
+    grouped-bottom-k shape shared with topk_per_group)."""
+    plan = _formatted(spark, "weighted_sample_by_group", sf_dir)
+    assert "MapInPandas" in plan
+    tree = plan.split("\n\n", 1)[0]
+    exchanges = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    # the prune feeds the exchange, not the other way round
+    assert tree.index("MapInPandas") > tree.index("Exchange")
+
+
+def test_phash_dedup_plan_partitions_by_fingerprint(spark, sf_dir):
+    """multimodal_phash_dedup: one Arrow kernel stage over the scanned
+    bytes, then ONE exchange keyed on the fingerprint bands (the
+    groupBy-digest posture of exact dedup) — no extra shuffle, no
+    unpartitioned window."""
+    plan = _formatted(spark, "multimodal_phash_dedup", sf_dir)
+    assert "MapInPandas" in plan
+    tree = plan.split("\n\n", 1)[0]
+    exchanges = [l for l in tree.splitlines() if "Exchange" in l]
+    assert len(exchanges) == 1, exchanges
+    assert "hashpartitioning(b0" in plan
+
+
 def test_bottom_k_sketches_plan_take_ordered(spark, sf_dir):
     """quantile_sketch_sample and weighted_sample_aexpj both rest on
     ORDER BY <key> LIMIT k planning as TakeOrderedAndProject —

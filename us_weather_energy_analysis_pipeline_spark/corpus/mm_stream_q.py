@@ -88,6 +88,94 @@ def multimodal_fake_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        AND octet_length(encode(text)) > 0
+    ),
+    px AS (
+      SELECT doc_id, k,
+             (strpos('0123456789ABCDEF', substr(hx, 2*((n*k)//64)+1, 1)) - 1) * 16
+             + (strpos('0123456789ABCDEF', substr(hx, 2*((n*k)//64)+2, 1)) - 1) AS v
+      FROM d, UNNEST(generate_series(0, 63)) AS t(k)
+    ),
+    bits AS (
+      SELECT doc_id, k,
+             CASE WHEN v * 64 > SUM(v) OVER (PARTITION BY doc_id)
+                  THEN 1 ELSE 0 END AS bit
+      FROM px
+    ),
+    bands AS (
+      SELECT doc_id, k // 16 AS band_no,
+             SUM(bit * (1 << (k % 16))) AS band_val
+      FROM bits GROUP BY doc_id, k // 16
+    ),
+    fp AS (
+      SELECT doc_id,
+             CAST(MAX(CASE WHEN band_no = 0 THEN band_val END) AS INTEGER) AS b0,
+             CAST(MAX(CASE WHEN band_no = 1 THEN band_val END) AS INTEGER) AS b1,
+             CAST(MAX(CASE WHEN band_no = 2 THEN band_val END) AS INTEGER) AS b2,
+             CAST(MAX(CASE WHEN band_no = 3 THEN band_val END) AS INTEGER) AS b3
+      FROM bands GROUP BY doc_id
+    )
+    SELECT doc_id, b0, b1, b2, b3,
+           MIN(doc_id) OVER w AS cluster_id,
+           CAST(doc_id = MIN(doc_id) OVER w AS INTEGER) AS is_canonical,
+           COUNT(*) OVER w AS n_cluster
+    FROM fp
+    WINDOW w AS (PARTITION BY b0, b1, b2, b3)
+    """,
+    tags=("multimodal", "phash", "dedup", "mapInPandas"),
+)
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup (LAION-class): aHash fingerprint over
+    the payload bytes (operators/multimodal.ahash_bands — the
+    deterministic codec-free twin of the import-gated PIL path
+    ``phash_image_bands``), then dedup assignment by exact fingerprint:
+    every doc gets its 64-bit fingerprint (as four 16-bit bands), its
+    cluster id (smallest doc_id sharing the fingerprint), the canonical
+    flag, and the cluster size. The oracle recomputes the identical
+    integer arithmetic in pure SQL (hex-pair byte parse, strict
+    ``v*64 > sum`` threshold, band packing), fully value-checking the
+    Arrow kernel end-to-end — the ``multimodal_fake_decode`` pattern.
+
+    Byte exclusions match on BOTH engines: NULL doc_id (cluster ids are
+    doc_ids), NULL text (no payload), empty payload (no bytes to
+    sample). Scale shape: one Python stage over the scanned bytes, then
+    ONE exchange partitioned by the fingerprint itself — identical to
+    exact text dedup's groupBy-digest posture, no skew beyond true dup
+    clusters. The banded NEAR-dup pairing over the same bands (Hamming
+    ≤ 3 via per-band LSH buckets, hot-bucket capped) is
+    ``phash_near_pairs``, operator-tested — the synthetic corpus has no
+    sub-threshold near-identical payloads at the correctness SFs, so
+    the registered dedup surface is the exact-fingerprint form."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        ahash_bands,
+        to_blob_table,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(
+        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
+    )
+    blobs = to_blob_table(d).filter(F.col("n_bytes") > 0)
+    fp = ahash_bands(blobs.select("doc_id", "payload"))
+    return spark.sql(
+        """
+        SELECT doc_id, b0, b1, b2, b3,
+               min(doc_id) OVER w AS cluster_id,
+               CAST(doc_id = min(doc_id) OVER w AS INT) AS is_canonical,
+               count(*) OVER w AS n_cluster
+        FROM {fp}
+        WINDOW w AS (PARTITION BY b0, b1, b2, b3)
+        """,
+        fp=fp,
+    )
+
+
+@register(
     "sessionize_gap",
     oracle="""
     WITH ordered AS (

@@ -313,3 +313,100 @@ def weighted_sample_aexpj(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         docs=d,
     )
+
+
+# Per-group (stratified) variant: k docs PER LANGUAGE, weighted within the
+# group — the form a training-mix job actually runs ("16 best-weighted docs
+# from each language"). Same A-ES key, same bit-exact u.
+WSAMPLE_GROUP_K = 16
+
+
+@register(
+    "weighted_sample_by_group",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT lang, doc_id,
+             CAST(1 + (length(text) % 97) AS DOUBLE) AS w,
+             -ln(({_hex12_int_duck('CAST(doc_id AS VARCHAR)')} + 0.5)
+                 / {_U_SCALE}.0) AS neg_ln_u
+      FROM documents
+      WHERE doc_id IS NOT NULL AND text IS NOT NULL
+    )
+    SELECT lang,
+           CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                ORDER BY neg_ln_u / w, doc_id) AS INTEGER) AS rnk,
+           doc_id, w,
+           ROUND(neg_ln_u / w, 6) AS es_key
+    FROM keyed
+    QUALIFY rnk <= {WSAMPLE_GROUP_K}
+    """,
+    tags=("sampling", "weighted", "stratified", "window", "deterministic"),
+)
+def weighted_sample_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement: the
+    {WSAMPLE_GROUP_K} smallest Efraimidis–Spirakis keys PER LANGUAGE —
+    the stratified training-mix primitive ("k docs from each stratum,
+    weighted"), vs ``weighted_sample_aexpj``'s single global reservoir.
+    Key, weight, and the bit-exact hash-derived u are identical to the
+    global variant (see its docstring for the exactness argument); NULL
+    doc_id / NULL text rows are excluded on BOTH engines before any
+    ordering (Spark sorts NULLs first, DuckDB last). A NULL lang is a
+    GROUP, not an order key — both engines pool window-partition NULLs —
+    so it needs no exclusion.
+
+    Scale shape: the naive form is one window partitioned by lang —
+    n_langs partitions, so the full corpus funnels into a handful of
+    sort tasks (the skew that kills grouped top-k at 100 TB, same
+    adjudication as ``topk_per_group``). Phase 1 prunes each Arrow batch
+    to its per-lang bottom-k in-task — lossless, since a group's global
+    bottom-k is a subset of the union of batch bottom-k's — so the lang
+    window ranks ≤ k × n_batches survivors; the corpus itself never
+    shuffles. Reference parity: the reference has no sampling stage at
+    all (`src/pipeline.py:11-111`); this is the LLM-training-data
+    extension surface."""
+    d = load(spark, sf_dir, "documents")
+    keyed = spark.sql(
+        f"""
+        SELECT lang, doc_id, w, neg_ln_u / w AS es
+        FROM (
+          SELECT lang, doc_id,
+                 CAST(1 + (length(text) % 97) AS DOUBLE) AS w,
+                 -ln((CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 12),
+                                16, 10) AS DOUBLE) + 0.5)
+                     / {_U_SCALE}.0D) AS neg_ln_u
+          FROM {{docs}}
+          WHERE doc_id IS NOT NULL AND text IS NOT NULL
+        )
+        """,
+        docs=d,
+    )
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf):
+                # exact batch-local twin of the window ordering (es asc,
+                # doc_id asc; both non-null by the pushed filter);
+                # dropna=False keeps a NULL lang as its own group,
+                # matching Window.partitionBy's NULL pooling
+                yield (
+                    pdf.sort_values(["es", "doc_id"])
+                    .groupby("lang", sort=False, dropna=False)
+                    .head(WSAMPLE_GROUP_K)
+                )
+
+    cand = keyed.mapInPandas(
+        prune, "lang string, doc_id long, w double, es double"
+    )
+    return spark.sql(
+        f"""
+        SELECT lang, rnk, doc_id, w, {dround_sql('es', 6)} AS es_key
+        FROM (
+          SELECT lang, doc_id, w, es,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY es, doc_id) AS rnk
+          FROM {{cand}}
+        )
+        WHERE rnk <= {WSAMPLE_GROUP_K}
+        """,
+        cand=cand,
+    )

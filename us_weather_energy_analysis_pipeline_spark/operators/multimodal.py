@@ -92,6 +92,160 @@ def fake_decode_meta(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(_decode_batch, DECODE_META_SCHEMA)
 
 
+AHASH_BANDS_SCHEMA = "doc_id bigint, b0 int, b1 int, b2 int, b3 int"
+AHASH_CELLS = 64  # 8x8 grid -> 64-bit fingerprint, emitted as 4x16-bit bands
+
+
+def ahash_bands(blobs: DataFrame) -> DataFrame:
+    """Perceptual average-hash (aHash) over opaque payload bytes — the
+    LAION-class image-dedup fingerprint, with the byte grid standing in
+    for the decoded-pixel grid (codec-free twin of :func:`phash_image_bands`,
+    same relationship as ``fake_decode_meta`` to ``decode_image``).
+
+    Per payload: sample 64 bytes at positions ``(n*k) DIV 64`` (a
+    nearest-neighbor downsample of the byte stream), set bit k iff
+    ``sample_k * 64 > sum(samples)`` — the strict integer form of
+    "pixel above the mean", so the fingerprint is EXACT integer
+    arithmetic, reproducible across engines with no float contract.
+    The 64-bit fingerprint is emitted as four 16-bit band ints
+    (b0..b3): avoids signed-overflow corner cases at bit 63 on both
+    engines AND is already the banding an LSH near-dup join needs
+    (Hamming distance ≤ 3 ⟹ at least one of 4 bands identical, by
+    pigeonhole).
+
+    mapInPandas kernel: Arrow moves the binary column in columnar
+    batches; per batch the 64-sample gather is the only per-row step —
+    thresholding and band packing are one vectorized matmul over the
+    whole batch. NULL/empty payloads yield no fingerprint row (callers
+    filter them out JVM-side; the guard here keeps a fuzzed batch from
+    crashing the task)."""
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        ar = np.arange(AHASH_CELLS)
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            ids, rows = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                if p is None or len(p) == 0:
+                    continue
+                a = np.frombuffer(p, np.uint8)
+                rows.append(a[(len(a) * ar) // AHASH_CELLS])
+                ids.append(doc_id)
+            if not ids:
+                continue
+            m = np.stack(rows).astype(np.int64)  # batch x 64
+            bits = (m * AHASH_CELLS > m.sum(axis=1, keepdims=True)).astype(
+                np.int64
+            )
+            out = {"doc_id": ids}
+            for b in range(4):
+                out[f"b{b}"] = bits[:, 16 * b : 16 * b + 16] @ w16
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_batch, AHASH_BANDS_SCHEMA)
+
+
+def phash_image_bands(blobs: DataFrame) -> DataFrame:
+    """REAL image aHash (PIL behind an import-try, like
+    :func:`decode_image`): decode payload → grayscale → 8×8 nearest
+    resize → the same strict integer threshold and 4×16-bit band packing
+    as :func:`ahash_bands` (only the pixel source differs, so the
+    banded-dedup machinery downstream is shared). Undecodable payloads
+    yield no row. Raises NotImplementedError when Pillow is absent."""
+    try:
+        import PIL.Image  # noqa: F401, PLC0415
+    except ImportError as e:
+        raise NotImplementedError(
+            "phash_image_bands requires Pillow; use ahash_bands for the "
+            "codec-free fingerprint plumbing"
+        ) from e
+
+    def _batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import numpy as np
+        from PIL import Image
+
+        w16 = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            ids, rows = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    with Image.open(io.BytesIO(p)) as im:
+                        g = im.convert("L").resize(
+                            (8, 8), Image.Resampling.NEAREST
+                        )
+                        rows.append(
+                            np.asarray(g, dtype=np.int64).reshape(64)
+                        )
+                        ids.append(doc_id)
+                except Exception:
+                    continue
+            if not ids:
+                continue
+            m = np.stack(rows)
+            bits = (m * AHASH_CELLS > m.sum(axis=1, keepdims=True)).astype(
+                np.int64
+            )
+            out = {"doc_id": ids}
+            for b in range(4):
+                out[f"b{b}"] = bits[:, 16 * b : 16 * b + 16] @ w16
+            yield pd.DataFrame(out)
+
+    return blobs.mapInPandas(_batch, AHASH_BANDS_SCHEMA)
+
+
+def phash_near_pairs(
+    bands: DataFrame, ham_max: int = 3, bucket_cap: int = 128
+) -> DataFrame:
+    """Banded near-dup pairing over aHash fingerprints: candidate pairs
+    share at least one of the 4 bands (for ``ham_max`` ≤ 3 this is
+    EXACT by pigeonhole — ≤ 3 differing bits cannot touch all 4 bands);
+    candidates are verified by true Hamming distance (bit_count over the
+    4 per-band XORs) and deduped across multiply-matching bands.
+
+    100 TB posture: the self-join is keyed on (band_no, band_val) — the
+    standard LSH bucket exchange, never all-pairs. Buckets larger than
+    ``bucket_cap`` are dropped from candidate generation (web-scale
+    corpora have degenerate fingerprints — blank thumbnails — whose
+    buckets would pair quadratically; same discipline as the hot-shingle
+    anti-join in corpus/dedup_q.py). The cap is a visible semantic
+    parameter, not a silent truncation: members of a dropped bucket can
+    still pair through their other three bands."""
+    spark = bands.sparkSession
+    return spark.sql(
+        f"""
+        WITH exploded AS (
+          SELECT doc_id, b0, b1, b2, b3, band_no,
+                 CASE band_no WHEN 0 THEN b0 WHEN 1 THEN b1
+                              WHEN 2 THEN b2 ELSE b3 END AS band_val
+          FROM {{bands}}
+          LATERAL VIEW explode(array(0, 1, 2, 3)) t AS band_no
+        ),
+        kept AS (
+          SELECT * FROM (
+            SELECT *, count(*) OVER (PARTITION BY band_no, band_val) AS bsz
+            FROM exploded
+          ) WHERE bsz <= {bucket_cap}
+        )
+        SELECT doc_a, doc_b, CAST(min(hamming) AS INT) AS hamming
+        FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+                 + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
+          FROM kept a JOIN kept b
+            ON a.band_no = b.band_no AND a.band_val = b.band_val
+               AND a.doc_id < b.doc_id
+        )
+        WHERE hamming <= {ham_max}
+        GROUP BY doc_a, doc_b
+        """,
+        bands=bands,
+    )
+
+
 def decode_image(blobs: DataFrame) -> DataFrame:
     """REAL image decode (PIL behind an import-try): mapInPandas over the
     binary payload → (doc_id, n_bytes, width, height, mode); undecodable
