@@ -152,14 +152,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``phash_near_pairs``, operator-tested — the synthetic corpus has no
     sub-threshold near-identical payloads at the correctness SFs, so
     the registered dedup surface is the exact-fingerprint form."""
+    return multimodal_phash_dedup_from(load(spark, sf_dir, "documents"))
+
+
+def multimodal_phash_dedup_from(d: DataFrame) -> DataFrame:
+    """The ``multimodal_phash_dedup`` plan over an arbitrary
+    (doc_id, text) frame — exposed for the training-side scale probe,
+    mirroring ``decontaminate_bloom_from``."""
     from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
         ahash_bands,
         to_blob_table,
     )
 
-    d = load(spark, sf_dir, "documents").filter(
-        F.col("doc_id").isNotNull() & F.col("text").isNotNull()
-    )
+    spark = d.sparkSession
+    d = d.filter(F.col("doc_id").isNotNull() & F.col("text").isNotNull())
     blobs = to_blob_table(d).filter(F.col("n_bytes") > 0)
     fp = ahash_bands(blobs.select("doc_id", "payload"))
     return spark.sql(

@@ -364,7 +364,14 @@ def weighted_sample_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles. Reference parity: the reference has no sampling stage at
     all (`src/pipeline.py:11-111`); this is the LLM-training-data
     extension surface."""
-    d = load(spark, sf_dir, "documents")
+    return weighted_sample_by_group_from(load(spark, sf_dir, "documents"))
+
+
+def weighted_sample_by_group_from(d: DataFrame) -> DataFrame:
+    """The ``weighted_sample_by_group`` plan over an arbitrary
+    (doc_id, lang, text) frame — exposed for the training-side scale
+    probe, mirroring ``decontaminate_bloom_from``."""
+    spark = d.sparkSession
     keyed = spark.sql(
         f"""
         SELECT lang, doc_id, w, neg_ln_u / w AS es
