@@ -190,6 +190,23 @@ SHOWCASE = {
         "+ exact fold re-score) - zero post-kernel shuffles; the only "
         "exchange anywhere is the bounded pool-build window."
     ),
+    "multimodal_phash_dedup": (
+        "r13 perceptual-hash dedup: the aHash kernel (integer-exact "
+        "byte-grid, vectorized per Arrow batch) pipelines INSIDE the "
+        "scan stage - MapInPandas sits above the parquet scan with no "
+        "exchange between them; the ONE exchange is keyed on the "
+        "fingerprint bands themselves (exact dedup's groupBy-digest "
+        "posture), so shuffle volume is one 4-int row per doc and skew "
+        "is bounded by true dup-cluster size."
+    ),
+    "weighted_sample_by_group": (
+        "r13 per-group A-ES sample: the per-batch bottom-k prune "
+        "(lossless - a group's global bottom-k is a subset of the union "
+        "of batch bottom-k's) runs inside the scan stage, so the lang "
+        "window's single exchange carries <= k x n_batches survivor "
+        "rows, never the corpus - the skew-safe grouped top-k shape "
+        "shared with topk_per_group."
+    ),
 }
 
 
