@@ -602,8 +602,16 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
           SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
         ),
         pos AS (
+          -- r13 exchange fold (VERDICT r12 task 5 parenthetical): positions
+          -- come from the RAW eval gram stream, not the distinct set —
+          -- bit_or absorbs duplicate grams, so the mask is identical, and
+          -- the build no longer waits on the gram-distinct exchange: its
+          -- only exchange is the word fold, bounded at BLOOM_BITS/64 rows
+          -- per partition REGARDLESS of eval-set size (measured 1.09 →
+          -- 0.98 s at sf0.1, results bit-identical; BENCH_AB.md r13).
+          -- eg stays: the exact join still wants the deduplicated set.
           SELECT explode(array({", ".join(_bloom_pos(j) for j in range(BLOOM_K))})) AS p
-          FROM eg
+          FROM (SELECT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}')
         ),
         words AS (
           SELECT CAST(p DIV 64 AS INT) AS w,

@@ -130,11 +130,15 @@ _LOADED = False
 # here: their driver rows are r12-fresh (CORRECTNESS_r12 green); their
 # replicates are clean-floor bench recordings, not window slots.
 # Deferred rotation debt for r14: decontaminate_bloom_prefilter's plan
-# changed this round (Bloom word NULL→0 coalesce, ADVICE r12) and the
-# two e2e pipelines' broadcast hints moved to their join sites — all
-# three re-verified green vs the oracle at sf0.001/0.01/0.1 locally,
-# but the 50 slots are exhausted by the cohort + new registrations, so
-# they take r14 window head positions.
+# changed this round (Bloom word NULL→0 coalesce, ADVICE r12; eval-side
+# exchange fold, VERDICT r12 task 5) and the two e2e pipelines'
+# broadcast hints moved to their join sites — all re-verified green vs
+# the oracle at sf0.001/0.01/0.1 locally (the pipelines' physical plans
+# are byte-identical per the PLANS.md regen diff), but the 50 slots are
+# exhausted by the cohort + new registrations. r14 window: bloom at the
+# head + the 48-query r11-stale cohort (which already contains both
+# pipelines and dedup_cluster_assign) = 49, leaving ONE slot for an r14
+# registration.
 WINDOW: tuple[str, ...] = (
     # -- registered this round, never driver-verified --
     "multimodal_phash_dedup",
