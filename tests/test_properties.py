@@ -309,3 +309,64 @@ def test_bottom_k_hash_sketch_is_mergeable(rows):
     part_b = [t for t, (x, *_), in zip(keyed, rows) if x % 2 == 1]
     bottom = lambda items: sorted(items)[:k]  # noqa: E731
     assert bottom(part_a + part_b) == bottom(bottom(part_a) + bottom(part_b))
+
+
+def _hamming64(a: tuple, b: tuple) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(*([st.integers(0, 0xFFFF)] * 4)), min_size=2, max_size=12
+    ),
+    st.data(),
+)
+def test_phash_banding_pigeonhole_is_exact(spark, bases, data):
+    """phash_near_pairs' recall claim as a property: for ham_max = 3,
+    EVERY pair at Hamming distance ≤ 3 shares at least one of the 4
+    16-bit bands (pigeonhole: 3 differing bits cannot touch 4 bands),
+    so the banded candidate join equals the brute-force answer exactly.
+    The generator plants near-dups by flipping ≤ 3 random bits of base
+    fingerprints — pure-random 64-bit pairs almost never land within
+    distance 3, so planting is what makes the property bite."""
+    from us_weather_energy_analysis_pipeline_spark.operators.multimodal import (
+        phash_near_pairs,
+    )
+
+    rows = list(enumerate(bases))
+    next_id = len(rows)
+    for i, fp in list(rows):
+        if data.draw(st.booleans(), label=f"mutate_{i}"):
+            nflips = data.draw(st.integers(0, 3), label=f"nflips_{i}")
+            positions = data.draw(
+                st.lists(
+                    st.integers(0, 63),
+                    min_size=nflips,
+                    max_size=nflips,
+                    unique=True,
+                ),
+                label=f"bits_{i}",
+            )
+            mutated = list(fp)
+            for p in positions:
+                mutated[p // 16] ^= 1 << (p % 16)
+            rows.append((next_id, tuple(mutated)))
+            next_id += 1
+    # brute-force reference over ALL pairs
+    want = {}
+    for i, (ida, fa) in enumerate(rows):
+        for idb, fb in rows[i + 1 :]:
+            h = _hamming64(fa, fb)
+            if h <= 3:
+                lo, hi = (ida, idb) if ida < idb else (idb, ida)
+                want[(lo, hi)] = h
+    bands = spark.createDataFrame(
+        [(i, *fp) for i, fp in rows],
+        "doc_id long, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in phash_near_pairs(bands).collect()
+    }
+    assert got == want
