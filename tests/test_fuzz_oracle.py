@@ -285,7 +285,13 @@ def test_empty_documents_table_matches_oracle(spark, tmp_path):
     phantom-row class of bug (fixed in r4) but for the text pipeline."""
     sf_dir = _make_dir(tmp_path, 99, 0.5, empty=("documents",))
     names = ["dedup_exact", "dedup_ngram_jaccard", "text_tfidf_topk",
-             "grouping_sets_flags"]
+             "grouping_sets_flags",
+             # r12/r13 registrations: bottom-k samplers must emit zero
+             # rows (not a phantom reservoir), the phash Arrow kernel
+             # must tolerate a batch-less scan (np.stack on an empty
+             # batch list is the crash shape the in-kernel guard covers)
+             "weighted_sample_aexpj", "weighted_sample_by_group",
+             "multimodal_phash_dedup", "quantile_sketch_sample"]
     assert _check(spark, sf_dir, names) == []
 
 
