@@ -370,3 +370,51 @@ def test_phash_banding_pigeonhole_is_exact(spark, bases, data):
         for r in phash_near_pairs(bands).collect()
     }
     assert got == want
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 500),                      # doc_id
+            st.sampled_from(["en", "de", None]),      # lang
+            st.floats(0.001, 40.0, allow_nan=False),  # es key
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(1, 5),  # number of arbitrary batch splits
+)
+def test_grouped_bottom_k_batch_prune_is_lossless(rows, n_batches):
+    """weighted_sample_by_group's correctness-critical identity, as a
+    pure-pandas property: a group's global bottom-k is a subset of the
+    union of per-batch bottom-k's, for EVERY way of batching the input —
+    so pruning each Arrow batch to its per-group head(k) before the lang
+    window can never change the final ranking. (The Spark plan is pinned
+    separately; this pins the algebra the plan relies on.)"""
+    import pandas as pd
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.sampling_q import (
+        WSAMPLE_GROUP_K as K,
+    )
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "lang", "es"])
+
+    def bottom_k(frame):
+        return (
+            frame.sort_values(["es", "doc_id"])
+            .groupby("lang", sort=False, dropna=False)
+            .head(K)
+        )
+
+    # arbitrary contiguous batching (hypothesis controls the cut count;
+    # contiguity is WLOG — any partition of rows is a relabeling)
+    cuts = [round(i * len(pdf) / n_batches) for i in range(n_batches + 1)]
+    pruned = pd.concat(
+        [bottom_k(pdf.iloc[cuts[i] : cuts[i + 1]]) for i in range(n_batches)]
+    )
+    want = bottom_k(pdf)
+    got = bottom_k(pruned)
+    key = lambda f: sorted(map(tuple, f[["doc_id"]].values.tolist()))
+    assert key(got) == key(want)
