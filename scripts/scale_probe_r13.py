@@ -48,9 +48,12 @@ def timed(df) -> float:
 
 
 def docs_scaled(factor: int):
-    """Corpus ×factor: doc_id-shifted, vowel-rotated copies (distinct
-    payloads, so phash clusters don't degenerate into giant exact
-    groups; lang kept so the sampler's strata grow in place)."""
+    """Corpus ×factor: doc_id-shifted, vowel-rotated AND per-copy-salted
+    copies. The salt suffix makes every copy's payload distinct even
+    where the vowel rotation is the identity (i % 5 == 0 — at ×16 that
+    is copies 0/5/10/15, which would otherwise form 4-way exact phash
+    clusters and skew the measurement; ADVICE r13); lang kept so the
+    sampler's strata grow in place."""
     d = docs.select("doc_id", "lang", "text")
     shift = 10_000_000
     vowels = "aeiou"
@@ -61,7 +64,9 @@ def docs_scaled(factor: int):
             d.select(
                 (F.col("doc_id") + F.lit(i * shift)).alias("doc_id"),
                 "lang",
-                F.translate("text", vowels, rot).alias("text"),
+                F.concat(
+                    F.translate("text", vowels, rot), F.lit(f" ~{i}")
+                ).alias("text"),
             )
         )
     out = parts[0]

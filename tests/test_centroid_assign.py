@@ -174,7 +174,11 @@ def test_new_embed_queries_all_null_labels_empty(spark, tmp_path):
         }
     )
     pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
-    for name in ("embed_nearest_centroid_assign", "embed_hard_negative_mine"):
+    for name in (
+        "embed_nearest_centroid_assign",
+        "embed_hard_negative_mine",
+        "embed_kmeans_round",
+    ):
         df = REGISTRY[name].spark_fn(spark, str(tmp_path))
         assert df.count() == 0, name
         assert len(df.columns) >= 4, name
@@ -349,3 +353,125 @@ def test_hard_negative_mine_non64_width_returns_rows(spark, tmp_path):
     _write_embeddings(tmp_path, rows, 4)
     out = _oracle_parity(spark, tmp_path, ("embed_hard_negative_mine",))
     assert len(out["embed_hard_negative_mine"]) == 30
+
+
+# ---------------------------------------------------------------------------
+# embed_kmeans_round (r14): one end-to-end Lloyd iteration — oracle parity
+# plus the convergence-step properties (VERDICT r13 task 3)
+# ---------------------------------------------------------------------------
+
+
+def _lloyd_round(df, cents):
+    """One Lloyd iteration via the public operators (the exact composition
+    ``embed_kmeans_round`` runs): assign → per-cell mean update. Returns
+    ({vec_id: assigned_label}, new codebook) so tests can ITERATE —
+    convergence claims need round t+1 seeded from round t's output."""
+    assigned = assign_nearest_centroid(df, cents, carry_vec=True).filter(
+        F.col("assigned_label").isNotNull()
+    )
+    amap = {
+        r["vec_id"]: r["assigned_label"]
+        for r in assigned.select("vec_id", "assigned_label").collect()
+    }
+    new_cents = collect_centroids(
+        assigned, label_col="assigned_label", vec_col="embedding"
+    )
+    return amap, new_cents
+
+
+def _codebook_shift(old, new):
+    import math
+
+    om = dict(old)
+    return {
+        lab: math.sqrt(sum((a - b) * (a - b) for a, b in zip(vec, om[lab])))
+        for lab, vec in new
+        if lab in om
+    }
+
+
+def test_kmeans_round_fixed_point_and_oracle_parity(spark, tmp_path):
+    """Fixed-point property: when every point lies ON its cell's axis
+    (cosine to the seed centroid is exactly 1, 0 to every other cell),
+    the assignment reproduces the labeling, the updated mean equals the
+    seed, and the emitted shift is exactly 0.0 — Lloyd's termination
+    state. Checked through the full registered query AND its DuckDB
+    oracle (the parity gate), not just the operators."""
+    rows = [  # axis-aligned cells, varying norms (cosine is scale-blind)
+        (0, 0, [1.0, 0.0, 0.0, 0.0]),
+        (1, 0, [3.0, 0.0, 0.0, 0.0]),
+        (2, 1, [0.0, 2.0, 0.0, 0.0]),
+        (3, 1, [0.0, 5.0, 0.0, 0.0]),
+        (4, 2, [0.0, 0.0, 4.0, 0.0]),
+        (5, 2, [0.0, 0.0, 0.5, 0.0]),
+    ]
+    _write_embeddings(tmp_path, rows, 4)
+    out = _oracle_parity(spark, tmp_path, ("embed_kmeans_round",))
+    res = out["embed_kmeans_round"].set_index("assigned_label")
+    assert sorted(res.index) == [0, 1, 2]
+    assert list(res["n"]) == [2, 2, 2]
+    assert all(res["shift"] == 0.0)
+
+
+def test_kmeans_round_converges_once_assignments_stabilize(spark):
+    """Convergence-step property on well-separated noisy clusters: round 1
+    assigns every point to its generating cluster; because round 2 sees
+    the SAME assignment under the updated codebook, its mean update is a
+    no-op and the shift collapses to ~0 (float-reassociation dust only).
+    This is exactly the termination criterion of the iterative IVF /
+    SemDeDup codebook build that ``embed_kmeans_round`` summarizes."""
+    import numpy as np
+
+    for seed in (7, 23, 91):
+        rng = np.random.default_rng(seed)
+        k, per, dim = 3, 20, 8
+        rows = []
+        for lab in range(k):
+            center = np.zeros(dim)
+            center[lab] = 10.0
+            pts = center + rng.normal(0.0, 0.1, size=(per, dim))
+            rows += [
+                (lab * per + i, lab, [float(x) for x in pts[i]])
+                for i in range(per)
+            ]
+        df = _emb(spark, rows)
+        seeds = collect_centroids(df)
+        a1, c1 = _lloyd_round(df, seeds)
+        assert a1 == {vid: lab for vid, lab, _ in rows}, f"seed {seed}"
+        a2, c2 = _lloyd_round(df, c1)
+        assert a2 == a1, f"seed {seed}: assignments moved under new codebook"
+        shift2 = _codebook_shift(c1, c2)
+        assert max(shift2.values()) < 1e-9, f"seed {seed}: {shift2}"
+
+
+def test_kmeans_round_plan_shape(spark, sf_dir):
+    """Pin the r14 query's physical shape: ONE MapInPandas kernel pass,
+    exactly TWO shuffle exchanges (both bounded by n_cells × dim — the
+    per-dim update agg and the final per-cell fold), the old codebook
+    joined via BroadcastExchange, and the corpus scan pruned to
+    (vec_id, embedding) — label feeds only the separate bounded
+    codebook job."""
+    import re
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
+        REGISTRY,
+        _ensure_loaded,
+    )
+
+    _ensure_loaded()
+    df = REGISTRY["embed_kmeans_round"].spark_fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    def nodes(name):
+        # one "(n) NodeName" detail line per physical node (the tree
+        # section repeats the name, so plain substring counts double)
+        return len(re.findall(rf"\n\(\d+\) {name}\b", plan))
+
+    assert nodes("MapInPandas") == 1
+    assert nodes("Exchange") == 2, plan
+    assert nodes("BroadcastExchange") == 1
+    scan = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "label" not in scan and "embedding" in scan

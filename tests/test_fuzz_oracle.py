@@ -64,6 +64,10 @@ FUZZ_QUERIES = [
     "embed_nearest_centroid_assign",
     "embed_hard_negative_mine",
     "text_unigram_logprob",
+    # r14 registration: subsampling moves the seed centroids AND which
+    # cell each survivor's argmax picks (the assign half), so the update
+    # means/shifts move too; rotation re-associates labels with vectors
+    "embed_kmeans_round",
     # the other two r9 registrations (registered earlier in the round):
     # subsampling changes chunk tails and df-bound occupancy
     "doc_chunk_overlap",

@@ -8,6 +8,8 @@ loses one of these still passes the value oracles — only the plan shows it.
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
@@ -335,7 +337,6 @@ def test_ascii_fold_literals_match_canonical():
     alphabet typo would silently break Spark-oracle fingerprint parity
     for a single query."""
     import glob
-    import re
 
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
         ASCII_LO,
@@ -469,7 +470,9 @@ def test_phash_dedup_plan_partitions_by_fingerprint(spark, sf_dir):
     tree = plan.split("\n\n", 1)[0]
     exchanges = [l for l in tree.splitlines() if "Exchange" in l]
     assert len(exchanges) == 1, exchanges
-    assert "hashpartitioning(b0" in plan
+    # keyed on the band columns (b0...) — tolerate attribute-id/whitespace
+    # rendering differences across Spark versions (ADVICE r13)
+    assert re.search(r"hashpartitioning\(\s*b0#?\d*", plan), plan
 
 
 def test_bottom_k_sketches_plan_take_ordered(spark, sf_dir):

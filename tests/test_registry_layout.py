@@ -11,72 +11,70 @@ from __future__ import annotations
 
 from us_weather_energy_analysis_pipeline_spark.corpus import registry
 
-# Round-13 must-haves (VERDICT r12 tasks 1/2/3): the two queries
-# registered this round (perceptual-hash dedup, per-group weighted
-# sampling), then the FULL 48-query cohort whose latest driver row is
-# r10 — after this round the union has nothing staler than r11.
-# (json_props_rollup / topk_per_group are r12-fresh; their weak-list
-# replicates are bench recordings, not correctness slots. The r13
-# plan-changed queries — decontaminate_bloom_prefilter, the two e2e
-# pipelines' hint moves — are locally re-verified and queue for the
-# r14 window head.)
-ROTATED_R13 = (
-    "multimodal_phash_dedup",
-    "weighted_sample_by_group",
-    "asof_join_last_view",
-    "chunk_dedup_ratio",
-    "cooccurrence_pairs",
-    "corr_pearson",
-    "count_distinct_users",
-    "cube_priority_status",
-    "dates_except",
-    "dedup_keep_first",
-    "grouped_quantiles",
-    "heatmap_pivot",
-    "hourly_profile",
-    "html_boilerplate_strip",
-    "join_dims_broadcast",
-    "join_fact_orders",
-    "last_per_group",
-    "mean_impute_group",
-    "missing_days_anti",
-    "mode_event_type",
-    "monthly_rollup",
-    "moving_avg_7d",
-    "multimodal_fake_decode",
-    "multimodal_frame_sample",
-    "ols_by_group",
-    "ols_ci_frame",
-    "ols_closed_form",
-    "pivot_eav",
-    "problem_rows",
-    "quality_daily",
-    "quality_report",
-    "quantiles_exact",
-    "regexp_normalize",
-    "resample_hourly_daily",
-    "revenue_share",
-    "rollup_revenue",
-    "sample_hash_mod",
-    "scalar_stats",
-    "semi_join_customers",
-    "sessionize_gap",
-    "skew_salted_agg",
-    "tpch_q1_pricing_summary",
-    "tpch_q5_local_supplier",
-    "tpch_q6_forecast_revenue",
-    "ts_daily_rollup",
-    "tumbling_window_rollup",
-    "unit_convert_project",
-    "unpivot_measures",
-    "user_journey_path",
-    "weekday_profile",
+# Round-14 must-haves (VERDICT r13 tasks 1 + 3): the one query
+# registered this round (the end-to-end Lloyd k-means iteration), then
+# decontaminate_bloom_prefilter (plan changed twice in r13 — coalesce +
+# eval-side exchange fold — locally re-verified, owed a fresh driver
+# row), then the FULL 48-query cohort whose latest driver row is r11 —
+# after this round the union has nothing staler than r12. The cohort
+# contains both e2e pipelines and dedup_cluster_assign, closing out the
+# r13 hint-site moves too.
+ROTATED_R14 = (
+    "embed_kmeans_round",
+    "decontaminate_bloom_prefilter",
+    "above_group_avg",
+    "approx_distinct_hll_sanity",
+    "bin_quantity_case",
+    "bin_quantity_case_low",
+    "chi2_weekday_event",
+    "corpus_mix_summary",
+    "date_spine_completion",
+    "decontamination_check",
+    "dedup_cluster_assign",
+    "dedup_edit_distance",
+    "dedup_exact",
+    "dedup_incremental_minhash",
+    "dedup_ngram_jaccard",
+    "dedup_pipeline_e2e",
+    "dedup_simhash",
+    "dedup_substring_spans",
+    "dedup_winnow_pairs",
+    "dist_percent_rank",
+    "distinct_event_types",
+    "distinct_kmv_estimate",
+    "doc_span_dup_ratio",
+    "embed_dedup_pipeline_e2e",
+    "entropy_user_events",
+    "ewma_daily",
+    "filter_date_set",
+    "filtered_agg_status",
+    "full_outer_nation_counts",
+    "gini_customer_revenue",
+    "gopher_quality_filter",
+    "grouping_sets_flags",
+    "histogram_price",
+    "locf_gap_fill",
+    "markov_event_transitions",
+    "multimodal_blob_stats",
+    "ntile_deciles",
+    "pareto_revenue_concentration",
+    "sql_revenue_by_nation",
+    "sql_window_rank",
+    "stratified_sample_hash",
+    "streak_islands",
+    "text_quality_score",
+    "text_repetition_ratio",
+    "text_tfidf_topk",
+    "text_winnow_fingerprint",
+    "token_budget_packing",
+    "top_k_orders",
+    "union_slices",
+    "zscore_outliers",
 )
 
 # No declared tail this round: the window is exactly the 50 driver
-# slots, and everything past it is r11/r12-driver-green (plan changes
-# re-verified locally, queued for r14).
-DISPLACED_R13 = ()
+# slots; everything past it is r12/r13-driver-green.
+DISPLACED_R14 = ()
 
 
 def test_window_occupies_leading_positions():
@@ -84,17 +82,17 @@ def test_window_occupies_leading_positions():
     assert order[: len(registry.WINDOW)] == list(registry.WINDOW)
 
 
-def test_displaced_r13_tail_the_window():
-    assert registry.WINDOW[len(ROTATED_R13):] == DISPLACED_R13
+def test_displaced_r14_tail_the_window():
+    assert registry.WINDOW[len(ROTATED_R14):] == DISPLACED_R14
 
 
-def test_rotated_r13_sit_in_driver_window():
+def test_rotated_r14_sit_in_driver_window():
     positions = {n: i for i, n in enumerate(registry.queries())}
     stragglers = {
-        n: positions.get(n) for n in ROTATED_R13 if positions.get(n, 99) >= 50
+        n: positions.get(n) for n in ROTATED_R14 if positions.get(n, 99) >= 50
     }
     assert not stragglers, f"outside driver window (first 50): {stragglers}"
-    assert list(registry.WINDOW[: len(ROTATED_R13)]) == list(ROTATED_R13)
+    assert list(registry.WINDOW[: len(ROTATED_R14)]) == list(ROTATED_R14)
 
 
 def test_window_has_no_duplicates_and_all_registered():
@@ -103,9 +101,9 @@ def test_window_has_no_duplicates_and_all_registered():
     assert set(registry.WINDOW) <= names
     # every rotated query stays oracle-twinned
     oracles = registry.oracle_sql()
-    missing = [n for n in ROTATED_R13 if n not in oracles]
+    missing = [n for n in ROTATED_R14 if n not in oracles]
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 
-def test_registry_complete_148():
-    assert len(registry.queries()) >= 148
+def test_registry_complete_149():
+    assert len(registry.queries()) >= 149

@@ -880,3 +880,130 @@ def embed_hard_negative_mine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mined.filter(F.col("neg_vec_id").isNotNull()).select(
         "vec_id", "label", "neg_label", "neg_vec_id", "neg_cosine"
     )
+
+
+@register(
+    "embed_kmeans_round",
+    oracle="""
+    WITH per_dim AS (
+      SELECT label, generate_subscripts(embedding, 1) AS pos, unnest(embedding) AS v
+      FROM embeddings WHERE label IS NOT NULL
+    ),
+    cent AS (
+      SELECT label, pos, AVG(CAST(v AS DOUBLE)) AS m FROM per_dim GROUP BY label, pos
+    ),
+    -- zero-norm centroids have no defined cosine: the Spark kernel
+    -- NaN-excludes them from the argmax, so drop them from the
+    -- candidate set here too (the embed_nearest_centroid_assign
+    -- contract, ADVICE r9)
+    cvec AS (SELECT clabel, centroid FROM (
+               SELECT label AS clabel, list(m ORDER BY pos) AS centroid
+               FROM cent GROUP BY label)
+             WHERE list_dot_product(centroid, centroid) > 0),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+          WHERE embedding IS NOT NULL
+            AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+    best AS (
+      -- rank on the ROUNDED cosine (cross-engine-stable assignment),
+      -- clabel ASC tie-break: the kernel's pick order
+      SELECT vec_id, v, clabel AS assigned_label FROM (
+        SELECT e.vec_id, e.v, c.clabel,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                  ORDER BY ROUND(list_cosine_similarity(e.v, c.centroid), 6) DESC,
+                                           c.clabel ASC) AS rn
+        FROM e CROSS JOIN cvec c
+      ) WHERE rn = 1
+    ),
+    newdim AS (
+      SELECT assigned_label, pos, AVG(vv) AS new_m, COUNT(*) AS cnt FROM (
+        SELECT assigned_label, generate_subscripts(v, 1) AS pos, unnest(v) AS vv
+        FROM best
+      ) GROUP BY assigned_label, pos
+    )
+    SELECT nd.assigned_label,
+           CAST(MAX(nd.cnt) AS BIGINT) AS n,
+           ROUND(MAX(CASE WHEN nd.pos = 1 THEN nd.new_m END), 6) AS dim0_mean,
+           ROUND(MAX(CASE WHEN nd.pos = 2 THEN nd.new_m END), 6) AS dim1_mean,
+           ROUND(SQRT(SUM((nd.new_m - c.m) * (nd.new_m - c.m))), 6) AS shift
+    FROM newdim nd JOIN cent c ON c.label = nd.assigned_label AND c.pos = nd.pos
+    GROUP BY nd.assigned_label
+    """,
+    tags=("similarity", "ivf", "clustering", "kmeans", "iterative"),
+)
+def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One end-to-end Lloyd iteration of (spherical-assignment) k-means,
+    seeded from the label codebook: assign every vector to its nearest
+    centroid by cosine, recompute each cell's mean, and emit the
+    per-cell convergence summary — (cell, n assigned, new dim-0/1
+    means, L2 shift old->new). This pins the iterative IVF / SemDeDup
+    codebook BUILD loop whose two halves exist separately
+    (``embed_nearest_centroid_assign`` = the assign step,
+    ``embed_centroid_by_label`` = the update shape) as ONE oracle-checked
+    composition (VERDICT r13 task 3); shift -> 0 is Lloyd's termination
+    criterion, property-tested in ``tests/test_centroid_assign.py``.
+
+    Plan: ONE bounded per-dim centroid aggregation (map-side partial,
+    shuffle O(n_cells x dim x partitions)) collected as the codebook
+    (n_cells x dim doubles -- the IVF codebook contract shared by every
+    consumer in this module), ONE shuffle-free vectorized kernel pass
+    for the argmax (operators/similarity.assign_nearest_centroid: BLAS
+    row x codebook per Arrow batch + exact fold re-score of the margin
+    candidates), then the update is the same per-dim partial-agg shape
+    keyed on assigned_label, joined to the broadcast-local old codebook
+    for the shift. No join on the corpus side of the kernel, no pair
+    projection; every shuffle is bounded by n_cells x dim. Zero-norm /
+    NULL / wrong-width vectors get NULL assignment and drop out (cosine
+    undefined); zero-norm centroids never win the argmax (NaN-excluded,
+    matching the oracle's cvec filter). Assignment ranks on the 6-dp
+    ROUNDED cosine (cross-engine-stable); the update averages RAW
+    doubles and rounds after (round-then-average lands on half
+    boundaries -- the module-wide contract). The shift folds RAW means:
+    sqrt destroys the 1e-6 grid, so the final 6-dp round is boundary-safe.
+
+    Reference parity: the reference repo has no clustering surface; this
+    extends SURVEY SS2's LLM-pipeline family (embedding dedup/IVF build,
+    SURVEY SS2.11) -- cited there rather than to a reference file."""
+    from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
+        assign_nearest_centroid,
+        collect_centroids,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = collect_centroids(emb.filter(F.col("label").isNotNull()))
+    if not cents:  # every label NULL (fuzz edge): no cells, empty round
+        return spark.range(0).select(
+            F.lit(None).cast("int").alias("assigned_label"),
+            F.lit(None).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("dim0_mean"),
+            F.lit(None).cast("double").alias("dim1_mean"),
+            F.lit(None).cast("double").alias("shift"),
+        )
+    assigned = assign_nearest_centroid(emb, cents, carry_vec=True).filter(
+        F.col("assigned_label").isNotNull()
+    )
+    per_dim = (
+        assigned.select(
+            "assigned_label", F.posexplode("embedding").alias("pos", "v")
+        )
+        .groupBy("assigned_label", "pos")
+        .agg(
+            F.avg(F.col("v").cast("double")).alias("new_m"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    old = spark.createDataFrame(
+        [(int(lab), p, float(m)) for lab, cv in cents for p, m in enumerate(cv)],
+        schema="clabel int, opos int, old_m double",
+    )
+    j = per_dim.join(
+        F.broadcast(old),
+        (per_dim["assigned_label"] == old["clabel"]) & (per_dim["pos"] == old["opos"]),
+        "inner",
+    )
+    diff = F.col("new_m") - F.col("old_m")
+    return j.groupBy("assigned_label").agg(
+        F.max("cnt").cast("long").alias("n"),
+        r6(F.max(F.when(F.col("pos") == 0, F.col("new_m")))).alias("dim0_mean"),
+        r6(F.max(F.when(F.col("pos") == 1, F.col("new_m")))).alias("dim1_mean"),
+        r6(F.sqrt(F.sum(diff * diff))).alias("shift"),
+    )
