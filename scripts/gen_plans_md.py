@@ -207,6 +207,17 @@ SHOWCASE = {
         "rows, never the corpus - the skew-safe grouped top-k shape "
         "shared with topk_per_group."
     ),
+    "embed_kmeans_round": (
+        "r14 end-to-end Lloyd iteration: scan pruned to (vec_id, "
+        "embedding) - label feeds only the separate bounded codebook "
+        "job; ONE shuffle-free MapInPandas argmax pass (BLAS row x "
+        "codebook per Arrow batch), then both exchanges are bounded by "
+        "n_cells x dim (the per-dim update agg, map-side partial, and "
+        "the per-cell shift fold); the old codebook joins via "
+        "BroadcastExchange. No corpus-side join, no pair projection - "
+        "the iterative IVF/SemDeDup build step at its scale-correct "
+        "shuffle volume."
+    ),
 }
 
 
