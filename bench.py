@@ -21,6 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from us_weather_energy_analysis_pipeline_spark.benchlib import (
     gc_paydown,
     probe_floor,
+    silence_benign_window_warnings,
     shuffled_order,
     timed_best,
     WARMUP_QUERIES,
@@ -40,23 +41,7 @@ def main() -> None:
     _ensure_loaded()
     spark = get_spark("bench")
 
-    # The only unpartitioned windows in the corpus sit on calendar-grain
-    # aggregates (day/month spine — cardinality bounded by the calendar,
-    # not data volume), structurally pinned by tests/test_plans.py's
-    # window-sits-on-daily-series guards. Their 8 per-sweep
-    # "WindowExec: No Partition Defined" warnings are therefore noise in
-    # the recording tail; silence that one logger so any remaining
-    # warning in a bench tail is signal (VERDICT r13 task 7 — the
-    # partition-by-year-bucket alternative would reset rolling windows
-    # at year boundaries, changing semantics).
-    try:
-        jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
-    except Exception:
-        pass  # logging backend not log4j2: keep the warnings
+    silence_benign_window_warnings(spark)
 
     # Page-cache warmup: the host occasionally reclaims the guest's page
     # cache (balloon), and a cold parquet read mid-sweep skews one query

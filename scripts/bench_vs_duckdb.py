@@ -24,6 +24,7 @@ import duckdb
 from us_weather_energy_analysis_pipeline_spark.benchlib import (
     gc_paydown,
     probe_floor,
+    silence_benign_window_warnings,
     shuffled_order,
     timed_best,
     WARMUP_QUERIES,
@@ -47,6 +48,7 @@ def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     _ensure_loaded()
     spark = get_spark("bench-vs-duckdb")
+    silence_benign_window_warnings(spark)
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").write.format("noop").mode(
         "overwrite"
     ).save()

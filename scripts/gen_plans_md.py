@@ -208,15 +208,16 @@ SHOWCASE = {
         "shared with topk_per_group."
     ),
     "embed_kmeans_round": (
-        "r14 end-to-end Lloyd iteration: scan pruned to (vec_id, "
-        "embedding) - label feeds only the separate bounded codebook "
-        "job; ONE shuffle-free MapInPandas argmax pass (BLAS row x "
-        "codebook per Arrow batch), then both exchanges are bounded by "
-        "n_cells x dim (the per-dim update agg, map-side partial, and "
-        "the per-cell shift fold); the old codebook joins via "
-        "BroadcastExchange. No corpus-side join, no pair projection - "
-        "the iterative IVF/SemDeDup build step at its scale-correct "
-        "shuffle volume."
+        "r14 end-to-end Lloyd iteration, assign+update FUSED in one "
+        "kernel: scan pruned to the embedding column alone - label "
+        "feeds only the separate bounded codebook job; the single "
+        "MapInPandas pass does the BLAS argmax AND emits the "
+        "centroid-update partial (cnt, sum-vector) per (batch, cell), "
+        "so Arrow egress and both exchanges are O(cells x batches x "
+        "dim) - no per-row vector re-crosses the Python boundary, no "
+        "O(n x dim) explode; the old codebook joins via "
+        "BroadcastExchange. The iterative IVF/SemDeDup build step at "
+        "its scale-correct shuffle volume."
     ),
 }
 

@@ -475,3 +475,49 @@ def test_kmeans_round_plan_shape(spark, sf_dir):
     assert nodes("BroadcastExchange") == 1
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "label" not in scan and "embedding" in scan
+
+
+def test_update_partials_fold_equals_per_row_update(spark):
+    """emit_update_partials parity: folding the in-kernel (cnt, vsum)
+    partials per cell must reproduce the per-row assignment's groupwise
+    counts and means exactly (same rows, same batch-local summation),
+    and the mode must reject the per-row-output options."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(11)
+    rows = [
+        (i, rng.randrange(3), [rng.uniform(-1, 1) for _ in range(4)])
+        for i in range(300)
+    ] + [(300, 0, None), (301, 1, [0.0, 0.0, 0.0, 0.0])]  # NULL/zero-norm
+    df = _emb(spark, rows)
+
+    per_row = assign_nearest_centroid(df, CENTS, carry_vec=True).filter(
+        F.col("assigned_label").isNotNull()
+    )
+    want: dict[int, tuple[int, np.ndarray]] = {}
+    for r in per_row.collect():
+        c, v = want.get(r["assigned_label"], (0, np.zeros(4)))
+        want[r["assigned_label"]] = (
+            c + 1,
+            v + np.asarray(r["embedding"], dtype=np.float64),
+        )
+
+    got: dict[int, tuple[int, np.ndarray]] = {}
+    for r in assign_nearest_centroid(
+        df, CENTS, emit_update_partials=True
+    ).collect():
+        c, v = got.get(r["assigned_label"], (0, np.zeros(4)))
+        got[r["assigned_label"]] = (
+            c + r["cnt"],
+            v + np.asarray(r["vsum"], dtype=np.float64),
+        )
+
+    assert set(got) == set(want)
+    for lab in want:
+        assert got[lab][0] == want[lab][0], lab
+        assert np.allclose(got[lab][1], want[lab][1], rtol=0, atol=1e-12), lab
+
+    with pytest.raises(ValueError, match="emit_update_partials"):
+        assign_nearest_centroid(df, CENTS, emit_update_partials=True, carry_vec=True)

@@ -945,14 +945,18 @@ def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: ONE bounded per-dim centroid aggregation (map-side partial,
     shuffle O(n_cells x dim x partitions)) collected as the codebook
     (n_cells x dim doubles -- the IVF codebook contract shared by every
-    consumer in this module), ONE shuffle-free vectorized kernel pass
-    for the argmax (operators/similarity.assign_nearest_centroid: BLAS
-    row x codebook per Arrow batch + exact fold re-score of the margin
-    candidates), then the update is the same per-dim partial-agg shape
-    keyed on assigned_label, joined to the broadcast-local old codebook
-    for the shift. No join on the corpus side of the kernel, no pair
-    projection; every shuffle is bounded by n_cells x dim. Zero-norm /
-    NULL / wrong-width vectors get NULL assignment and drop out (cosine
+    consumer in this module), then ONE fused kernel pass does BOTH
+    halves of the Lloyd step (operators/similarity.
+    assign_nearest_centroid with emit_update_partials: BLAS row x
+    codebook argmax per Arrow batch + exact fold re-score of the margin
+    candidates, then the centroid-update partial (cnt, sum-vector) per
+    winning cell IN KERNEL) -- Arrow egress and every downstream row
+    count are O(cells x batches x dim), never O(n): no per-row vector
+    re-crosses the Python boundary and no O(n x dim) explode feeds the
+    update aggregate. The partial fold (sum vsum / sum cnt per dim),
+    the broadcast join to the driver-local old codebook, and the shift
+    fold all run on cells-bounded relations. Zero-norm / NULL /
+    wrong-width vectors get no assignment and drop out (cosine
     undefined); zero-norm centroids never win the argmax (NaN-excluded,
     matching the oracle's cvec filter). Assignment ranks on the 6-dp
     ROUNDED cosine (cross-engine-stable); the update averages RAW
@@ -978,17 +982,15 @@ def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("double").alias("dim1_mean"),
             F.lit(None).cast("double").alias("shift"),
         )
-    assigned = assign_nearest_centroid(emb, cents, carry_vec=True).filter(
-        F.col("assigned_label").isNotNull()
-    )
+    partials = assign_nearest_centroid(emb, cents, emit_update_partials=True)
     per_dim = (
-        assigned.select(
-            "assigned_label", F.posexplode("embedding").alias("pos", "v")
+        partials.select(
+            "assigned_label", "cnt", F.posexplode("vsum").alias("pos", "s")
         )
         .groupBy("assigned_label", "pos")
         .agg(
-            F.avg(F.col("v").cast("double")).alias("new_m"),
-            F.count(F.lit(1)).alias("cnt"),
+            (F.sum("s") / F.sum("cnt")).alias("new_m"),
+            F.sum("cnt").alias("cnt"),
         )
     )
     old = spark.createDataFrame(

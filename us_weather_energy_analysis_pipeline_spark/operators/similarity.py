@@ -869,6 +869,7 @@ def assign_nearest_centroid(
     out_cosine: str = "centroid_cosine",
     margin: float = 2e-6,
     neg_pool: list[tuple[int, int, list[float]]] | None = None,
+    emit_update_partials: bool = False,
 ) -> DataFrame:
     """Nearest-centroid assignment over the WHOLE corpus — the corpus-side
     half of IVF index BUILD (``ivf_topk`` assigns only the bounded query
@@ -921,29 +922,54 @@ def assign_nearest_centroid(
     Output: ``id_col, *passthrough, [vec_col], out_label, out_cosine,
     {out_cosine}_raw[, neg_vec_id, neg_cosine]`` — ``passthrough`` is
     ``((col, ddl_type), ...)``; ``carry_vec`` re-emits the vector
-    (``array<float>``) for downstream pair scoring."""
+    (``array<float>``) for downstream pair scoring.
+
+    ``emit_update_partials`` (the Lloyd/k-means update fusion): instead
+    of per-row assignments, the SAME kernel pass emits the map-side
+    partial of the centroid update — one ``(out_label, cnt,
+    vsum array<double>)`` row per (Arrow batch, winning cell). Arrow
+    egress drops from O(n·dim) to O(cells × batches × dim) and the
+    caller folds partials with ``Σ vsum / Σ cnt`` per cell — no per-row
+    vector ever re-crosses the Python boundary and no O(n·dim) explode
+    feeds the update aggregate. Incompatible with ``passthrough`` /
+    ``carry_vec`` / ``exclude_label_col`` / ``neg_pool`` (it is a pure
+    assign→reduce); the scan is pruned to the vector column alone."""
     if not cents:
         raise ValueError("assign_nearest_centroid: empty codebook")
     dim = len(cents[0][1])
     if any(len(c) != dim for _, c in cents):
         raise ValueError("assign_nearest_centroid: ragged codebook")
+    if emit_update_partials and (
+        passthrough or carry_vec or exclude_label_col or neg_pool is not None
+    ):
+        raise ValueError(
+            "emit_update_partials is a pure assign→update reduction: "
+            "incompatible with passthrough/carry_vec/exclude/neg_pool"
+        )
     labs = [int(lab) for lab, _ in cents]
     cmat = [[float(x) for x in cvec] for _, cvec in cents]
     pt_cols = [c for c, _ in passthrough]
     excl = exclude_label_col
-    need = list(
-        dict.fromkeys(
-            [id_col, vec_col] + pt_cols + ([excl] if excl else [])
+    need = (
+        [vec_col]  # partials mode reduces in-kernel: ids never leave Python
+        if emit_update_partials
+        else list(
+            dict.fromkeys(
+                [id_col, vec_col] + pt_cols + ([excl] if excl else [])
+            )
         )
     )
     out_schema = (
-        f"{id_col} long"
+        f"{out_label} int, cnt long, vsum array<double>"
+        if emit_update_partials
+        else f"{id_col} long"
         + "".join(f", {c} {t}" for c, t in passthrough)
         + (f", {vec_col} array<float>" if carry_vec else "")
         + f", {out_label} int, {out_cosine} double, {out_cosine}_raw double"
         + (", neg_vec_id long, neg_cosine double" if neg_pool is not None else "")
     )
     idc, vc, mg, cv = id_col, vec_col, float(margin), carry_vec
+    emp = emit_update_partials
     pool_l = (
         [(int(p), int(v), [float(x) for x in w]) for p, v, w in neg_pool]
         if neg_pool is not None
@@ -1017,6 +1043,7 @@ def assign_nearest_centroid(
             if len(pdf) == 0:
                 continue
             n = len(pdf)
+            part_rows: list = []
             vecs = pdf[vc]
             ex = pdf[excl] if excl is not None else None
             out_lab = np.full(n, None, dtype=object)
@@ -1082,6 +1109,25 @@ def assign_nearest_centroid(
                     out_lab[jidx] = lbs[first_idx]
                     out_cos[jidx] = rnd[first_idx]
                     out_raw[jidx] = raws[first_idx]
+                    if emp:
+                        # in-kernel map-side partial of the Lloyd update:
+                        # per winning cell, (count, Σ vectors) — one row
+                        # per (batch, cell) leaves Python instead of one
+                        # per corpus row (the centroid_by_label_vectorized
+                        # partial-agg shape, fused into the assign pass)
+                        w_lab = lbs[first_idx]
+                        for lab_v in np.unique(w_lab):
+                            sel = w_lab == lab_v
+                            part_rows.append(
+                                (
+                                    int(lab_v),
+                                    int(sel.sum()),
+                                    [
+                                        float(x)
+                                        for x in V[first_rows[sel]].sum(axis=0)
+                                    ],
+                                )
+                            )
                     if pools is not None:
                         win_lab = lbs[first_idx]
                         for lab_v in np.unique(win_lab):
@@ -1129,6 +1175,21 @@ def assign_nearest_centroid(
                             jn = vi[rs[fr]]
                             out_nid[jn] = pids[fi]
                             out_nco[jn] = rnd_p[fi]
+            if emp:
+                yield pd.DataFrame(
+                    {
+                        out_label: pd.array(
+                            [r[0] for r in part_rows], dtype="Int32"
+                        ),
+                        "cnt": pd.array(
+                            [r[1] for r in part_rows], dtype="Int64"
+                        ),
+                        "vsum": pd.Series(
+                            [r[2] for r in part_rows], dtype=object
+                        ),
+                    }
+                )
+                continue
             cols = {idc: pdf[idc]}
             for c in pt_cols:
                 cols[c] = pdf[c]
