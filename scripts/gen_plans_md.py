@@ -215,9 +215,10 @@ SHOWCASE = {
         "centroid-update partial (cnt, sum-vector) per (batch, cell), "
         "so Arrow egress and both exchanges are O(cells x batches x "
         "dim) - no per-row vector re-crosses the Python boundary, no "
-        "O(n x dim) explode; the old codebook joins via "
-        "BroadcastExchange. The iterative IVF/SemDeDup build step at "
-        "its scale-correct shuffle volume."
+        "O(n x dim) explode; the old codebook is a constant-folded "
+        "literal-array lookup, so the plan is LINEAR - no join subtree "
+        "at all. The iterative IVF/SemDeDup build step at its "
+        "scale-correct shuffle volume."
     ),
 }
 

@@ -445,12 +445,13 @@ def test_kmeans_round_converges_once_assignments_stabilize(spark):
 
 
 def test_kmeans_round_plan_shape(spark, sf_dir):
-    """Pin the r14 query's physical shape: ONE MapInPandas kernel pass,
-    exactly TWO shuffle exchanges (both bounded by n_cells × dim — the
-    per-dim update agg and the final per-cell fold), the old codebook
-    joined via BroadcastExchange, and the corpus scan pruned to
-    (vec_id, embedding) — label feeds only the separate bounded
-    codebook job."""
+    """Pin the r14 query's physical shape: a LINEAR plan — ONE
+    MapInPandas pass (fused assign + update partials), exactly TWO
+    shuffle exchanges (both bounded by n_cells × dim — the per-dim
+    partial fold and the final per-cell shift fold), NO join subtree
+    (the old codebook is a constant-folded literal-array lookup), and
+    the corpus scan pruned to the embedding column alone — label feeds
+    only the separate bounded codebook job."""
     import re
 
     from us_weather_energy_analysis_pipeline_spark.corpus.registry import (
@@ -472,9 +473,10 @@ def test_kmeans_round_plan_shape(spark, sf_dir):
 
     assert nodes("MapInPandas") == 1
     assert nodes("Exchange") == 2, plan
-    assert nodes("BroadcastExchange") == 1
+    assert nodes("BroadcastExchange") == 0
+    assert nodes("BroadcastHashJoin") == 0 and "Join" not in plan
     scan = plan.split("ReadSchema:")[1].splitlines()[0]
-    assert "label" not in scan and "embedding" in scan
+    assert "label" not in scan and "vec_id" not in scan and "embedding" in scan
 
 
 def test_update_partials_fold_equals_per_row_update(spark):

@@ -953,9 +953,10 @@ def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     winning cell IN KERNEL) -- Arrow egress and every downstream row
     count are O(cells x batches x dim), never O(n): no per-row vector
     re-crosses the Python boundary and no O(n x dim) explode feeds the
-    update aggregate. The partial fold (sum vsum / sum cnt per dim),
-    the broadcast join to the driver-local old codebook, and the shift
-    fold all run on cells-bounded relations. Zero-norm / NULL /
+    update aggregate. The partial fold (sum vsum / sum cnt per dim) and
+    the shift fold run on cells-bounded relations; the old codebook is
+    a constant-folded literal-array lookup (element_at on one foldable
+    array, indexed cell_rank x dim + pos) -- no join subtree at all. Zero-norm / NULL /
     wrong-width vectors get no assignment and drop out (cosine
     undefined); zero-norm centroids never win the argmax (NaN-excluded,
     matching the oracle's cvec filter). Assignment ranks on the 6-dp
@@ -993,14 +994,28 @@ def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cnt").alias("cnt"),
         )
     )
-    old = spark.createDataFrame(
-        [(int(lab), p, float(m)) for lab, cv in cents for p, m in enumerate(cv)],
-        schema="clabel int, opos int, old_m double",
+    # Old codebook as a constant-folded literal-array lookup instead of a
+    # broadcast join: the codebook is already driver-held and bounded
+    # (n_cells × dim doubles), so element_at on ONE foldable array
+    # literal — indexed (cell_rank × dim + pos) via array_position on
+    # the sorted label literal — replaces the whole LocalRelation →
+    # BroadcastExchange → join subtree (paired A/B: consistently faster,
+    # two fewer plan jobs; repr() round-trips doubles exactly, so the
+    # looked-up old_m is bit-identical to the joined one). SQL text, not
+    # 640 F.lit calls — per-Column py4j build cost is the measured trap.
+    labs_sql = "array(" + ",".join(str(int(lab)) for lab, _ in cents) + ")"
+    flat_sql = (
+        "array("
+        + ",".join(repr(float(x)) + "d" for _, cv in cents for x in cv)
+        + ")"
     )
-    j = per_dim.join(
-        F.broadcast(old),
-        (per_dim["assigned_label"] == old["clabel"]) & (per_dim["pos"] == old["opos"]),
-        "inner",
+    dim = len(cents[0][1])
+    j = per_dim.withColumn(
+        "old_m",
+        F.expr(
+            f"element_at({flat_sql}, cast((array_position({labs_sql}, "
+            f"assigned_label) - 1) * {dim} + pos + 1 as int))"
+        ),
     )
     diff = F.col("new_m") - F.col("old_m")
     return j.groupBy("assigned_label").agg(
