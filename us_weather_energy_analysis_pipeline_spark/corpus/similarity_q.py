@@ -968,12 +968,18 @@ def embed_kmeans_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reference parity: the reference repo has no clustering surface; this
     extends SURVEY SS2's LLM-pipeline family (embedding dedup/IVF build,
     SURVEY SS2.11) -- cited there rather than to a reference file."""
+    return embed_kmeans_round_from(spark, load(spark, sf_dir, "embeddings"))
+
+
+def embed_kmeans_round_from(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """``embed_kmeans_round``'s body on an arbitrary embeddings relation —
+    exported so the scale probe can grow the corpus without re-reading
+    parquet (the ``_from`` convention of the r13 probes)."""
     from us_weather_energy_analysis_pipeline_spark.operators.similarity import (
         assign_nearest_centroid,
         collect_centroids,
     )
 
-    emb = load(spark, sf_dir, "embeddings")
     cents = collect_centroids(emb.filter(F.col("label").isNotNull()))
     if not cents:  # every label NULL (fuzz edge): no cells, empty round
         return spark.range(0).select(
