@@ -620,19 +620,35 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys stay distinguishable via the flags, same as GROUPING SETS.
     from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
 
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
     li = load(spark, sf_dir, "lineitem")
     # lvl2 groups on a CONSTANT, not an ungrouped agg: GROUPING SETS
     # yields ZERO rows on empty input, and an ungrouped aggregate would
     # emit a phantom (NULL, NULL) grand-total row there; a constant-key
     # groupBy returns no rows on empty input, matching the literal form
     # exactly. ONE spark.sql statement (r11 build cut).
+    #
+    # The finest-level aggregate is PERSISTED (r14): as a plain CTE the
+    # three union branches each re-executed the full scan + partial agg
+    # (plan-confirmed: 3 parquet scans, 5 exchanges — ReuseExchange does
+    # not collapse union branches). Cached, the fact table is scanned
+    # ONCE and the coarser levels re-aggregate ~|flag×status| rows —
+    # the same derivation GROUPING SETS' Expand does, minus its 3× row
+    # inflation through the hash aggregate.
+    fin = cache.track(
+        spark.sql(
+            """
+            SELECT l_returnflag, l_linestatus, count(1) AS n,
+                   sum(l_extendedprice) AS revenue
+            FROM {li} GROUP BY l_returnflag, l_linestatus
+            """,
+            li=li,
+        )
+    )
     return spark.sql(
         f"""
-        WITH fin AS (
-          SELECT l_returnflag, l_linestatus, count(1) AS n,
-                 sum(l_extendedprice) AS revenue
-          FROM {{li}} GROUP BY l_returnflag, l_linestatus
-        ),
+        WITH fin AS (SELECT * FROM {{fin}}),
         lvls AS (
           SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
                  n, revenue
@@ -653,7 +669,7 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
                {dround_sql('revenue', 2)} AS revenue
         FROM lvls
         """,
-        li=li,
+        fin=fin,
     )
 
 

@@ -20,7 +20,10 @@ from pyspark.sql import functions as F
 
 from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql, r4
 from us_weather_energy_analysis_pipeline_spark.corpus.registry import load, register
-from us_weather_energy_analysis_pipeline_spark.functions.text import ascii_lower, ordered_pairs
+from us_weather_energy_analysis_pipeline_spark.functions.text import (
+    ascii_lower,
+    explode_pairs,
+)
 from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 SHINGLE_K = 3  # words per shingle
@@ -284,11 +287,13 @@ def ngram_jaccard_pairs(
         .filter("size(ds) >= 2")
     )
     jac_sql = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    # codegen pair expansion (r14): chained posexplode Generates replace
+    # the interpreted ordered_pairs HOF — see functions.text.explode_pairs
     return (
-        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
+        explode_pairs(posts, "ds", "a", "b")
         .selectExpr(
-            "p.a.doc_id AS doc_a", "p.a.n AS na",
-            "p.b.doc_id AS doc_b", "p.b.n AS nb",
+            "a.doc_id AS doc_a", "a.n AS na",
+            "b.doc_id AS doc_b", "b.n AS nb",
         )
         .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))

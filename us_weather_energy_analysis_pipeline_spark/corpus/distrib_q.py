@@ -141,23 +141,32 @@ def pareto_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shannon entropy of each user's event-type mix — the diversity
-    statistic corpus-mixing jobs compute per source/domain. Two co-
-    partitioned aggregations on user_id (the second groupBy reuses the
-    first's hash partitioning — one shuffle total); p·ln p terms are exact
-    integer ratios so both engines see identical doubles."""
+    statistic corpus-mixing jobs compute per source/domain. One real
+    aggregation at the (user, event_type) grain (map-side combine
+    collapses the raw stream), then the per-user total is a WINDOW over
+    that grain (r14 — the former t-CTE join re-aggregated and joined the
+    same rows through two extra exchanges; the window reuses the c
+    partitioning lineage and the final groupBy(user_id, tot) is
+    exchange-free under the subset-partitioning rule: 4 exchanges → 2,
+    plan-verified). Window partitions are per-user and bounded by the
+    event-type vocabulary — skew-safe at any corpus size. p·ln p terms
+    are the same exact integer ratios as the join form (identical
+    expression tree), so both engines see identical doubles."""
     e = load(spark, sf_dir, "events")
-    # ONE spark.sql statement (r11 build cut — same co-partitioned
-    # aggregation pair, one user_id shuffle)
+    # ONE spark.sql statement (r11 build cut)
     return spark.sql(
         f"""
         WITH c AS (
           SELECT user_id, event_type, count(1) AS n
           FROM {{e}} GROUP BY user_id, event_type
         ),
-        t AS (SELECT user_id, sum(n) AS tot FROM c GROUP BY user_id)
+        m AS (
+          SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot
+          FROM c
+        )
         SELECT user_id, CAST(tot AS BIGINT) AS n_events,
                {dround_sql('-sum(n / tot * ln(n / tot))', 4)} AS entropy
-        FROM c JOIN t USING (user_id)
+        FROM m
         GROUP BY user_id, tot
         """,
         e=e,
@@ -404,7 +413,12 @@ def chi2_weekday_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     drift/seasonality check a data-quality suite runs on event streams.
     The contingency table is a single groupBy (35 cells); marginals come
     from windows over the tiny aggregated table, so the heavy input is
-    touched exactly once. Expected counts are exact integer ratios."""
+    touched exactly once. Expected counts are exact integer ratios.
+    (r14 audit: the planner already chains all three marginal windows
+    after ONE SinglePartition exchange — SinglePartition satisfies every
+    window's clustering — so no exchange is removable here; an explicit
+    COALESCE(1) was A/B'd and produced a byte-identical stage structure
+    plus a dead Coalesce node.)"""
     from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
 
     e = load(spark, sf_dir, "events")

@@ -284,7 +284,7 @@ def winnow_near_dups(
     rides along with each pair instead of joining two sizes branches
     back at the end."""
     from us_weather_energy_analysis_pipeline_spark.functions.text import (
-        ordered_pairs,
+        explode_pairs,
     )
     from us_weather_energy_analysis_pipeline_spark.operators import cache
 
@@ -313,11 +313,13 @@ def winnow_near_dups(
         .filter("size(ds) >= 2")
     )
     jac_sql = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    # codegen pair expansion (r14): chained posexplode Generates replace
+    # the interpreted ordered_pairs HOF — see functions.text.explode_pairs
     return (
-        posts.select(F.explode(ordered_pairs("ds", "a", "b")).alias("p"))
+        explode_pairs(posts, "ds", "a", "b")
         .selectExpr(
-            "p.a.doc_id AS doc_a", "p.a.n AS na",
-            "p.b.doc_id AS doc_b", "p.b.n AS nb",
+            "a.doc_id AS doc_a", "a.n AS na",
+            "b.doc_id AS doc_b", "b.n AS nb",
         )
         .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -68,10 +68,49 @@ def ordered_pairs(arr_col: str, a_name: str, b_name: str) -> Column:
     elements AFTER position i; an over-long slice length clamps). The
     caller guarantees sortedness (e.g. ``sort_array``) so the emitted
     pairs are already (smaller, larger)-oriented."""
-    return F.expr(
+    return F.expr(ordered_pairs_sql(arr_col, a_name, b_name))
+
+
+def ordered_pairs_sql(arr_col: str, a_name: str, b_name: str) -> str:
+    """SQL text of :func:`ordered_pairs` — for plans composed as a single
+    ``spark.sql`` statement (the r11 one-parse build discipline)."""
+    return (
         f"flatten(transform({arr_col}, (x, i) -> "
         f"transform(slice({arr_col}, i + 2, size({arr_col})), "
         f"y -> struct(x AS {a_name}, y AS {b_name}))))"
+    )
+
+
+def explode_pairs(df, arr_col: str, a_name: str, b_name: str):
+    """All ordered pairs (``a = arr[i]``, ``b = arr[j]``, i < j) of a
+    SORTED, duplicate-free array column, as two element-typed columns —
+    the CODEGEN form of ``explode(ordered_pairs(...))`` (r14).
+
+    Two chained ``posexplode`` Generates run inside whole-stage codegen,
+    while the nested ``transform()`` lambdas of :func:`ordered_pairs`
+    evaluate INTERPRETED per element (the r10 janino/HOF trap) — the
+    interleaved A/B on the ngram posting lists measured the Generate
+    form ~17% faster on the full query at sf0.1 (BENCH_AB r14). Same
+    pair set, same (smaller, larger) orientation from the sorted input;
+    only the emitted row order differs (consumers aggregate)."""
+    return (
+        df.selectExpr(f"{arr_col} AS _arr", f"posexplode({arr_col}) AS (_i, {a_name})")
+        .selectExpr(
+            a_name,
+            f"posexplode(slice(_arr, _i + 2, size(_arr))) AS (_j, {b_name})",
+        )
+        .select(a_name, b_name)
+    )
+
+
+def lateral_pairs_sql(from_clause: str, arr_col: str, a_name: str, b_name: str) -> str:
+    """SQL-text twin of :func:`explode_pairs` — a FROM fragment chaining
+    two LATERAL VIEW posexplodes, for single-statement plans."""
+    return (
+        f"{from_clause}\n"
+        f"      LATERAL VIEW posexplode({arr_col}) _pa AS _i, {a_name}\n"
+        f"      LATERAL VIEW posexplode(slice({arr_col}, _i + 2, size({arr_col})))"
+        f" _pb AS _j, {b_name}"
     )
 
 

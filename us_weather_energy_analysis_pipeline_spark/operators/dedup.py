@@ -234,10 +234,10 @@ def banded_cte(bands: int = LSH_BANDS, k: int = MINHASH_K) -> str:
     )
 
 
-def est_jaccard_sql(k: int = MINHASH_K) -> str:
-    """Signature-agreement Jaccard estimate between ``a.sig``/``b.sig``."""
+def est_jaccard_sql(k: int = MINHASH_K, a: str = "a.sig", b: str = "b.sig") -> str:
+    """Signature-agreement Jaccard estimate between ``a``/``b`` sig exprs."""
     return (
-        "CAST(size(filter(zip_with(a.sig, b.sig, (x, y) -> CAST(x = y AS INT)),"
+        f"CAST(size(filter(zip_with({a}, {b}, (x, y) -> CAST(x = y AS INT)),"
         f" v -> v = 1)) AS DOUBLE) / {k}"
     )
 
@@ -270,6 +270,18 @@ def minhash_near_dups(
     no joins, no persist (the signature pass now feeds exactly one
     consumer, so the cache bookkeeping disappears too).
 
+    Bucket-local pairs expand from POSTING LISTS, not a banded self-join
+    (r14): the r11 self-join planned as a BroadcastHashJoin whose build
+    side was the SAME banded subtree — ReuseExchange cannot fire across
+    a BroadcastExchange boundary, so the full tokenize→md5→sign pass
+    (the dominant map-side cost) executed TWICE per query. One
+    groupBy (band, digest) into ≤occupancy-row sorted lists and a
+    map-side ordered-pair expansion (the exact dedup_ngram_jaccard /
+    winnow shape) computes signatures ONCE and drops an exchange; the
+    skew posture is unchanged — a hot bucket concentrated its pairs on
+    one join partition before, and occupancy is digest-bounded (64-bit
+    digests collide only for near-identical signatures).
+
     ``hash_fn='xxhash64'`` swaps the shingle hash for the production
     family (see ``_shingle_hash_expr``): same pipeline shape, same
     Jaccard-estimate statistics (any uniform 32-bit hash family gives an
@@ -290,14 +302,21 @@ def minhash_near_dups(
     est_out = (
         "est_jaccard" if est_round is None else dround_sql("est_jaccard", est_round)
     )
+    from us_weather_energy_analysis_pipeline_spark.functions.text import (
+        lateral_pairs_sql,
+    )
+
     sql = f"""
     WITH {minhash_sig_ctes(text_col, k, hash_fn)},
     {banded_cte(bands, k)},
+    buckets AS (
+      SELECT sort_array(collect_list(struct(doc_id, sig))) AS ds
+      FROM banded GROUP BY band, digest
+    ),
     pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-             {est_jaccard_sql(k)} AS est_jaccard
-      FROM banded a JOIN banded b
-        ON a.band = b.band AND a.digest = b.digest AND a.doc_id < b.doc_id
+             {est_jaccard_sql(k, 'a.sig', 'b.sig')} AS est_jaccard
+      FROM {lateral_pairs_sql('(SELECT ds FROM buckets WHERE size(ds) >= 2)', 'ds', 'a', 'b')}
     ),
     agg AS (
       SELECT doc_a, doc_b, count(1) AS n_shared_bands, first(est_jaccard) AS est_jaccard
@@ -440,37 +459,52 @@ def simhash_near_dups(
     the standard SimHash contract either way (Manku et al., WWW'07): a
     pair within ``max_hamming`` is found iff some band matches exactly.
     """
+    from us_weather_energy_analysis_pipeline_spark.operators import cache
+
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     chunks = ", ".join(
         f"shiftright(simhash, {band_bits * b}) & {mask}" for b in range(n_bands)
     )
-    # explicit exchange on the join key (REPARTITION hint — same plan as
-    # .repartition("band", "chunk")): the fingerprint pass is a pure map
-    # stage, so without it the self-join's two branches would each
-    # recompute it — the repartition gives ReuseExchange one shared
-    # materialization (tiny shuffle: n_bands rows per doc), and the join
-    # is then already co-partitioned on (band, chunk). ONE spark.sql
-    # statement over the shared fingerprint CTE text (r11 build cut).
+    # The banded fingerprint is PERSISTED (cache.track — the ngram-index
+    # discipline) before the self-join, r14: the r11 REPARTITION-hint
+    # form planned as a BroadcastHashJoin whose build side recomputed
+    # the whole tokenize→md5→vote fingerprint pass — ReuseExchange
+    # cannot fire across a BroadcastExchange boundary, so the dominant
+    # map-side cost executed TWICE per query (plan-confirmed: two full
+    # scan→Generate→HashAggregate subtrees). A posting-list rewrite
+    # (collect_list per bucket + map-side ordered pairs, the ngram
+    # shape) was A/B'd first and measured ~1 s SLOWER at sf0.1: simhash
+    # buckets are occupancy ~n/2^band_bits (≈20 docs here), so the
+    # interpreted HOF pair expansion outweighed the saved fingerprint
+    # pass — the codegen'd bucket join is the cheaper pair generator for
+    # this family. The persist keeps the join shape and computes the
+    # fingerprint ONCE (~20 bytes/row × n_bands rows per doc).
+    banded = cache.track(
+        df.sparkSession.sql(
+            f"""
+            WITH {simhash_ctes(text_col, bits)}
+            SELECT doc_id, simhash, band, chunk
+            FROM (SELECT doc_id, simhash,
+                         posexplode(array({chunks})) AS (band, chunk) FROM sh)
+            """,
+            docs=df,
+        )
+    )
     capped = (
         ""
         if bucket_cap is None
         else f"""
-    capped AS (
-      SELECT doc_id, simhash, band, chunk FROM (
-        SELECT *, count(1) OVER (PARTITION BY band, chunk) AS _occ FROM banded
-      ) WHERE _occ <= {bucket_cap}
-    ),"""
+        capped AS (
+          SELECT doc_id, simhash, band, chunk FROM (
+            SELECT *, count(1) OVER (PARTITION BY band, chunk) AS _occ FROM banded
+          ) WHERE _occ <= {bucket_cap}
+        ),"""
     )
     side = "capped" if bucket_cap is not None else "banded"
     return df.sparkSession.sql(
         f"""
-        WITH {simhash_ctes(text_col, bits)},
-        banded AS (
-          SELECT /*+ REPARTITION(band, chunk) */ doc_id, simhash, band, chunk
-          FROM (SELECT doc_id, simhash,
-                       posexplode(array({chunks})) AS (band, chunk) FROM sh)
-        ),{capped}
+        WITH banded AS (SELECT * FROM {{b}}),{capped}
         pairs AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
@@ -480,5 +514,5 @@ def simhash_near_dups(
         SELECT DISTINCT doc_a, doc_b, hamming
         FROM pairs WHERE hamming <= {max_hamming}
         """,
-        docs=df,
+        b=banded,
     )
