@@ -636,7 +636,12 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONCE and the coarser levels re-aggregate ~|flag×status| rows —
     # the same derivation GROUPING SETS' Expand does, minus its 3× row
     # inflation through the hash aggregate.
-    fin = cache.track(
+    # Referenced by TEMP VIEW (cache.track_view), not a {fin} parameter:
+    # a persisted DataFrame passed as a spark.sql parameter is UNCACHED
+    # by the parameterized-query analysis on Spark 4.1 — plan-confirmed
+    # (the {fin} form kept all 3 scans; the view form is 1 scan + two
+    # ~6-row re-aggregations).
+    fname = cache.track_view(
         spark.sql(
             """
             SELECT l_returnflag, l_linestatus, count(1) AS n,
@@ -644,11 +649,12 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM {li} GROUP BY l_returnflag, l_linestatus
             """,
             li=li,
-        )
+        ),
+        prefix="_gsets_fin",
     )
     return spark.sql(
         f"""
-        WITH fin AS (SELECT * FROM {{fin}}),
+        WITH fin AS (SELECT * FROM {fname}),
         lvls AS (
           SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
                  n, revenue
@@ -668,8 +674,7 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus, g_flag, g_status, n,
                {dround_sql('revenue', 2)} AS revenue
         FROM lvls
-        """,
-        fin=fin,
+        """
     )
 
 

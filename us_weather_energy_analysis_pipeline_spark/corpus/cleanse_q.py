@@ -460,11 +460,14 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_from(load(spark, sf_dir, "documents"))
 
 
-def _decon_grams(d: DataFrame) -> DataFrame:
+def _decon_grams(d: DataFrame) -> str:
     """Tracked (doc_id, source, gh) 64-bit k-gram hash table both
     decontamination variants consume (digest-materialized: it feeds the
-    eval and training branches)."""
-    return cache.track(
+    eval and training branches). Returns a TEMP VIEW name, not the
+    DataFrame: passing a persisted frame as a ``spark.sql`` parameter
+    UNCACHES it during analysis on Spark 4.1 (see cache.track_view) —
+    the gram pass silently ran 2-3x per query until r14."""
+    return cache.track_view(
         d.sparkSession.sql(
             f"""
             SELECT doc_id, source,
@@ -479,7 +482,8 @@ def _decon_grams(d: DataFrame) -> DataFrame:
             )
             """,
             docs=d,
-        )
+        ),
+        prefix="_decon_grams",
     )
 
 
@@ -492,20 +496,19 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
     # (DISTINCT gh) over the matched stream ≡ count(*) over
     # distinct-then-joined, but the distinct's exchange now carries only
     # shared grams.
-    grams = _decon_grams(d)
+    gname = _decon_grams(d)
     return d.sparkSession.sql(
         f"""
         WITH eg AS (
-          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
+          SELECT DISTINCT gh FROM {gname} WHERE source = '{EVAL_SOURCE}'
         )
         SELECT /*+ BROADCAST(eg) */ doc_id, source,
                count(DISTINCT gh) AS n_shared
-        FROM (SELECT doc_id, source, gh FROM {{grams}}
+        FROM (SELECT doc_id, source, gh FROM {gname}
               WHERE NOT (source = '{EVAL_SOURCE}'))
         JOIN eg USING (gh)
         GROUP BY doc_id, source
-        """,
-        grams=grams,
+        """
     )
 
 
@@ -593,13 +596,13 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
     (doc_id, source, text) frame — exposed for the training-side scale
     probe, mirroring ``decontaminate_from``."""
     spark = d.sparkSession
-    grams = _decon_grams(d)
+    gname = _decon_grams(d)
     pos_cols = ", ".join(f"{_bloom_pos(j)} AS p{j}" for j in range(BLOOM_K))
     probes = " AND ".join(_bloom_probe(f"p{j}") for j in range(BLOOM_K))
     return spark.sql(
         f"""
         WITH eg AS (
-          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
+          SELECT DISTINCT gh FROM {gname} WHERE source = '{EVAL_SOURCE}'
         ),
         pos AS (
           -- r13 exchange fold (VERDICT r12 task 5 parenthetical): positions
@@ -611,7 +614,7 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
           -- 0.98 s at sf0.1, results bit-identical; BENCH_AB.md r13).
           -- eg stays: the exact join still wants the deduplicated set.
           SELECT explode(array({", ".join(_bloom_pos(j) for j in range(BLOOM_K))})) AS p
-          FROM (SELECT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}')
+          FROM (SELECT gh FROM {gname} WHERE source = '{EVAL_SOURCE}')
         ),
         words AS (
           SELECT CAST(p DIV 64 AS INT) AS w,
@@ -633,15 +636,14 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
         survivors AS (
           SELECT doc_id, source, gh
           FROM (SELECT doc_id, source, gh, {pos_cols}
-                FROM {{grams}} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
+                FROM {gname} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
           WHERE {probes}
         )
         SELECT /*+ SHUFFLE_HASH(eg) */ doc_id, source,
                count(DISTINCT gh) AS n_shared
         FROM survivors JOIN eg USING (gh)
         GROUP BY doc_id, source
-        """,
-        grams=grams,
+        """
     )
 
 

@@ -151,14 +151,19 @@ def entropy_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-verified). Window partitions are per-user and bounded by the
     event-type vocabulary — skew-safe at any corpus size. p·ln p terms
     are the same exact integer ratios as the join form (identical
-    expression tree), so both engines see identical doubles."""
+    expression tree), so both engines see identical doubles. The
+    explicit ``user_id IS NOT NULL`` reproduces the join form's
+    null-key drop (an inner join on user_id never matches NULL — the
+    null-injection fuzz caught the window form keeping that partition)
+    and pushes the filter into the parquet scan."""
     e = load(spark, sf_dir, "events")
     # ONE spark.sql statement (r11 build cut)
     return spark.sql(
         f"""
         WITH c AS (
           SELECT user_id, event_type, count(1) AS n
-          FROM {{e}} GROUP BY user_id, event_type
+          FROM {{e}} WHERE user_id IS NOT NULL
+          GROUP BY user_id, event_type
         ),
         m AS (
           SELECT user_id, n, sum(n) OVER (PARTITION BY user_id) AS tot

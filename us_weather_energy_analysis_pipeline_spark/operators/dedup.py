@@ -480,7 +480,12 @@ def simhash_near_dups(
     # pass — the codegen'd bucket join is the cheaper pair generator for
     # this family. The persist keeps the join shape and computes the
     # fingerprint ONCE (~20 bytes/row × n_bands rows per doc).
-    banded = cache.track(
+    #
+    # Referenced by TEMP VIEW, not a {b} sql parameter: passing a
+    # persisted DataFrame as a spark.sql parameter UNCACHES it during
+    # analysis on Spark 4.1 (see cache.track_view) — the r14 batch-1
+    # form silently kept both fingerprint subtrees.
+    bname = cache.track_view(
         df.sparkSession.sql(
             f"""
             WITH {simhash_ctes(text_col, bits)}
@@ -489,30 +494,34 @@ def simhash_near_dups(
                          posexplode(array({chunks})) AS (band, chunk) FROM sh)
             """,
             docs=df,
-        )
+        ),
+        prefix="_simhash_banded",
     )
-    capped = (
-        ""
+    # NO outer WITH here: because the banded view's own definition
+    # contains CTEs (simhash_ctes), wrapping its reference in an outer
+    # CTE defeats InMemoryRelation substitution during analysis (the
+    # nested-CTE re-ID breaks the canonical plan match) and the
+    # fingerprint subtree silently runs twice again — inline subqueries
+    # keep the cache hit (plan-confirmed, r14).
+    side = (
+        bname
         if bucket_cap is None
-        else f"""
-        capped AS (
+        else f"""(
           SELECT doc_id, simhash, band, chunk FROM (
-            SELECT *, count(1) OVER (PARTITION BY band, chunk) AS _occ FROM banded
+            SELECT *, count(1) OVER (PARTITION BY band, chunk) AS _occ
+            FROM {bname}
           ) WHERE _occ <= {bucket_cap}
-        ),"""
+        )"""
     )
-    side = "capped" if bucket_cap is not None else "banded"
     return df.sparkSession.sql(
         f"""
-        WITH banded AS (SELECT * FROM {{b}}),{capped}
-        pairs AS (
+        SELECT DISTINCT doc_a, doc_b, hamming
+        FROM (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                  CAST(bit_count(a.simhash ^ b.simhash) AS BIGINT) AS hamming
           FROM {side} a JOIN {side} b
             ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
         )
-        SELECT DISTINCT doc_a, doc_b, hamming
-        FROM pairs WHERE hamming <= {max_hamming}
-        """,
-        b=banded,
+        WHERE hamming <= {max_hamming}
+        """
     )
