@@ -620,61 +620,36 @@ def grouping_sets_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keys stay distinguishable via the flags, same as GROUPING SETS.
     from us_weather_energy_analysis_pipeline_spark.corpus._util import dround_sql
 
-    from us_weather_energy_analysis_pipeline_spark.operators import cache
-
     li = load(spark, sf_dir, "lineitem")
-    # lvl2 groups on a CONSTANT, not an ungrouped agg: GROUPING SETS
-    # yields ZERO rows on empty input, and an ungrouped aggregate would
-    # emit a phantom (NULL, NULL) grand-total row there; a constant-key
-    # groupBy returns no rows on empty input, matching the literal form
-    # exactly. ONE spark.sql statement (r11 build cut).
-    #
-    # The finest-level aggregate is PERSISTED (r14): as a plain CTE the
-    # three union branches each re-executed the full scan + partial agg
-    # (plan-confirmed: 3 parquet scans, 5 exchanges — ReuseExchange does
-    # not collapse union branches). Cached, the fact table is scanned
-    # ONCE and the coarser levels re-aggregate ~|flag×status| rows —
-    # the same derivation GROUPING SETS' Expand does, minus its 3× row
-    # inflation through the hash aggregate.
-    # Referenced by TEMP VIEW (cache.track_view), not a {fin} parameter:
-    # a persisted DataFrame passed as a spark.sql parameter is UNCACHED
-    # by the parameterized-query analysis on Spark 4.1 — plan-confirmed
-    # (the {fin} form kept all 3 scans; the view form is 1 scan + two
-    # ~6-row re-aggregations).
-    fname = cache.track_view(
-        spark.sql(
-            """
-            SELECT l_returnflag, l_linestatus, count(1) AS n,
-                   sum(l_extendedprice) AS revenue
-            FROM {li} GROUP BY l_returnflag, l_linestatus
-            """,
-            li=li,
-        ),
-        prefix="_gsets_fin",
-    )
+    # A literal GROUPING SETS over the fact table runs Expand (3x every
+    # input row) BEFORE the partial aggregate, and the union-of-levels
+    # form re-scanned the table per level (3 parquet scans —
+    # ReuseExchange does not collapse union branches; the r14 persist
+    # fixed the scans but bought 3 extra jobs for a ~6-row cache). r14
+    # final shape: count/sum are re-aggregatable, so aggregate the
+    # FINEST set once (one scan, map-side combine to ~6 rows) and apply
+    # GROUPING SETS to THAT — Expand inflates ~6 rows to ~18, the flags
+    # come from GROUPING() exactly as the literal semantics define them,
+    # and the whole query is ONE scan, ONE statement, no cache.
+    # Empty-input parity holds: zero fin rows -> zero expanded rows ->
+    # zero output, same as literal GROUPING SETS (no phantom grand-total
+    # row, unlike an ungrouped aggregate).
     return spark.sql(
         f"""
-        WITH fin AS (SELECT * FROM {fname}),
-        lvls AS (
-          SELECT l_returnflag, l_linestatus, 0 AS g_flag, 0 AS g_status,
-                 n, revenue
-          FROM fin
-          UNION ALL
-          SELECT l_returnflag, CAST(NULL AS STRING) AS l_linestatus,
-                 0 AS g_flag, 1 AS g_status, n, revenue
-          FROM (SELECT l_returnflag, sum(n) AS n, sum(revenue) AS revenue
-                FROM fin GROUP BY l_returnflag)
-          UNION ALL
-          SELECT CAST(NULL AS STRING) AS l_returnflag,
-                 CAST(NULL AS STRING) AS l_linestatus,
-                 1 AS g_flag, 1 AS g_status, n, revenue
-          FROM (SELECT _g, sum(n) AS n, sum(revenue) AS revenue
-                FROM (SELECT 0 AS _g, n, revenue FROM fin) GROUP BY _g)
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               sum(n) AS n,
+               {dround_sql('sum(revenue)', 2)} AS revenue
+        FROM (
+          SELECT l_returnflag, l_linestatus, count(1) AS n,
+                 sum(l_extendedprice) AS revenue
+          FROM {{li}} GROUP BY l_returnflag, l_linestatus
         )
-        SELECT l_returnflag, l_linestatus, g_flag, g_status, n,
-               {dround_sql('revenue', 2)} AS revenue
-        FROM lvls
-        """
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """,
+        li=li,
     )
 
 

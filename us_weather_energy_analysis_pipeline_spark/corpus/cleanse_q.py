@@ -453,37 +453,38 @@ def decontaminate_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     handful of shared grams (r7 rewrite; the old shape distinct'd the
     full training gram stream before joining: 0.87-0.96 → 0.75 s
     replicated at sf0.1, identical output, and the win grows with the
-    training side). The gram projection feeds both branches →
-    digest-materialized via operators.cache. A 64-bit gram-hash
+    training side). The gram projection inlines into both branches —
+    their DISJOINT source filters push into separate parquet scans, so
+    nothing is computed twice and nothing needs a cache. A 64-bit gram-hash
     collision would overcount n_shared (vanishing odds, and the
     string-keyed oracle doubles as the collision check at test SFs)."""
     return decontaminate_from(load(spark, sf_dir, "documents"))
 
 
-def _decon_grams(d: DataFrame) -> str:
-    """Tracked (doc_id, source, gh) 64-bit k-gram hash table both
-    decontamination variants consume (digest-materialized: it feeds the
-    eval and training branches). Returns a TEMP VIEW name, not the
-    DataFrame: passing a persisted frame as a ``spark.sql`` parameter
-    UNCACHES it during analysis on Spark 4.1 (see cache.track_view) —
-    the gram pass silently ran 2-3x per query until r14."""
-    return cache.track_view(
-        d.sparkSession.sql(
-            f"""
-            SELECT doc_id, source,
-                   xxhash64(array_join(slice(t, i, {DECON_K}), ' ')) AS gh
-            FROM (
-              SELECT doc_id, source,
-                     explode(sequence(1, size(t) - {DECON_K} + 1)) AS i, t
-              FROM (SELECT doc_id, source,
-                           split({ascii_lower_sql('trim(text)')}, ' ') AS t
-                    FROM {{docs}})
-              WHERE size(t) >= {DECON_K}
-            )
-            """,
-            docs=d,
-        ),
-        prefix="_decon_grams",
+def _decon_grams(d: DataFrame) -> DataFrame:
+    """(doc_id, source, gh) 64-bit k-gram hash table both
+    decontamination variants consume. Deliberately NOT persisted (r14):
+    the consumers filter it on DISJOINT source predicates (eval vs
+    training), and those filters push through the gram Generate into
+    the parquet scans — the 'shared' pass was never shared work, so a
+    cache would materialize the full corpus gram table (≫ input size)
+    only to save nothing. Plan-confirmed: the inlined form's two scans
+    carry PushedFilters EqualTo(source, eval) / Not(EqualTo(...)); the
+    cached form measured ~2x slower at sf0.1."""
+    return d.sparkSession.sql(
+        f"""
+        SELECT doc_id, source,
+               xxhash64(array_join(slice(t, i, {DECON_K}), ' ')) AS gh
+        FROM (
+          SELECT doc_id, source,
+                 explode(sequence(1, size(t) - {DECON_K} + 1)) AS i, t
+          FROM (SELECT doc_id, source,
+                       split({ascii_lower_sql('trim(text)')}, ' ') AS t
+                FROM {{docs}})
+          WHERE size(t) >= {DECON_K}
+        )
+        """,
+        docs=d,
     )
 
 
@@ -491,24 +492,26 @@ def decontaminate_from(d: DataFrame) -> DataFrame:
     """The ``decontaminate_ngram_overlap`` plan over an arbitrary
     (doc_id, source, text) frame — exposed so the ×16 training-side
     scale probe can drive the exact production plan."""
-    # TWO spark.sql statements (r11 build cut): the tracked gram table +
+    # TWO spark.sql statements (r11 build cut): the gram table +
     # everything above it. broadcast-join FIRST, dedup after: count
     # (DISTINCT gh) over the matched stream ≡ count(*) over
     # distinct-then-joined, but the distinct's exchange now carries only
-    # shared grams.
-    gname = _decon_grams(d)
+    # shared grams. The {grams} references inline (no persist — see
+    # _decon_grams): each branch's source filter pushes to its own scan.
+    grams = _decon_grams(d)
     return d.sparkSession.sql(
         f"""
         WITH eg AS (
-          SELECT DISTINCT gh FROM {gname} WHERE source = '{EVAL_SOURCE}'
+          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
         )
         SELECT /*+ BROADCAST(eg) */ doc_id, source,
                count(DISTINCT gh) AS n_shared
-        FROM (SELECT doc_id, source, gh FROM {gname}
+        FROM (SELECT doc_id, source, gh FROM {{grams}}
               WHERE NOT (source = '{EVAL_SOURCE}'))
         JOIN eg USING (gh)
         GROUP BY doc_id, source
-        """
+        """,
+        grams=grams,
     )
 
 
@@ -596,25 +599,34 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
     (doc_id, source, text) frame — exposed for the training-side scale
     probe, mirroring ``decontaminate_from``."""
     spark = d.sparkSession
-    gname = _decon_grams(d)
+    grams = _decon_grams(d)
+    # The DISTINCT eval gram set is the ONE genuinely shared subtree
+    # (the Bloom mask build AND the exact join both consume it), and it
+    # is small by construction (eval suites are MBs) — persist IT, not
+    # the full corpus gram table (r14: caching the full gram table
+    # measured ~2x slower; it materializes the training side only to
+    # save nothing, since the training branch streams once anyway).
+    # With eg cached, the r13 raw-stream mask build inverts: positions
+    # now explode from the 11.5k cached distinct grams instead of
+    # re-scanning/re-hashing the eval documents — bit_or absorbs
+    # duplicates, so the mask is bit-identical either way.
+    egname = cache.track_view(
+        spark.sql(
+            f"SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'",
+            grams=grams,
+        ),
+        prefix="_decon_eval_grams",
+    )
     pos_cols = ", ".join(f"{_bloom_pos(j)} AS p{j}" for j in range(BLOOM_K))
     probes = " AND ".join(_bloom_probe(f"p{j}") for j in range(BLOOM_K))
     return spark.sql(
         f"""
         WITH eg AS (
-          SELECT DISTINCT gh FROM {gname} WHERE source = '{EVAL_SOURCE}'
+          SELECT gh FROM {egname}
         ),
         pos AS (
-          -- r13 exchange fold (VERDICT r12 task 5 parenthetical): positions
-          -- come from the RAW eval gram stream, not the distinct set —
-          -- bit_or absorbs duplicate grams, so the mask is identical, and
-          -- the build no longer waits on the gram-distinct exchange: its
-          -- only exchange is the word fold, bounded at BLOOM_BITS/64 rows
-          -- per partition REGARDLESS of eval-set size (measured 1.09 →
-          -- 0.98 s at sf0.1, results bit-identical; BENCH_AB.md r13).
-          -- eg stays: the exact join still wants the deduplicated set.
           SELECT explode(array({", ".join(_bloom_pos(j) for j in range(BLOOM_K))})) AS p
-          FROM (SELECT gh FROM {gname} WHERE source = '{EVAL_SOURCE}')
+          FROM {egname}
         ),
         words AS (
           SELECT CAST(p DIV 64 AS INT) AS w,
@@ -636,14 +648,15 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
         survivors AS (
           SELECT doc_id, source, gh
           FROM (SELECT doc_id, source, gh, {pos_cols}
-                FROM {gname} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
+                FROM {{grams}} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
           WHERE {probes}
         )
         SELECT /*+ SHUFFLE_HASH(eg) */ doc_id, source,
                count(DISTINCT gh) AS n_shared
         FROM survivors JOIN eg USING (gh)
         GROUP BY doc_id, source
-        """
+        """,
+        grams=grams,
     )
 
 
