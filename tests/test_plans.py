@@ -369,7 +369,13 @@ def test_unpartitioned_windows_run_on_bounded_daily_aggregates(spark, sf_dir):
         widx = [i for i, ln in enumerate(lines) if "Window [" in ln]
         assert widx, (name, plan)
         below = "\n".join(lines[widx[-1]:])
-        assert "Aggregate [day" in below or "Aggregate [_groupingexpression" in below, (
+        # the daily key may be named day, _day (r14 native-date group
+        # key with deferred ISO formatting) or a synthesized grouping id
+        assert (
+            "Aggregate [day" in below
+            or "Aggregate [_day" in below
+            or "Aggregate [_groupingexpression" in below
+        ), (
             name,
             plan,
         )

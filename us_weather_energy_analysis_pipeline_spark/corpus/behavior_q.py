@@ -50,11 +50,13 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohort = ud.groupBy("user_id").agg(F.min("day").alias("cday"))
     return (
         ud.join(cohort, "user_id")
-        .groupBy(
-            iso_day("cday").alias("cohort_day"),
-            F.datediff("day", "cday").alias("day_offset"),
-        )
+        # group on the native date; the ISO string is built once per
+        # (cohort, offset) cell, not per user-day row (r14)
+        .groupBy("cday", F.datediff("day", "cday").alias("day_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            iso_day("cday").alias("cohort_day"), "day_offset", "n_users"
+        )
     )
 
 
@@ -127,13 +129,15 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CASE WHEN user_id IS NOT NULL THEN pts END AS pts
           FROM per_user0
         )
-        SELECT CAST(CAST(to_date(vts) AS DATE) AS STRING) AS first_view_day,
+        SELECT CAST(to_date(vts) AS STRING) AS first_view_day,
                count(1) AS n_viewers,
                count_if({converted}) AS n_converted,
                {dround_sql(f'CAST(count_if({converted}) AS DOUBLE)'
                            ' / CAST(count(1) AS DOUBLE)', 4)} AS cvr
         FROM per_user
-        GROUP BY CAST(CAST(to_date(vts) AS DATE) AS STRING)
+        -- native-date group key (r14); the aggregate output projects the
+        -- ISO string per group — date→string is injective, same groups
+        GROUP BY to_date(vts)
         """,
         e=e,
     )

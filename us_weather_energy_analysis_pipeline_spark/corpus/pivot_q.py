@@ -38,14 +38,19 @@ from us_weather_energy_analysis_pipeline_spark.functions.scalars import (  # noq
 )
 def pivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EAV long→wide pivot with mean resolving duplicate (key, attr) pairs
-    (reference A1 `data_processor.py:48` groupby.mean().unstack())."""
+    (reference A1 `data_processor.py:48` groupby.mean().unstack()).
+    r14: pivot on the native date key; the ISO string is built on the
+    ~day-count pivoted rows, not per event."""
     e = load(spark, sf_dir, "events")
     piv = (
-        e.groupBy(iso_day("ts").alias("day"))
+        e.groupBy(F.col("ts").cast("date").alias("_day"))
         .pivot("event_type", list(EVENT_TYPES))
         .agg(F.avg("value"))
     )
-    return piv.select("day", *[r4(F.col(t)).alias(t) for t in EVENT_TYPES])
+    return piv.select(
+        iso_day("_day").alias("day"),
+        *[r4(F.col(t)).alias(t) for t in EVENT_TYPES],
+    )
 
 
 @register(
@@ -62,11 +67,22 @@ def pivot_eav(spark: SparkSession, sf_dir: str) -> DataFrame:
 def resample_hourly_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time resample fine→daily grain (reference A2 `data_processor.py:79`
     resample('D').sum()): plain date-truncated groupBy — partial aggregation
-    makes this one map-side combine + small shuffle at any scale."""
+    makes this one map-side combine + small shuffle at any scale. r14:
+    the combine keys on the native 4-byte date (narrower shuffle key);
+    the ISO string is built per output group."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("user_id", iso_day("ts").alias("day")).agg(
-        r2(F.sum("value")).alias("daily_total"),
-        F.count(F.lit(1)).alias("n_events"),
+    return (
+        e.groupBy("user_id", F.col("ts").cast("date").alias("_day"))
+        .agg(
+            r2(F.sum("value")).alias("daily_total"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            iso_day("_day").alias("day"),
+            "daily_total",
+            "n_events",
+        )
     )
 
 

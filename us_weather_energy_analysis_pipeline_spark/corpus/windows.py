@@ -79,19 +79,22 @@ def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
     r6: ``min_by`` over the (ts, event_id) struct replaces the sort
     window — same pick incl. NULLS FIRST asc semantics (null struct
     fields sort smallest), with map-side partial combine instead of a
-    full per-key sort shuffle (see ``last_per_group``)."""
+    full per-key sort shuffle (see ``last_per_group``). r14: group on
+    the native 4-byte date (date→string is injective, so the groups are
+    identical) — the ISO string is built once per output group, not per
+    input row, and the shuffle key narrows (paired A/B 0.41→0.34 s at
+    sf0.1)."""
     e = load(spark, sf_dir, "events")
-    day = iso_day("ts")
     first = F.min_by(
         F.struct(F.col("event_id").alias("e"), F.col("event_type").alias("t")),
         F.struct(F.col("ts").alias("a"), F.col("event_id").alias("b")),
     )
     return (
-        e.groupBy("user_id", day.alias("day"))
+        e.groupBy("user_id", F.col("ts").cast("date").alias("_day"))
         .agg(first.alias("_m"))
         .select(
             "user_id",
-            "day",
+            iso_day("_day").alias("day"),
             F.col("_m.e").alias("event_id"),
             F.col("_m.t").alias("event_type"),
         )
@@ -133,13 +136,17 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
         WITH daily AS (
-          SELECT event_type, CAST(CAST(ts AS DATE) AS STRING) AS day,
+          -- group on the native date key; the ISO string is built on the
+          -- post-agg rows (r14 — date→string is injective, same groups,
+          -- same lag order: ISO strings sort exactly like their dates)
+          SELECT event_type, CAST(ts AS DATE) AS day,
                  sum(value) AS total
           FROM {{e}} WHERE ts IS NOT NULL
-          GROUP BY event_type, CAST(CAST(ts AS DATE) AS STRING)
+          GROUP BY event_type, CAST(ts AS DATE)
         ),
         lagged AS (
-          SELECT event_type, day, total, {prev} AS prev FROM daily
+          SELECT event_type, CAST(day AS STRING) AS day, total,
+                 {prev} AS prev FROM daily
         )
         SELECT event_type, day,
                {dround_sql('total', 2)} AS total,
@@ -173,14 +180,17 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
 def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-row trailing moving average over the daily series — explicit rows
     frame (the only frame spec family the reference needs, SURVEY §2.8,
-    extended to a bounded trailing window)."""
+    extended to a bounded trailing window). r14: the daily rollup groups
+    on the native date (ISO formatting deferred to the ~2.5k post-agg
+    rows; ISO strings order exactly like their dates, so the frame walks
+    the identical sequence — paired A/B 0.40→0.29 s at sf0.1)."""
     li = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate").isNotNull())
-    daily = li.groupBy(iso_day("l_shipdate").alias("day")).agg(
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("_day")).agg(
         F.sum("l_extendedprice").alias("total")
     )
-    w = Window.orderBy("day").rowsBetween(-6, 0)
+    w = Window.orderBy("_day").rowsBetween(-6, 0)
     return daily.select(
-        "day",
+        iso_day("_day").alias("day"),
         r2(F.col("total")).alias("total"),
         r4(F.avg("total").over(w)).alias("ma7"),
     )
@@ -337,7 +347,13 @@ def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number and the #epochs-row lag frame are global, both on bounded
     inputs (daily rollup / epoch aggregate — allowlisted)."""
     e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
-    daily = e.groupBy(iso_day("ts").alias("day")).agg(F.sum("value").alias("total"))
+    # native-date group key; the ISO day string the frame carries is
+    # built on the post-agg daily rows, not per event (r14)
+    daily = (
+        e.groupBy(F.col("ts").cast("date").alias("_day"))
+        .agg(F.sum("value").alias("total"))
+        .select(iso_day("_day").alias("day"), "total")
+    )
     return ewma_frame(daily)
 
 
