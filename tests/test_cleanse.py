@@ -117,11 +117,12 @@ def test_decontamination_catches_embedded_eval_gram(spark, tmp_path):
     assert got == {1: ("srcA", 1), 2: ("srcB", 5)}
 
 
-def test_bloom_prefilter_variant_identical_and_shuffle_joined(spark, tmp_path):
-    """The Bloom pre-filter twin returns exactly the broadcast variant's
+def test_bloom_prefilter_variant_identical_and_broadcast_joined(spark, tmp_path):
+    """The Bloom pre-filter twin returns exactly the overlap variant's
     rows (false positives removed by the exact join), and its exact join
-    is the deliberate SHUFFLE_HASH shape — not a broadcast — since the
-    variant models an eval side beyond broadcast budget."""
+    is the deliberate BROADCAST shape (r15, VERDICT r14 item 4): the
+    eval gram set is small by the operator's own sizing contract, so
+    the survivors stream must NOT pay a shuffle on gh."""
     eval_text = _words("ev", DECON_K + 4)
     ev_toks = eval_text.split(" ")
     embedded = " ".join(ev_toks[:DECON_K])
@@ -137,7 +138,8 @@ def test_bloom_prefilter_variant_identical_and_shuffle_joined(spark, tmp_path):
     assert base.exceptAll(bloom).count() == 0
     assert bloom.exceptAll(base).count() == 0
     plan = bloom._jdf.queryExecution().executedPlan().toString()
-    assert "ShuffledHashJoin" in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_span_dup_ratio_flags_mostly_duplicated_doc(spark, tmp_path):

@@ -470,11 +470,22 @@ def _decon_grams(d: DataFrame) -> DataFrame:
     cache would materialize the full corpus gram table (≫ input size)
     only to save nothing. Plan-confirmed: the inlined form's two scans
     carry PushedFilters EqualTo(source, eval) / Not(EqualTo(...)); the
-    cached form measured ~2x slower at sf0.1."""
+    cached form measured ~2x slower at sf0.1.
+
+    gh hashes the k tokens as SEPARATE xxhash64 arguments (r15): the
+    hash state chains per argument, so token boundaries stay distinct
+    (("ab","c") ≠ ("a","bc")) without materializing the joined gram
+    string — one ~50-byte allocation per gram removed from the hot
+    projection (guide §4.1). gh is Spark-internal either way: the
+    DuckDB twin joins on the RAW gram strings, so it doubles as the
+    collision check at test SFs, and any uniform 64-bit family gives
+    the same n_shared up to ~n²/2⁶⁴ collisions (paired A/B at sf0.1:
+    never slower, up to 25% off the check query's data term)."""
+    gram_hash = ", ".join(f"element_at(t, i + {j})" for j in range(DECON_K))
     return d.sparkSession.sql(
         f"""
         SELECT doc_id, source,
-               xxhash64(array_join(slice(t, i, {DECON_K}), ' ')) AS gh
+               xxhash64({gram_hash}) AS gh
         FROM (
           SELECT doc_id, source,
                  explode(sequence(1, size(t) - {DECON_K} + 1)) AS i, t
@@ -587,10 +598,14 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     ArrayData indexing is O(1); 4.5 → 0.3 s measured, BENCH_AB.md r12).
     Training grams test membership row-locally (k array probes + bit
     tests, no explode); survivors — shared grams plus the
-    ~1% Bloom false positives — enter a SHUFFLE_HASH exact join keyed on
-    gh, deliberately NOT broadcast: this variant models the eval side
-    exceeding broadcast budget, and the pre-filter is what keeps that
-    co-partitioned exchange tiny (prune probe in SCALE_PROBE.md r12)."""
+    ~0.2% Bloom false positives — enter a BROADCAST exact join on the
+    cached eval gram set (r15, VERDICT r14 item 4: eval suites are MBs
+    by construction — the same size argument that lets the mask itself
+    broadcast — so the r12-r14 SHUFFLE_HASH shape paid a survivors
+    exchange on gh for a too-big-to-broadcast regime this operator's
+    own sizing comment rules out; paired A/B at sf0.1 replicated
+    0.1-0.3 s in favor of the broadcast, and at scale it removes the
+    only corpus-sized exchange left in the plan)."""
     return decontaminate_bloom_from(load(spark, sf_dir, "documents"))
 
 
@@ -651,7 +666,7 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
                 FROM {{grams}} WHERE NOT (source = '{EVAL_SOURCE}')), bloom
           WHERE {probes}
         )
-        SELECT /*+ SHUFFLE_HASH(eg) */ doc_id, source,
+        SELECT /*+ BROADCAST(eg) */ doc_id, source,
                count(DISTINCT gh) AS n_shared
         FROM survivors JOIN eg USING (gh)
         GROUP BY doc_id, source

@@ -104,32 +104,28 @@ def dedup_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.substring(ascii_lower(F.trim(F.col("text"))), 1, HEAD_CHARS).alias("head"),
     )
-    # Semi-join reduction (r14, guide §3.4/§6): only docs that appear in
-    # a candidate pair need a head — |cands|-bounded, tiny next to the
-    # corpus. The old shape joined the FULL heads projection twice
-    # (doc_a side, doc_b side): two complete text-column scans and two
-    # corpus-sized joins per run. Now the text column is read ONCE to
-    # build the candidate heads (pruned by a broadcast semi-join that
-    # never shuffles the corpus), and both verify joins broadcast that
-    # tiny table. Local wall is LSH-bound either way (stage profile:
-    # cands 1.38 s of full 1.91 s); the win is one fewer full-table text
-    # read and two fewer corpus-sized shuffle joins at any scale.
-    # LEFT SEMI against the raw (non-distinct) id stream: semi-join
-    # semantics dedupe for free, so no distinct exchange on the id list.
-    ids = cands.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
-    ch = cache.track(heads.join(F.broadcast(ids), "doc_id", "leftsemi"))
+    # Verify stage as ONE streaming pass over the text column (r15,
+    # VERDICT r14 item 2 — the r14 semi-join reduction kept one text
+    # read but spent ~6 fixed-cost jobs on it: a ch persist+fill, an id
+    # broadcast and two candidate-heads broadcasts that AQE builds
+    # independently, plan-confirmed). The pair list itself is the small
+    # side (bounded by the LSH candidates — that is the point of
+    # blocking), so broadcast IT, exploded to one row per pair SIDE, and
+    # stream the corpus heads through a single broadcast-hash join; a
+    # conditional-aggregate regroup on (doc_a, doc_b) reassembles
+    # head_a/head_b. Shapes at scale: text column read ONCE, the corpus
+    # is never shuffled, and the only exchange carries candidate pairs
+    # (tiny). Jobs 14 → 10 at sf0.1, result set bit-identical (paired
+    # A/B + full collect parity, OPTIMIZATION_r15.md).
+    ex = cands.select(
+        "doc_a", "doc_b", F.posexplode(F.array("doc_a", "doc_b")).alias("side", "doc_id")
+    )
     verified = (
-        cands.join(
-            F.broadcast(
-                ch.select(F.col("doc_id").alias("doc_a"), F.col("head").alias("head_a"))
-            ),
-            "doc_a",
-        )
-        .join(
-            F.broadcast(
-                ch.select(F.col("doc_id").alias("doc_b"), F.col("head").alias("head_b"))
-            ),
-            "doc_b",
+        heads.join(F.broadcast(ex), "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.max(F.when(F.col("side") == 0, F.col("head"))).alias("head_a"),
+            F.max(F.when(F.col("side") == 1, F.col("head"))).alias("head_b"),
         )
         .filter(F.levenshtein(F.col("head_a"), F.col("head_b")) <= EDIT_MAX)
         .select("doc_a", "doc_b")
