@@ -11,70 +11,34 @@ from __future__ import annotations
 
 from us_weather_energy_analysis_pipeline_spark.corpus import registry
 
-# Round-14 must-haves (VERDICT r13 tasks 1 + 3): the one query
-# registered this round (the end-to-end Lloyd k-means iteration), then
-# decontaminate_bloom_prefilter (plan changed twice in r13 — coalesce +
-# eval-side exchange fold — locally re-verified, owed a fresh driver
-# row), then the FULL 48-query cohort whose latest driver row is r11 —
-# after this round the union has nothing staler than r12. The cohort
-# contains both e2e pipelines and dedup_cluster_assign, closing out the
-# r13 hint-site moves too.
-ROTATED_R14 = (
-    "embed_kmeans_round",
+# Round-15 must-haves (VERDICT r14 task 3): the 8 queries whose plans
+# changed in r15 (batch-1 cleanse/pipeline rewrites, the pair-bound
+# pre-filter, the lag_diff_pct window-key rename), the 8 r14-touched
+# paths whose latest driver row predates their change, then 34 of the
+# 43 remaining r12-stale queries. The 9 untouched plain-SQL TPC-H
+# variants wait for r16.
+ROTATED_R15 = (
     "decontaminate_bloom_prefilter",
-    "above_group_avg",
-    "approx_distinct_hll_sanity",
-    "bin_quantity_case",
-    "bin_quantity_case_low",
-    "chi2_weekday_event",
-    "corpus_mix_summary",
-    "date_spine_completion",
-    "decontamination_check",
-    "dedup_cluster_assign",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
     "dedup_pipeline_e2e",
-    "dedup_simhash",
-    "dedup_substring_spans",
+    "decontamination_check",
+    "decontaminate_ngram_overlap",
+    "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
-    "dist_percent_rank",
-    "distinct_event_types",
-    "distinct_kmv_estimate",
-    "doc_span_dup_ratio",
-    "embed_dedup_pipeline_e2e",
-    "entropy_user_events",
-    "ewma_daily",
-    "filter_date_set",
-    "filtered_agg_status",
-    "full_outer_nation_counts",
-    "gini_customer_revenue",
-    "gopher_quality_filter",
-    "grouping_sets_flags",
-    "histogram_price",
-    "locf_gap_fill",
-    "markov_event_transitions",
-    "multimodal_blob_stats",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "sql_revenue_by_nation",
-    "sql_window_rank",
-    "stratified_sample_hash",
-    "streak_islands",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "token_budget_packing",
-    "top_k_orders",
-    "union_slices",
-    "zscore_outliers",
+    "dedup_cluster_assign",
+    "lag_diff_pct",
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_keep_first",
+    "moving_avg_7d",
+    "pivot_eav",
+    "resample_hourly_daily",
+    "cohort_retention",
+    "funnel_conversion",
 )
 
 # No declared tail this round: the window is exactly the 50 driver
-# slots; everything past it is r12/r13-driver-green.
-DISPLACED_R14 = ()
+# slots; everything past it is r13/r14-driver-green.
+DISPLACED_R15 = ()
 
 
 def test_window_occupies_leading_positions():
@@ -82,17 +46,16 @@ def test_window_occupies_leading_positions():
     assert order[: len(registry.WINDOW)] == list(registry.WINDOW)
 
 
-def test_displaced_r14_tail_the_window():
-    assert registry.WINDOW[len(ROTATED_R14):] == DISPLACED_R14
+def test_rotated_r15_lead_the_window():
+    assert list(registry.WINDOW[: len(ROTATED_R15)]) == list(ROTATED_R15)
 
 
-def test_rotated_r14_sit_in_driver_window():
+def test_rotated_r15_sit_in_driver_window():
     positions = {n: i for i, n in enumerate(registry.queries())}
     stragglers = {
-        n: positions.get(n) for n in ROTATED_R14 if positions.get(n, 99) >= 50
+        n: positions.get(n) for n in ROTATED_R15 if positions.get(n, 99) >= 50
     }
     assert not stragglers, f"outside driver window (first 50): {stragglers}"
-    assert list(registry.WINDOW[: len(ROTATED_R14)]) == list(ROTATED_R14)
 
 
 def test_window_has_no_duplicates_and_all_registered():
@@ -101,7 +64,7 @@ def test_window_has_no_duplicates_and_all_registered():
     assert set(registry.WINDOW) <= names
     # every rotated query stays oracle-twinned
     oracles = registry.oracle_sql()
-    missing = [n for n in ROTATED_R14 if n not in oracles]
+    missing = [n for n in ROTATED_R15 if n not in oracles]
     assert not missing, f"rotated queries lost their oracle twin: {missing}"
 
 

@@ -153,3 +153,64 @@ def test_winnow_pairs_finds_planted_near_dup(spark):
     got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in rows}
     assert (1, 2) in got and got[(1, 2)] >= WINNOW_JACCARD
     assert not any(3 in p for p in got)
+
+
+def test_pair_bound_prefilter_is_exact_and_below_the_aggregate(spark):
+    """The r15 Jaccard upper-bound pre-filter (least(na,nb)/(na+nb−least)
+    ≥ t below the pair groupBy) must (a) never change the surviving pair
+    set — inter ≤ least(na, nb) and jaccard is monotone in inter, so a
+    bound-failing GROUP can never pass the final filter — and (b) sit
+    BELOW the pair aggregate in the plan, so size-skewed pair rows exit
+    map-side before the pair exchange. A planted skewed pair (a tiny doc
+    sharing its one discriminative fingerprint with a much larger doc)
+    exercises the bound's kill path; a planted near-dup pair proves the
+    keep path."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pandas as pd
+
+    from us_weather_energy_analysis_pipeline_spark.corpus.winnow_q import (
+        winnow_near_dups,
+    )
+    from us_weather_energy_analysis_pipeline_spark.session import local_df
+
+    rng = random.Random(7)
+    vocab = [f"tok{i}" for i in range(400)]
+    shared = " ".join(rng.choice(vocab) for _ in range(12))
+    big = shared + " " + " ".join(rng.choice(vocab) for _ in range(200))
+    docs = [
+        (1, shared),                 # tiny doc
+        (2, big),                    # shares a run with 1, much larger
+        (3, big + " trailing bits"), # near-dup of 2 (keep path)
+    ]
+    d = local_df(spark, docs, "doc_id long, text string")
+    out = winnow_near_dups(d, hash_fn="md5")
+    rows = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in out.collect()}
+    # keep path: 2-3 are near-dups
+    assert (2, 3) in rows
+    # exactness twin: brute-force jaccard over fingerprint sets must
+    # match the operator's surviving pair set exactly
+    from us_weather_energy_analysis_pipeline_spark.corpus.winnow_q import (
+        WINNOW_DF_CAP, WINNOW_JACCARD, winnow_selected,
+    )
+    sel = winnow_selected(d, hash_fn="md5").collect()
+    fps: dict[int, set] = {}
+    for r in sel:
+        fps.setdefault(r["doc_id"], set()).add(r["sel"] >> 32)
+    from collections import Counter
+    df_count = Counter(h for s in fps.values() for h in s)
+    fps = {d_: {h for h in s if df_count[h] <= WINNOW_DF_CAP} for d_, s in fps.items()}
+    expect = {}
+    ids = sorted(fps)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(fps[a] & fps[b])
+            if inter and inter / (len(fps[a]) + len(fps[b]) - inter) >= WINNOW_JACCARD:
+                expect[(a, b)] = True
+    assert set(rows) == set(expect)
+    # plan shape: the bound filter must appear BELOW the pair aggregate
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    agg_at = plan.find("Aggregate")
+    bound_at = plan.find("least(")
+    assert bound_at != -1, "bound pre-filter missing from the plan"
+    assert bound_at > agg_at, "bound filter must sit below the pair aggregate"

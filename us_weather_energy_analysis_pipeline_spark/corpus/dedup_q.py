@@ -287,6 +287,21 @@ def ngram_jaccard_pairs(
         .filter("size(ds) >= 2")
     )
     jac_sql = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    # Jaccard upper-bound pre-filter BELOW the pair groupBy (r15, guide
+    # §2.3 — shuffle fewer bytes): inter ≤ least(na, nb) (a pair shares
+    # at most the smaller doc's shingle count) and x/(na+nb−x) is
+    # monotone in x, so jaccard ≤ least/(na+nb−least). The bound is a
+    # function of the GROUP KEY only (same na/nb on every row of a
+    # pair), so dropping bound-failing rows before the aggregate removes
+    # whole groups that the final filter would discard anyway — no
+    # surviving group changes. IEEE rounding preserves weak order, so
+    # fl(jac(inter)) ≤ fl(jac(least)) < t is airtight. Size-skewed pairs
+    # (big doc sharing one shingle with a small doc) die map-side before
+    # the pair exchange instead of after it.
+    bound_sql = (
+        "CAST(least(na, nb) AS DOUBLE) / (na + nb - least(na, nb))"
+        f" >= {threshold!r}"
+    )
     # codegen pair expansion (r14): chained posexplode Generates replace
     # the interpreted ordered_pairs HOF — see functions.text.explode_pairs
     return (
@@ -295,6 +310,7 @@ def ngram_jaccard_pairs(
             "a.doc_id AS doc_a", "a.n AS na",
             "b.doc_id AS doc_b", "b.n AS nb",
         )
+        .filter(bound_sql)
         .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
         .filter(f"{jac_sql} >= {threshold!r}")

@@ -120,73 +120,75 @@ _LOADED = False
 # silently shift the window. ``tests/test_registry_layout.py`` asserts the
 # exact positions of the rotated queries.
 #
-# Round-14 window (VERDICT r13 tasks 1 + 3, plan declared in the r13
-# comment at this site and held to by the judge): position 0 is the one
-# query registered this round (embed_kmeans_round — the end-to-end Lloyd
-# iteration, never driver-verified); position 1 pays the r13 rotation
-# debt — decontaminate_bloom_prefilter's plan changed twice in r13
-# (Bloom word NULL→0 coalesce + eval-side exchange fold) and was only
-# locally re-verified; positions 2-49 are the FULL 48-query cohort whose
-# latest driver row is r11 (the staleness frontier per the
-# CORRECTNESS_r01-r13 union, recomputed this round: histogram
-# {r11: 48, r12: 50, r13: 50}) — after this round the union has nothing
-# staler than r12. The cohort already contains both e2e pipelines and
-# dedup_cluster_assign, so the r13 broadcast-hint-site moves (physical
-# no-ops per the PLANS.md regen diff) get fresh driver rows too.
+# Round-15 window (VERDICT r14 task 3): positions 0-7 are the queries
+# whose PLANS changed in r15 (batch-1 verify-stage/broadcast/gram-hash
+# rewrites in cleanse_q + pipeline_q, the r15 pair-bound pre-filter in
+# the ngram/winnow family, and the ADVICE r14 lag_diff_pct window-key
+# rename) — every one locally oracle-verified at 3 SFs, owed a fresh
+# driver row; positions 8-15 are the r14-touched paths whose driver row
+# predates their change (dedup_simhash_pairs / dedup_minhash_lsh from
+# the r14 shared-subtree batch, plus the batch-5 native-date-key
+# rollups); positions 16-49 are 34 of the 43 remaining queries whose
+# latest driver row is r12 (the staleness frontier per the
+# CORRECTNESS_r01-r14 union recomputed this round: histogram
+# {r12: 49, r13: 50, r14: 50}). The 9 left for r16 are the untouched
+# plain-SQL TPC-H variants (tpch_q3/q4/q13/q14/q17/q19/q22,
+# argmax_supplier, dates_intersect) — stable single-statement queries
+# unchanged since registration.
 WINDOW: tuple[str, ...] = (
-    # -- registered this round, never driver-verified --
-    "embed_kmeans_round",
-    # -- r13 plan-changed (coalesce + exchange fold), locally re-verified --
+    # -- r15 plan-changed, locally re-verified --
     "decontaminate_bloom_prefilter",
-    # -- last driver row r11 (the full stale cohort, 48 queries) --
-    "above_group_avg",
-    "approx_distinct_hll_sanity",
-    "bin_quantity_case",
-    "bin_quantity_case_low",
-    "chi2_weekday_event",
-    "corpus_mix_summary",
-    "date_spine_completion",
-    "decontamination_check",
-    "dedup_cluster_assign",
-    "dedup_edit_distance",
-    "dedup_exact",
-    "dedup_incremental_minhash",
-    "dedup_ngram_jaccard",
     "dedup_pipeline_e2e",
-    "dedup_simhash",
-    "dedup_substring_spans",
+    "decontamination_check",
+    "decontaminate_ngram_overlap",
+    "dedup_ngram_jaccard",
     "dedup_winnow_pairs",
-    "dist_percent_rank",
-    "distinct_event_types",
-    "distinct_kmv_estimate",
-    "doc_span_dup_ratio",
-    "embed_dedup_pipeline_e2e",
-    "entropy_user_events",
-    "ewma_daily",
-    "filter_date_set",
-    "filtered_agg_status",
-    "full_outer_nation_counts",
-    "gini_customer_revenue",
-    "gopher_quality_filter",
-    "grouping_sets_flags",
-    "histogram_price",
-    "locf_gap_fill",
-    "markov_event_transitions",
-    "multimodal_blob_stats",
-    "ntile_deciles",
-    "pareto_revenue_concentration",
-    "sql_revenue_by_nation",
-    "sql_window_rank",
-    "stratified_sample_hash",
-    "streak_islands",
-    "text_quality_score",
-    "text_repetition_ratio",
-    "text_tfidf_topk",
-    "text_winnow_fingerprint",
-    "token_budget_packing",
-    "top_k_orders",
-    "union_slices",
-    "zscore_outliers",
+    "dedup_cluster_assign",
+    "lag_diff_pct",
+    # -- r14-touched, driver row predates the change --
+    "dedup_simhash_pairs",
+    "dedup_minhash_lsh",
+    "dedup_keep_first",
+    "moving_avg_7d",
+    "pivot_eav",
+    "resample_hourly_daily",
+    "cohort_retention",
+    "funnel_conversion",
+    # -- last driver row r12 (34 of the 43-query stale cohort) --
+    "bigram_topk",
+    "corpus_temperature_resample",
+    "dedup_embed_cosine",
+    "doc_chunk_overlap",
+    "embed_centroid_by_label",
+    "embed_corr_pairs_topk",
+    "embed_cosine_topk",
+    "embed_dim_stats",
+    "embed_hard_negative_mine",
+    "embed_int8_quantize",
+    "embed_ivf_multiprobe_topk",
+    "embed_ivf_topk",
+    "embed_lsh_bucket_topk",
+    "embed_lsh_multiprobe_topk",
+    "embed_nearest_centroid_assign",
+    "json_props_rollup",
+    "map_view_decorated",
+    "moments_skew_kurt",
+    "pii_redact_scrub",
+    "quantile_sketch_sample",
+    "range_join_price_band",
+    "rfm_segments",
+    "text_fingerprint",
+    "text_heaps_fit",
+    "text_lang_id",
+    "text_token_count",
+    "text_unigram_logprob",
+    "text_zipf_fit",
+    "topk_per_group",
+    "trailing_range_7d",
+    "url_domain_throttle",
+    "vocab_prune_df_bounds",
+    "weighted_sample_aexpj",
+    "yoy_monthly",
 )
 
 

@@ -132,23 +132,27 @@ def lag_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     # ONE spark.sql statement (r11 build cut — same daily agg + one
     # ordered window pass)
-    prev = "lag(total) OVER (PARTITION BY event_type ORDER BY day)"
+    prev = "lag(total) OVER (PARTITION BY event_type ORDER BY _day)"
     return spark.sql(
         f"""
         WITH daily AS (
           -- group on the native date key; the ISO string is built on the
           -- post-agg rows (r14 — date→string is injective, same groups,
-          -- same lag order: ISO strings sort exactly like their dates)
-          SELECT event_type, CAST(ts AS DATE) AS day,
+          -- same lag order: ISO strings sort exactly like their dates).
+          -- The date key stays named _day through the window (ADVICE
+          -- r14): aliasing the string as `day` in the SAME select as the
+          -- lag made the window's ORDER BY resolve to the input date
+          -- column only by a name-resolution subtlety.
+          SELECT event_type, CAST(ts AS DATE) AS _day,
                  sum(value) AS total
           FROM {{e}} WHERE ts IS NOT NULL
           GROUP BY event_type, CAST(ts AS DATE)
         ),
         lagged AS (
-          SELECT event_type, CAST(day AS STRING) AS day, total,
+          SELECT event_type, _day, total,
                  {prev} AS prev FROM daily
         )
-        SELECT event_type, day,
+        SELECT event_type, CAST(_day AS STRING) AS day,
                {dround_sql('total', 2)} AS total,
                {dround_sql('total - prev', 2)} AS diff,
                CASE WHEN prev > 0

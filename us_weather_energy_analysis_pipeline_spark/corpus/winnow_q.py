@@ -313,6 +313,15 @@ def winnow_near_dups(
         .filter("size(ds) >= 2")
     )
     jac_sql = "CAST(inter AS DOUBLE) / (na + nb - inter)"
+    # Jaccard upper-bound pre-filter below the pair groupBy (r15): same
+    # argument as ngram_jaccard_pairs — inter ≤ least(na, nb), jaccard
+    # monotone in inter, bound constant per group, IEEE rounding
+    # order-preserving — so bound-failing pair rows exit map-side before
+    # the pair exchange without changing any surviving group.
+    bound_sql = (
+        "CAST(least(na, nb) AS DOUBLE) / (na + nb - least(na, nb))"
+        f" >= {threshold!r}"
+    )
     # codegen pair expansion (r14): chained posexplode Generates replace
     # the interpreted ordered_pairs HOF — see functions.text.explode_pairs
     return (
@@ -321,6 +330,7 @@ def winnow_near_dups(
             "a.doc_id AS doc_a", "a.n AS na",
             "b.doc_id AS doc_b", "b.n AS nb",
         )
+        .filter(bound_sql)
         .groupBy("doc_a", "na", "doc_b", "nb")
         .agg(F.count(F.lit(1)).alias("inter"))
         .filter(f"{jac_sql} >= {threshold!r}")
